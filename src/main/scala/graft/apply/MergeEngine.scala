@@ -1,0 +1,266 @@
+package graft.apply
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lake.{CommitConflictException, LakeTable, Snapshot}
+
+/**
+ * LSN-ordered MERGE INTO: applies a batch of decoded change events to a
+ * [[LakeTable]], exactly once.
+ *
+ * This is the engine's restatement of what a consumer of the reference
+ * reconstructs from the Kinesis stream (the IT's record processor,
+ * SlotMessageRecordProcessor.java:42-88): insert puts a full row, update
+ * rewrites the row identified by oldkeys, delete removes it. The reference
+ * scatters records randomly across shards and gives up per-key ordering
+ * (SlotReaderKinesisWriter.java:259-267); we restore it by shuffling on the
+ * primary key and keeping, per key, the event with the greatest (lsn, seq).
+ *
+ * Plan shape (all shuffles are on the PK hash, and the keep-last dedup is a
+ * declarative max_by aggregation so Spark's partial aggregation gives
+ * map-side combine for free — a hot key collapses to one row per map task
+ * before the shuffle, which is the skew story at 10^10 events):
+ *
+ * {{{
+ *   changes -> normalize(rename, typed pivot) -> filter lsn > watermark(bucket)
+ *           -> groupBy(pk).agg(max_by(row, (lsn, seq)))            // dedup
+ *           -> affected buckets only:
+ *                current(buckets) LEFT ANTI JOIN keys  ++  upserts  // merge
+ *           -> write bucket files -> fenced snapshot commit
+ * }}}
+ */
+object MergeEngine {
+
+  /** Map wal2json/Postgres declared types to Spark types. Unknown types stay
+    * strings (the reference never coerces values either — SURVEY.md §1.2). */
+  def pgTypeToSpark(pg: String): DataType = {
+    val t = pg.toLowerCase.takeWhile(c => c != '(').trim
+    t match {
+      case "smallint" | "int2" => ShortType
+      case "integer" | "int" | "int4" | "serial" => IntegerType
+      case "bigint" | "int8" | "bigserial" => LongType
+      case "real" | "float4" => FloatType
+      case "double precision" | "float8" => DoubleType
+      case "numeric" | "decimal" => DecimalType(38, 18)
+      case "boolean" | "bool" => BooleanType
+      case "date" => DateType
+      case s if s.startsWith("timestamp") => TimestampType
+      case _ => StringType
+    }
+  }
+
+  final case class MergeStats(
+      committed: Boolean,
+      snapshotId: Long,
+      inputEvents: Long,
+      appliedKeys: Long,
+      inserted: Long,
+      updated: Long,
+      deleted: Long,
+      dedupDropped: Long,
+      minLsn: Long,
+      maxLsn: Long,
+      touchedBuckets: Int)
+
+  val noopStats: MergeStats =
+    MergeStats(committed = false, -1L, 0L, 0L, 0L, 0L, 0L, 0L, -1L, -1L, 0)
+
+  /**
+   * Discover schema evolution in a batch: the (name -> declared type) pairs
+   * observed across all change events, rename map applied. Additive columns
+   * extend the table schema (Catalyst-driven schema merge — the north rule's
+   * replacement for the reference's per-row JSON pass-through).
+   */
+  def observedSchema(changes: DataFrame, renameMap: Map[String, String]): Seq[(String, String)] = {
+    val pairs = changes
+      .filter(col("kind") =!= "delete")
+      .select(explode(arrays_zip(col("columnnames"), col("columntypes"))).as("p"))
+      .select(col("p.columnnames").as("name"), col("p.columntypes").as("typ"))
+      .distinct()
+      .collect()
+      .map(r => (renameMap.getOrElse(r.getString(0), r.getString(0)), r.getString(1)))
+    // keep first type seen per name, deterministic order
+    pairs.sortBy(p => (p._1, p._2)).distinct.groupBy(_._1).map { case (n, ps) =>
+      (n, ps.head._2)
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Merge additive columns into the current schema. */
+  def evolveSchema(current: StructType, observed: Seq[(String, String)]): StructType = {
+    val have = current.fieldNames.toSet
+    val added = observed.filterNot { case (n, _) => have.contains(n) }
+      .map { case (n, t) => StructField(n, pgTypeToSpark(t), nullable = true) }
+    if (added.isEmpty) current else StructType(current.fields ++ added)
+  }
+
+  /**
+   * Pivot schema-dynamic change events (parallel name/value arrays) into the
+   * table's typed columns. Key columns come from the new tuple for inserts
+   * and from oldkeys for update/delete (updates also carry the new tuple;
+   * wal2json keys PK changes through oldkeys so the old row is what gets
+   * replaced — we follow the reference's oldkeys-identify-the-row rule).
+   */
+  def pivot(changes: DataFrame, schema: StructType, keyColumns: Seq[String],
+            renameMap: Map[String, String]): DataFrame = {
+    // rename old column names in-flight: columnnames pass through the map
+    val renamed =
+      if (renameMap.isEmpty) changes
+      else {
+        val mapCol = map(renameMap.toSeq.sorted
+          .flatMap { case (o, n) => Seq(lit(o), lit(n)) }: _*)
+        changes.withColumn("columnnames",
+          transform(col("columnnames"), c => coalesce(element_at(mapCol, c), c)))
+      }
+    val withMaps = renamed
+      .withColumn("_row", map_from_arrays(col("columnnames"), col("columnvalues")))
+      .withColumn("_old",
+        when(col("oldkeys").isNotNull,
+          map_from_arrays(col("oldkeys.keynames"), col("oldkeys.keyvalues"))))
+    val dataCols = schema.fields.map { f =>
+      val v =
+        if (keyColumns.contains(f.name))
+          when(col("kind") === "insert", element_at(col("_row"), f.name))
+            .otherwise(coalesce(element_at(col("_old"), f.name),
+              element_at(col("_row"), f.name)))
+        else element_at(col("_row"), f.name)
+      v.cast(f.dataType).as(f.name)
+    }
+    withMaps.select(
+      (Seq(col("lsn"), col("seq"), col("kind")) ++ dataCols).toIndexedSeq: _*)
+  }
+
+  /**
+   * Apply one micro-batch of change events for one table. Idempotent: events
+   * at or below a bucket's LSN high watermark are filtered out, so re-running
+   * a committed batch (Structured Streaming replays the last batch after a
+   * crash) applies zero rows and commits nothing.
+   */
+  def applyBatch(table: LakeTable, changes: DataFrame): MergeStats = {
+    val spark = table.spark
+    var attempt = 0
+    while (true) {
+      val snap = table.currentSnapshot.getOrElse(
+        throw new IllegalStateException("table must be created before applyBatch"))
+      try return applyOnce(table, snap, changes)
+      catch {
+        case _: CommitConflictException if attempt < 5 =>
+          attempt += 1 // concurrent writer advanced the table: re-read, retry
+      }
+    }
+    noopStats // unreachable
+  }
+
+  private def applyOnce(table: LakeTable, snap: Snapshot,
+                        changes: DataFrame): MergeStats = {
+    val spark = table.spark
+    val keyCols = snap.keyColumns
+    val nBuckets = snap.nBuckets
+
+    // 1. Schema evolution: additive columns observed in this batch.
+    val observed = observedSchema(changes, snap.renameMap)
+    val schema = evolveSchema(snap.schema, observed)
+
+    // 2. Typed pivot + bucket assignment.
+    val pivoted = pivot(changes, schema, keyCols, snap.renameMap)
+      .withColumn("_bucket", table.bucketExpr(keyCols, nBuckets))
+
+    // 3. Exactly-once gate: drop events at or below their bucket's watermark.
+    val wmCol =
+      if (snap.bucketWatermarks.isEmpty) lit(-1L)
+      else {
+        val m = map(snap.bucketWatermarks.toSeq.sortBy(_._1)
+          .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+        coalesce(element_at(m, col("_bucket")), lit(-1L))
+      }
+    val fresh = pivoted.filter(col("lsn") > wmCol)
+
+    // 4. Keep-last per key by (lsn, seq): declarative max_by => partial
+    //    (map-side) aggregation absorbs hot keys before the shuffle.
+    val nonKeyFields = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val rowStruct = struct(
+      (Seq(col("lsn"), col("seq"), col("kind"), col("_bucket")) ++
+        nonKeyFields.map(col)).toIndexedSeq: _*)
+    val deduped = fresh
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(rowStruct, struct(col("lsn"), col("seq"))).as("w"))
+      .select((keyCols.map(col) :+ col("w.*")).toIndexedSeq: _*)
+
+    // One pass for lineage + touched buckets (small result: <= nBuckets rows).
+    val statRows = deduped.groupBy(col("_bucket")).agg(
+      count(lit(1)).as("keys"),
+      sum(when(col("kind") === "insert", 1L).otherwise(0L)).as("ins"),
+      sum(when(col("kind") === "update", 1L).otherwise(0L)).as("upd"),
+      sum(when(col("kind") === "delete", 1L).otherwise(0L)).as("del"),
+      min(col("lsn")).as("minLsn"),
+      max(col("lsn")).as("maxLsn")).collect()
+
+    if (statRows.isEmpty) return noopStats.copy(snapshotId = snap.snapshotId)
+
+    val touched = statRows.map(_.getInt(0)).toSet
+    val appliedKeys = statRows.map(_.getLong(1)).sum
+    val inserted = statRows.map(_.getLong(2)).sum
+    val updated = statRows.map(_.getLong(3)).sum
+    val deleted = statRows.map(_.getLong(4)).sum
+    val minLsn = statRows.map(_.getLong(5)).min
+    val maxLsn = statRows.map(_.getLong(6)).max
+    val perBucketMax = statRows.map(r => r.getInt(0) -> r.getLong(6)).toMap
+
+    // 5. MERGE on the touched buckets only (copy-on-write at bucket grain).
+    val tableCols = schema.fieldNames.toSeq
+    val selectCols = (tableCols.map(col) :+ col("_bucket")).toIndexedSeq
+    val upserts = deduped.filter(col("kind") =!= "delete").select(selectCols: _*)
+    val keys = deduped.select(keyCols.map(col): _*)
+
+    val current = table.read(Some(touched))
+      .withColumn("_bucket", table.bucketExpr(keyCols, nBuckets))
+    // Conform current rows to the evolved schema (new columns = null).
+    val currentConformed = {
+      val cols = tableCols.map { n =>
+        if (current.columns.contains(n)) col(n)
+        else lit(null).cast(schema(n).dataType).as(n)
+      } :+ col("_bucket")
+      current.select(cols.toIndexedSeq: _*)
+    }
+    val survivors = currentConformed.join(keys, keyCols, "left_anti")
+    val merged = survivors.unionByName(upserts)
+      .repartition(col("_bucket")) // co-locate each bucket into one task/file
+
+    val newId = snap.snapshotId + 1
+    val written = table.writeBucketed(merged, newId)
+
+    // 6. Fenced snapshot commit.
+    val bucketFiles = snap.bucketFiles ++
+      touched.map(b => b -> written.getOrElse(b, Nil)).toMap
+    val bucketWatermarks = snap.bucketWatermarks ++
+      perBucketMax.map { case (b, w) =>
+        b -> math.max(w, snap.bucketWatermarks.getOrElse(b, -1L))
+      }
+    val lineage = Map(
+      "inputEvents" -> -1L, "appliedKeys" -> appliedKeys,
+      "inserted" -> inserted, "updated" -> updated, "deleted" -> deleted,
+      "minLsn" -> minLsn, "maxLsn" -> maxLsn,
+      "touchedBuckets" -> touched.size.toLong)
+    val next = snap.copy(
+      schema = schema,
+      bucketFiles = bucketFiles,
+      bucketWatermarks = bucketWatermarks,
+      lsnHighWatermark = math.max(snap.lsnHighWatermark, maxLsn),
+      lineage = lineage)
+    table.commit(next, expectedSnapshotId = snap.snapshotId)
+
+    MergeStats(committed = true, newId, -1L, appliedKeys,
+      inserted, updated, deleted, -1L, minLsn, maxLsn, touched.size)
+  }
+
+  /**
+   * Idle fast-forward (the reference's O12, SlotReaderKinesisWriter.java:196-208):
+   * advance the global LSN high watermark without applying data, so upstream
+   * WAL retention can be released even when this table sees no changes.
+   */
+  def fastForward(table: LakeTable, toLsn: Long): Snapshot = {
+    val snap = table.currentSnapshot.get
+    if (toLsn <= snap.lsnHighWatermark) snap
+    else table.commit(snap.copy(lsnHighWatermark = toLsn), snap.snapshotId)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.decode
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+import graft.model.Wal2Json
+
+/**
+ * WAL-chunk decode stage: raw JSON lines -> flattened change events.
+ *
+ * Mirrors the reference's Jackson deserialization of wal2json payloads into
+ * SlotMessage/Change (SlotReaderKinesisWriter.java:277-288, models/Change.java:36-43)
+ * but as a single codegen'd Catalyst pipeline: `from_json` (JsonToStructs)
+ * + `posexplode` for the intra-transaction sequence number. No class
+ * hierarchy, no per-row reflection — kind dispatch is a column predicate.
+ *
+ * Strictness: the reference marks every JSON property required=true and
+ * fails the connector loop on malformed payloads (SURVEY.md §1.3). Catalyst's
+ * PERMISSIVE mode would null them out instead, so `decode(strict = true)`
+ * raises on a payload whose required envelope fields are missing, via
+ * `raise_error` guarded behind the null checks.
+ */
+object ChangeDecoder {
+
+  /** Flattened change-event columns produced by [[decode]]. */
+  val outputColumns: Seq[String] = Seq(
+    "lsn", "seq", "xid", "kind", "schema", "table",
+    "columnnames", "columntypes", "columnvalues", "oldkeys")
+
+  /**
+   * @param lines          one column `value: String` holding one WAL line each
+   *                       (one committed transaction per line)
+   * @param relevantTables if non-empty, changes to other tables are dropped —
+   *                       the reference's only predicate
+   *                       (SlotReaderKinesisWriter.java:281-287); empty-after-
+   *                       filter transactions vanish for free because explode
+   *                       emits nothing (the reference's empty-txn elision,
+   *                       SlotReaderKinesisWriter.java:233)
+   * @param strict         fail (like the reference) vs drop on malformed lines
+   */
+  def decode(lines: DataFrame, relevantTables: Set[String] = Set.empty,
+             strict: Boolean = true): DataFrame = {
+    val parsed = lines
+      .select(from_json(col("value"), Wal2Json.walLineSchema).as("m"), col("value"))
+
+    val malformed = col("m").isNull || col("m.lsn").isNull ||
+      col("m.xid").isNull || col("m.change").isNull
+
+    // The strict guard must live INSIDE the generator input: Catalyst's
+    // InferFiltersFromGenerate inserts IsNotNull/size>0 filters below any
+    // projection, so a guard on a sibling column (or a dropped guard column)
+    // would never be evaluated for a malformed row — the explode must force
+    // this expression, and with it the raise_error.
+    val changeCol =
+      if (strict)
+        when(malformed,
+          raise_error(concat(lit("malformed wal2json line: "),
+            substring(col("value"), 1, 256)))
+            .cast(ArrayType(Wal2Json.changeSchema)))
+          .otherwise(col("m.change"))
+      else col("m.change")
+
+    val checked0 = parsed.select(
+      col("m.lsn").as("lsn"), col("m.xid").as("xid"), changeCol.as("change"))
+    val checked =
+      if (strict) checked0
+      else checked0.filter(col("lsn").isNotNull && col("xid").isNotNull
+        && col("change").isNotNull)
+
+    val exploded = checked.select(
+      col("lsn"), col("xid"),
+      posexplode(col("change")).as(Seq("seq", "c")))
+
+    val filtered =
+      if (relevantTables.nonEmpty)
+        exploded.filter(col("c.table").isin(relevantTables.toSeq: _*))
+      else exploded
+
+    filtered.select(
+      col("lsn"), col("seq"), col("xid"),
+      col("c.kind").as("kind"),
+      col("c.schema").as("schema"),
+      col("c.table").as("table"),
+      col("c.columnnames").as("columnnames"),
+      col("c.columntypes").as("columntypes"),
+      col("c.columnvalues").as("columnvalues"),
+      col("c.oldkeys").as("oldkeys"))
+  }
+
+  /**
+   * Primary-key columns of a change event, as a map usable for keying:
+   * insert events take the key from the new tuple; update/delete take it from
+   * `oldkeys` (the reference's DeleteChange delegates columnnames/values to
+   * oldkeys — DeleteChange.java:57-67 — and updates identify the old row by
+   * oldkeys while carrying the new tuple).
+   */
+  def keyValue(keyName: String): Column = {
+    val fromRow = element_at(
+      map_from_arrays(col("columnnames"), col("columnvalues")), keyName)
+    val fromOld = element_at(
+      map_from_arrays(col("oldkeys.keynames"), col("oldkeys.keyvalues")), keyName)
+    when(col("kind") === "insert", fromRow)
+      .otherwise(coalesce(fromOld, fromRow))
+  }
+
+  /** Extract a named column's value from the new tuple (by-name positional
+    * lookup — the reference's Change.getValueForColumn, Change.java:80-88). */
+  def columnValue(name: String): Column =
+    element_at(map_from_arrays(col("columnnames"), col("columnvalues")), name)
+}

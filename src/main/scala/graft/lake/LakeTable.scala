@@ -1,0 +1,233 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, FileAlreadyExistsException}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/**
+ * Minimal Iceberg-style table format, built natively (no Iceberg runtime in
+ * this sandbox): immutable Parquet data files + JSON snapshot manifests +
+ * atomic-rename commits with snapshot-id fencing.
+ *
+ * Layout:
+ * {{{
+ *   <root>/data/commit-<snapshotId>/_bucket=<k>/part-*.parquet
+ *   <root>/meta/snapshot-<%012d>.json
+ * }}}
+ *
+ * Data is hash-bucketed by the primary key: bucket = pmod(xxhash64(key), n).
+ * A commit rewrites ONLY the buckets its batch touches (copy-on-write at
+ * bucket granularity) — at 10^10-row scale an upsert batch touching 1% of
+ * keys rewrites ~1% of the table, and the per-key equi-join that implements
+ * MERGE shuffles both sides on the same key hash.
+ *
+ * Consistency: the current snapshot is the highest-numbered manifest. A
+ * commit writes snapshot-(expected+1) via temp-file + atomic rename;
+ * Files.move without REPLACE_EXISTING throws if a concurrent writer got
+ * there first — that is the snapshot-id fencing (the transactional analog of
+ * the reference's slot-busy single-writer lock wait,
+ * PostgresConnector.java:164-215). Each snapshot also records per-bucket LSN
+ * high watermarks; a replayed batch whose events are all <= watermark
+ * becomes a byte-identical no-op, which upgrades the reference's
+ * at-least-once LSN-ack protocol (SlotReaderCallback.java:70-85,
+ * README.md:112-117) to exactly-once table state.
+ */
+final case class Snapshot(
+    snapshotId: Long,
+    schema: StructType,
+    keyColumns: Seq[String],
+    nBuckets: Int,
+    // bucket -> list of data file paths (relative to table root)
+    bucketFiles: Map[Int, Seq[String]],
+    // bucket -> highest LSN applied to that bucket
+    bucketWatermarks: Map[Int, Long],
+    // global high watermark (max over buckets, monotone)
+    lsnHighWatermark: Long,
+    // old column name -> new column name (schema evolution by rename)
+    renameMap: Map[String, String],
+    // lineage of the batch that produced this snapshot
+    lineage: Map[String, Long]) {
+  def allFiles: Seq[String] = bucketFiles.values.flatten.toSeq.sorted
+}
+
+class LakeTable(val spark: SparkSession, val root: String) {
+  import LakeTable._
+
+  private def metaDir: Path = Paths.get(root, "meta")
+  private def dataDir: Path = Paths.get(root, "data")
+
+  def exists: Boolean = Files.isDirectory(metaDir) && latestSnapshotId >= 0
+
+  private def latestSnapshotId: Long = {
+    if (!Files.isDirectory(metaDir)) return -1L
+    Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case SnapshotRe(n) => n.toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  def currentSnapshot: Option[Snapshot] = latestSnapshotId match {
+    case -1L => None
+    case id => Some(readSnapshot(id))
+  }
+
+  def readSnapshot(id: Long): Snapshot =
+    fromJson(Files.readString(metaDir.resolve(f"snapshot-$id%012d.json")))
+
+  /** Create the table with an initial empty snapshot (idempotent — tolerates
+    * "already exists" like the reference's slot creation,
+    * PostgresConnector.java:80-97). */
+  def create(schema: StructType, keyColumns: Seq[String], nBuckets: Int,
+             renameMap: Map[String, String] = Map.empty): Snapshot = {
+    Files.createDirectories(metaDir)
+    Files.createDirectories(dataDir)
+    currentSnapshot match {
+      case Some(s) => s
+      case None =>
+        val s = Snapshot(0L, schema, keyColumns, nBuckets,
+          Map.empty, Map.empty, -1L, renameMap, Map.empty)
+        try commit(s, expectedSnapshotId = -1L)
+        catch { case _: CommitConflictException => () } // concurrent create
+        currentSnapshot.get
+    }
+  }
+
+  /**
+   * Atomically publish `next` as snapshot expected+1. Throws
+   * [[CommitConflictException]] if another writer advanced the table —
+   * caller re-reads and retries (optimistic concurrency).
+   */
+  def commit(next: Snapshot, expectedSnapshotId: Long): Snapshot = {
+    val newId = expectedSnapshotId + 1
+    if (latestSnapshotId != expectedSnapshotId)
+      throw new CommitConflictException(
+        s"expected snapshot $expectedSnapshotId, found $latestSnapshotId")
+    val stamped = next.copy(snapshotId = newId)
+    val target = metaDir.resolve(f"snapshot-$newId%012d.json")
+    val tmp = metaDir.resolve(f".snapshot-$newId%012d.json.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, toJson(stamped))
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new CommitConflictException(s"snapshot $newId already committed")
+    }
+    stamped
+  }
+
+  /** Expression computing the storage bucket of the given key columns. */
+  def bucketExpr(keyColumns: Seq[String], nBuckets: Int) =
+    pmod(xxhash64(keyColumns.map(col): _*), lit(nBuckets)).cast("int")
+
+  /**
+   * Read the current content of the given buckets (or the whole table).
+   * Handles mixed-era files: after an additive-column or rename evolution,
+   * untouched buckets still hold files with the old physical schema;
+   * `mergeSchema` unions them and the rename map coalesces old->new.
+   */
+  def read(buckets: Option[Set[Int]] = None): DataFrame = {
+    val snap = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val files = buckets match {
+      case Some(bs) => bs.toSeq.sorted.flatMap(b => snap.bucketFiles.getOrElse(b, Nil))
+      case None => snap.allFiles
+    }
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        snap.schema)
+    } else {
+      var df = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$root/$f"): _*)
+      // Apply renames: new name wins; old-era files contribute via coalesce.
+      snap.renameMap.foreach { case (oldName, newName) =>
+        val has = df.columns.toSet
+        if (has.contains(oldName) && has.contains(newName))
+          df = df.withColumn(newName, coalesce(col(newName), col(oldName)))
+            .drop(oldName)
+        else if (has.contains(oldName))
+          df = df.withColumnRenamed(oldName, newName)
+      }
+      // Conform to snapshot schema (order + any columns absent in all files).
+      val cols = snap.schema.fields.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** Write `df` (which must carry an integer `_bucket` column) as the data
+    * files of commit `snapshotId`; returns bucket -> new relative file paths. */
+  def writeBucketed(df: DataFrame, snapshotId: Long): Map[Int, Seq[String]] = {
+    val commitDir = s"commit-$snapshotId"
+    val outPath = s"$root/data/$commitDir"
+    df.write.partitionBy("_bucket").mode("overwrite").parquet(outPath)
+    val base = Paths.get(outPath)
+    Files.list(base).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("_bucket="))
+      .map { p =>
+        val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
+        val fs = Files.list(p).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet"))
+          .map(n => s"data/$commitDir/_bucket=$b/$n")
+          .toSeq.sorted
+        b -> fs
+      }.toMap
+  }
+}
+
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+object LakeTable {
+  private val SnapshotRe = "snapshot-(\\d+)\\.json".r
+  private val mapper = new ObjectMapper()
+
+  def toJson(s: Snapshot): String = {
+    val n = mapper.createObjectNode()
+    n.put("snapshotId", s.snapshotId)
+    n.put("schemaJson", s.schema.json)
+    val keys = n.putArray("keyColumns"); s.keyColumns.foreach(keys.add)
+    n.put("nBuckets", s.nBuckets)
+    val bf = n.putObject("bucketFiles")
+    s.bucketFiles.toSeq.sortBy(_._1).foreach { case (b, fs) =>
+      val arr = bf.putArray(b.toString); fs.foreach(arr.add)
+    }
+    val bw = n.putObject("bucketWatermarks")
+    s.bucketWatermarks.toSeq.sortBy(_._1).foreach { case (b, w) =>
+      bw.put(b.toString, w)
+    }
+    n.put("lsnHighWatermark", s.lsnHighWatermark)
+    val rm = n.putObject("renameMap")
+    s.renameMap.toSeq.sorted.foreach { case (o, nn) => rm.put(o, nn) }
+    val li = n.putObject("lineage")
+    s.lineage.toSeq.sorted.foreach { case (k, v) => li.put(k, v) }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  def fromJson(json: String): Snapshot = {
+    val n = mapper.readTree(json).asInstanceOf[ObjectNode]
+    def objToMap(field: String): Map[String, com.fasterxml.jackson.databind.JsonNode] =
+      Option(n.get(field)).map { o =>
+        o.fieldNames().asScala.map(k => k -> o.get(k)).toMap
+      }.getOrElse(Map.empty)
+    Snapshot(
+      snapshotId = n.get("snapshotId").asLong(),
+      schema = DataType.fromJson(n.get("schemaJson").asText()).asInstanceOf[StructType],
+      keyColumns = n.get("keyColumns").elements().asScala.map(_.asText()).toSeq,
+      nBuckets = n.get("nBuckets").asInt(),
+      bucketFiles = objToMap("bucketFiles").map { case (k, v) =>
+        k.toInt -> v.elements().asScala.map(_.asText()).toSeq
+      },
+      bucketWatermarks = objToMap("bucketWatermarks").map { case (k, v) =>
+        k.toInt -> v.asLong()
+      },
+      lsnHighWatermark = n.get("lsnHighWatermark").asLong(),
+      renameMap = objToMap("renameMap").map { case (k, v) => k -> v.asText() },
+      lineage = objToMap("lineage").map { case (k, v) => k -> v.asLong() })
+  }
+}
