@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.decode.ChangeDecoder
+
+/**
+ * Driver-verifiable CDC operator queries. The `events` parquet table serves
+ * as a deterministic change log: `event_id` is the LSN, `user_id` the
+ * primary key, and `event_type` maps onto wal2json kinds
+ * (signup -> insert, error -> delete, otherwise update) — so every CDC
+ * dataflow operator from SURVEY.md §2.1 has a DuckDB-expressible oracle over
+ * the same parquet input.
+ */
+object CdcQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  private val kindCol = when(col("event_type") === "signup", "insert")
+    .when(col("event_type") === "error", "delete")
+    .otherwise("update")
+
+  private val tblCol = when(col("user_id") % 3 === 0, "events_a").otherwise("events_b")
+
+  private val kindSql =
+    "CASE WHEN event_type='signup' THEN 'insert' WHEN event_type='error' THEN 'delete' ELSE 'update' END"
+  private val tblSql = "CASE WHEN user_id % 3 = 0 THEN 'events_a' ELSE 'events_b' END"
+
+  /** Render each event as a wal2json line (reference O7, serialize) —
+    * the JSON then goes through the real decoder (O4). */
+  private def walLines(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("kind", kindCol)
+      .withColumn("tbl", tblCol)
+    ev.select(to_json(struct(
+      col("event_id").as("lsn"),
+      (col("event_id") + 3000000000L).as("xid"),
+      array(struct(
+        col("kind"),
+        lit("public").as("schema"),
+        col("tbl").as("table"),
+        when(col("kind") =!= "delete",
+          array(lit("user_id"), lit("value"))).as("columnnames"),
+        when(col("kind") =!= "delete",
+          array(lit("bigint"), lit("double precision"))).as("columntypes"),
+        when(col("kind") =!= "delete",
+          array(col("user_id").cast("string"), col("value").cast("string")))
+          .as("columnvalues"),
+        when(col("kind") =!= "insert", struct(
+          array(lit("user_id")).as("keynames"),
+          array(lit("bigint")).as("keytypes"),
+          array(col("user_id").cast("string")).as("keyvalues"))).as("oldkeys")
+      )).as("change"))).as("value"))
+  }
+
+  /** O4+O7: serialize -> decode roundtrip through the real ChangeDecoder. */
+  def decodeRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    ChangeDecoder.decode(walLines(spark, dir))
+      .select(
+        col("lsn"), col("xid"), col("kind"), col("table").as("tbl"),
+        ChangeDecoder.keyValue("user_id").cast("long").as("key"),
+        when(col("kind") =!= "delete",
+          ChangeDecoder.columnValue("value").cast("double")).as("val"))
+      .orderBy("lsn")
+
+  val decodeRoundtripSql: String =
+    s"""SELECT event_id AS lsn, event_id + 3000000000 AS xid, $kindSql AS kind,
+       |  $tblSql AS tbl, user_id AS key,
+       |  CASE WHEN $kindSql = 'delete' THEN NULL ELSE value END AS val
+       |FROM events ORDER BY lsn""".stripMargin
+
+  /** O5: relevant-table predicate inside the decoder. */
+  def tableFilter(spark: SparkSession, dir: String): DataFrame =
+    ChangeDecoder.decode(walLines(spark, dir), relevantTables = Set("events_a"))
+      .select(col("lsn"), col("kind"),
+        ChangeDecoder.keyValue("user_id").cast("long").as("key"))
+      .orderBy("lsn")
+
+  val tableFilterSql: String =
+    s"""SELECT event_id AS lsn, $kindSql AS kind, user_id AS key
+       |FROM events WHERE user_id % 3 = 0 ORDER BY lsn""".stripMargin
+
+  /** Keep-last-per-key dedup — the heart of LSN-ordered MERGE (declarative
+    * max_by => map-side partial aggregation; see MergeEngine). */
+  def dedupKeepLast(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        col("event_id")).as("w"))
+      .select(col("user_id"), col("w.event_id").as("last_lsn"),
+        col("w.event_type").as("last_type"), col("w.value").as("last_value"))
+      .orderBy("user_id")
+
+  val dedupKeepLastSql: String =
+    """SELECT user_id, event_id AS last_lsn, event_type AS last_type, value AS last_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** O17: apply semantics — final table state after replaying the log
+    * (keep-last per key, deletes remove the row). */
+  def mergeFinalState(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("kind", kindCol)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_id"), col("kind"), col("value")),
+        col("event_id")).as("w"))
+      .filter(col("w.kind") =!= "delete")
+      .select(col("user_id"), col("w.event_id").as("last_lsn"),
+        col("w.kind").as("kind"), col("w.value").as("value"))
+      .orderBy("user_id")
+
+  val mergeFinalStateSql: String =
+    s"""SELECT user_id, event_id AS last_lsn, $kindSql AS kind, value
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+       |      FROM events) WHERE rn = 1 AND $kindSql <> 'delete'
+       |ORDER BY user_id""".stripMargin
+
+  /** Per-batch lineage metrics (north rule: per-partition lineage). */
+  def lineageStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("kind", kindCol)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_lsn"),
+        max(col("event_id")).as("max_lsn"),
+        countDistinct(col("user_id")).as("n_keys"))
+      .orderBy("kind")
+
+  val lineageStatsSql: String =
+    s"""SELECT $kindSql AS kind, count(*) AS n_events, min(event_id) AS min_lsn,
+       |  max(event_id) AS max_lsn, count(DISTINCT user_id) AS n_keys
+       |FROM events GROUP BY 1 ORDER BY kind""".stripMargin
+
+  /** O10: per-partition LSN high watermarks (key-hash bucketed). */
+  def bucketWatermarks(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(max(col("event_id")).as("high_watermark"),
+        count(lit(1)).as("n_events"))
+      .orderBy("bucket")
+
+  val bucketWatermarksSql: String =
+    """SELECT CAST(user_id % 8 AS INT) AS bucket, max(event_id) AS high_watermark,
+      |  count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** O6: empty-transaction elision — txns with zero relevant changes vanish. */
+  def txnElision(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("txn_id", (col("event_id") / 10).cast("long"))
+      .groupBy(col("txn_id"))
+      .agg(sum(when(col("user_id") % 3 === 0, 1L).otherwise(0L)).as("n_relevant"))
+      .filter(col("n_relevant") > 0)
+      .orderBy("txn_id")
+
+  val txnElisionSql: String =
+    """SELECT CAST(event_id // 10 AS BIGINT) AS txn_id,
+      |  CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+      |FROM events GROUP BY 1 HAVING n_relevant > 0 ORDER BY txn_id""".stripMargin
+
+  /** Intra-transaction ordering: (lsn, seq) total order via sort_array +
+    * posexplode (the engine's seq assignment, SURVEY.md §1.4). */
+  def intraTxnSeq(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("txn_id", (col("event_id") / 10).cast("long"))
+      .groupBy(col("txn_id"))
+      .agg(sort_array(collect_list(col("event_id"))).as("evs"))
+      .select(col("txn_id"), posexplode(col("evs")).as(Seq("seq", "lsn")))
+      .orderBy("txn_id", "seq")
+
+  val intraTxnSeqSql: String =
+    """SELECT CAST(event_id // 10 AS BIGINT) AS txn_id,
+      |  CAST(row_number() OVER (PARTITION BY event_id // 10 ORDER BY event_id) - 1 AS INT) AS seq,
+      |  event_id AS lsn
+      |FROM events ORDER BY txn_id, seq""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "cdc_decode_roundtrip" -> (decodeRoundtrip _, decodeRoundtripSql),
+    "cdc_table_filter" -> (tableFilter _, tableFilterSql),
+    "cdc_dedup_keeplast" -> (dedupKeepLast _, dedupKeepLastSql),
+    "cdc_merge_final_state" -> (mergeFinalState _, mergeFinalStateSql),
+    "cdc_lineage_stats" -> (lineageStats _, lineageStatsSql),
+    "cdc_bucket_watermarks" -> (bucketWatermarks _, bucketWatermarksSql),
+    "cdc_txn_elision" -> (txnElision _, txnElisionSql),
+    "cdc_intra_txn_seq" -> (intraTxnSeq _, intraTxnSeqSql))
+}

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import TextOps.{md5Long, md5LongSql}
+
+/**
+ * Deduplication operators for training-data pipelines over `documents`:
+ * exact (hash), n-gram Jaccard, MinHash+LSH, SimHash, and (in
+ * [[SimilarityOps]]) embedding-cosine near-dup.
+ *
+ * Scale design: every variant is shuffle-bounded by (shingle -> doc) or
+ * (band-signature -> doc) inverted lists, never by an all-pairs cross join —
+ * the candidate-pair generation is a self-equi-join on a blocking key, which
+ * is exactly the shape that survives 100 TB (hot shingles can be dropped by
+ * frequency cap — a stopword-shingle filter — before the join).
+ *
+ * All similarity math is exact integer arithmetic (basis points via integer
+ * division) for cross-engine determinism.
+ */
+object DedupOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: group identical content by hash, keep canonical min id. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  val exactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // Shared shingling: distinct 5-word grams per doc.
+  private val N = 5
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (N - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(N))))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+  }
+
+  private val shingledSql: String =
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(string_split(text,' ')) - ${N - 2}, 2)),
+       |    i -> array_to_string((string_split(text,' '))[i:i+${N - 1}], ' ')))) AS g
+       |  FROM documents""".stripMargin
+
+  /**
+   * N-gram Jaccard near-dup: inverted-list self-join on shingle, candidate
+   * pairs scored |A∩B| / |A∪B| in basis points; pairs >= 2000 bp (0.2).
+   */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val pairs = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard_bp", expr("(inter * 10000) div (na + nb - inter)"))
+      .filter(col("jaccard_bp") >= 2000)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        col("jaccard_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH sh AS ($shingledSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+       |  (inter * 10000) // (sa.n + sb.n - inter) AS jaccard_bp
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE (inter * 10000) // (sa.n + sb.n - inter) >= 2000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // MinHash parameters: K hash functions over a prime field, banded for LSH.
+  private val K = 8
+  private val P = 1000003L
+  private def aCoef(j: Int): Long = 37L + 2L * j
+  private def bCoef(j: Int): Long = 101L * j + 13L
+
+  /**
+   * MinHash signatures: for each doc and each of K seeded linear hashes over
+   * the shingle md5-hash, the minimum value — an unbiased Jaccard sketch.
+   */
+  def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .withColumn("h0", pmod(md5Long(col("g")), lit(P)))
+    val withJ = sh.select(col("doc_id"), col("h0"),
+      explode(sequence(lit(0), lit(K - 1))).as("j"))
+    val aMap = map(Seq.range(0, K).flatMap(j => Seq(lit(j), lit(aCoef(j)))): _*)
+    val bMap = map(Seq.range(0, K).flatMap(j => Seq(lit(j), lit(bCoef(j)))): _*)
+    withJ
+      .withColumn("hj", pmod(element_at(aMap, col("j")) * col("h0")
+        + element_at(bMap, col("j")), lit(P)))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("hj")).as("minhash"))
+      .orderBy("doc_id", "j")
+  }
+
+  val minhashSignatureSql: String = {
+    val aCase = Seq.range(0, K).map(j => s"WHEN $j THEN ${aCoef(j)}").mkString(" ")
+    val bCase = Seq.range(0, K).map(j => s"WHEN $j THEN ${bCoef(j)}").mkString(" ")
+    s"""WITH sh AS ($shingledSql)
+       |SELECT doc_id, CAST(j AS INT) AS j,
+       |  min((CASE j $aCase END * h0 + CASE j $bCase END) % $P) AS minhash
+       |FROM (SELECT doc_id, ${md5LongSql("g")} % $P AS h0, unnest(range(0, $K)) AS j FROM sh)
+       |GROUP BY doc_id, j ORDER BY doc_id, j""".stripMargin
+  }
+
+  /**
+   * MinHash LSH candidate pairs: K/2-band signatures (2 rows per band);
+   * docs sharing any band bucket are near-dup candidates. The band
+   * signature is the blocking key — the join never goes all-pairs.
+   */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignature(spark, dir)
+    val banded = sig
+      .withColumn("band", expr("j div 2"))
+      .withColumn("piece", when(pmod(col("j"), lit(2)) === 0,
+        col("minhash") * P).otherwise(col("minhash")))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("piece")).as("sig"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashLshSql: String =
+    s"""WITH sig AS (${minhashSignatureSql.replace("ORDER BY doc_id, j", "")}),
+       |banded AS (
+       |  SELECT doc_id, j // 2 AS band,
+       |    CAST(sum(CASE WHEN j % 2 = 0 THEN minhash * $P ELSE minhash END) AS BIGINT) AS sig
+       |  FROM sig GROUP BY 1, 2)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
+
+  /**
+   * SimHash: 16-bit locality-sensitive fingerprint — per bit, sum +1/-1
+   * over distinct-token hashes; bit set iff the sum is positive.
+   */
+  private val SIMBITS = 16
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", md5Long(col("t")))
+    tok.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(SIMBITS - 1))).as("b"))
+      .withColumn("contrib",
+        when(expr("shiftright(h, cast(b as int))").bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+        .otherwise(0L)).as("simhash"),
+        count(lit(1)).as("n_bits"))
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${md5LongSql("t")} AS h FROM (
+       |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |    FROM documents)),
+       |bits AS (
+       |  SELECT doc_id, b, CAST(sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+       |  FROM (SELECT doc_id, h, unnest(range(0, $SIMBITS)) AS b FROM tok)
+       |  GROUP BY doc_id, b)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash,
+       |  count(*) AS n_bits
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "dedup_exact" -> (exact _, exactSql),
+    "dedup_ngram_jaccard" -> (ngramJaccard _, ngramJaccardSql),
+    "dedup_minhash_sig" -> (minhashSignature _, minhashSignatureSql),
+    "dedup_minhash_lsh" -> (minhashLsh _, minhashLshSql),
+    "dedup_simhash" -> (simhash _, simhashSql))
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over the `embeddings` table (vec_id, embedding:
+ * array<float>, label).
+ *
+ * Determinism across engines: components are quantized to integers
+ * (q = floor(v * 1000 + 0.5)) and all dot products / norms are exact
+ * int64 sums — order-independent, no FP drift between Spark and DuckDB at
+ * any parallelism. The ranking metric is the sign-adjusted scaled cosine²
+ * in basis points: m = sign(dot) * (dot² * 10000) / (|a|²·|b|²), which is
+ * monotone in cosine, so top-k by m == top-k by cosine.
+ *
+ * Scale: brute-force top-k broadcasts the (small) query side against the
+ * full corpus — one shuffle on (query, candidate). The LSH variant buckets
+ * by random-hyperplane signature so candidate generation is an equi-join on
+ * the bucket key (the 100 TB path); near-dup is label-blocked the same way.
+ */
+object SimilarityOps {
+
+  private val SCALE = 1000
+
+  /** Quantized components: (vec_id, label, idx [1-based], q). */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("idx0", "v")))
+      .select(col("vec_id"), col("label"), (col("idx0") + 1).as("idx"),
+        floor(col("v").cast("double") * SCALE + 0.5).cast("long").as("q"))
+
+  private val quantizedSql: String =
+    s"""SELECT vec_id, label, e.i AS idx, e.q AS q FROM (
+       |    SELECT vec_id, label, unnest(list_transform(range(1, len(embedding) + 1),
+       |      i -> {'i': i, 'q': CAST(floor(CAST(embedding[i] AS DOUBLE) * $SCALE + 0.5) AS BIGINT)})) AS e
+       |    FROM embeddings)""".stripMargin
+
+  /** Norms: |v|² in quantized units. */
+  private def norms(q: DataFrame): DataFrame =
+    q.groupBy(col("vec_id")).agg(sum(col("q") * col("q")).as("n2"))
+
+  private val normsSql: String =
+    s"""SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM quant GROUP BY 1"""
+
+  /** Signed scaled cosine² in basis points (exact integer arithmetic). */
+  private val metricExpr =
+    "CASE WHEN dot >= 0 THEN (dot * dot * 10000) div (na * nb) " +
+      "ELSE -((dot * dot * 10000) div (na * nb)) END"
+  private val metricSqlExpr =
+    "CASE WHEN dot >= 0 THEN (dot * dot * 10000) // (na * nb) " +
+      "ELSE -((dot * dot * 10000) // (na * nb)) END"
+
+  /**
+   * Brute-force cosine top-k: for each query vector (vec_id < 10), the 5
+   * nearest neighbors by cosine, rank-ordered with deterministic tie-break.
+   */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val n = norms(q)
+    val queries = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("idx"), col("q").as("qq"))
+    val cands = q.select(col("vec_id").as("nid"), col("idx"), col("q").as("cq"))
+    val dots = queries.join(cands, Seq("idx"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qq") * col("cq")).as("dot"))
+    val scored = dots
+      .join(n.select(col("vec_id").as("qid"), col("n2").as("na")), "qid")
+      .join(n.select(col("vec_id").as("nid"), col("n2").as("nb")), "nid")
+      .withColumn("cos2_bp", expr(metricExpr))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos2_bp").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos2_bp"))
+      .orderBy("qid", "rnk")
+  }
+
+  val annTopKSql: String =
+    s"""WITH quant AS ($quantizedSql),
+       |norms AS ($normsSql),
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM quant a JOIN quant b ON a.idx = b.idx AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT qid, nid, $metricSqlExpr AS cos2_bp
+       |  FROM (SELECT d.qid, d.nid, d.dot, na.n2 AS na, nb.n2 AS nb
+       |        FROM dots d JOIN norms na ON d.qid = na.vec_id
+       |        JOIN norms nb ON d.nid = nb.vec_id))
+       |SELECT qid, rnk, nid, cos2_bp FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos2_bp DESC, nid ASC) AS INT) AS rnk FROM scored)
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /**
+   * Random-hyperplane LSH bucketing: 8 deterministic integer hyperplanes
+   * r_j(idx) = ((idx*31 + j*17) % 7) - 3; bucket bit j = [dot_j > 0].
+   * Bucket-equal vectors are ANN candidates — candidate generation becomes
+   * an equi-join on `bucket`, the scale path for 10^10 rows.
+   */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    q.select(col("vec_id"), col("idx"), col("q"),
+        explode(sequence(lit(0), lit(7))).as("j"))
+      .withColumn("r", pmod(col("idx") * 31 + col("j") * 17, lit(7)) - 3)
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("q") * col("r")).as("dotj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dotj") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L))
+        .as("bucket"))
+      .orderBy("vec_id")
+  }
+
+  val annLshBucketsSql: String =
+    s"""WITH quant AS ($quantizedSql),
+       |dots AS (
+       |  SELECT vec_id, j,
+       |    CAST(sum(q * (((idx * 31 + j * 17) % 7) - 3)) AS BIGINT) AS dotj
+       |  FROM (SELECT vec_id, idx, q, unnest(range(0, 8)) AS j FROM quant)
+       |  GROUP BY 1, 2)
+       |SELECT vec_id,
+       |  CAST(sum(CASE WHEN dotj > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |FROM dots GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  /**
+   * Embedding-cosine near-duplicate pairs, blocked by `label` (the blocking
+   * key stands in for an IVF/LSH partition at scale): pairs with
+   * |cos|² >= 0.15 (1500 bp), sign-positive.
+   */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val n = norms(q)
+    val a = q.select(col("label"), col("idx"), col("vec_id").as("va"), col("q").as("qa"))
+    val b = q.select(col("label"), col("idx"), col("vec_id").as("vb"), col("q").as("qb"))
+    val dots = a.join(b, Seq("label", "idx"))
+      .filter(col("va") < col("vb"))
+      .groupBy(col("label"), col("va"), col("vb"))
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    dots
+      .join(n.select(col("vec_id").as("va"), col("n2").as("na")), "va")
+      .join(n.select(col("vec_id").as("vb"), col("n2").as("nb")), "vb")
+      .withColumn("cos2_bp", expr(metricExpr))
+      .filter(col("cos2_bp") >= 1500)
+      .select(col("label"), col("va"), col("vb"), col("cos2_bp"))
+      .orderBy("label", "va", "vb")
+  }
+
+  val embeddingNearDupSql: String =
+    s"""WITH quant AS ($quantizedSql),
+       |norms AS ($normsSql),
+       |dots AS (
+       |  SELECT a.label, a.vec_id AS va, b.vec_id AS vb, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM quant a JOIN quant b ON a.label = b.label AND a.idx = b.idx AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT label, va, vb, cos2_bp FROM (
+       |  SELECT d.label, d.va, d.vb, $metricSqlExpr AS cos2_bp
+       |  FROM (SELECT d0.label, d0.va, d0.vb, d0.dot, na.n2 AS na, nb.n2 AS nb
+       |        FROM dots d0 JOIN norms na ON d0.va = na.vec_id
+       |        JOIN norms nb ON d0.vb = nb.vec_id) d)
+       |WHERE cos2_bp >= 1500 ORDER BY label, va, vb""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "ann_cosine_topk" -> (annTopK _, annTopKSql),
+    "ann_lsh_buckets" -> (annLshBuckets _, annLshBucketsSql),
+    "dedup_embedding_cosine" -> (embeddingNearDup _, embeddingNearDupSql))
+}
