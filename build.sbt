@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-Xms16g", // pre-size the heap: lazy growth causes page-fault storms mid-benchmark
+  // Throughput GC: with 32 allocation-heavy task threads, G1's concurrent
+  // machinery costs more bandwidth than parallel stop-the-world collection.
+  "-XX:+UseParallelGC",
 )

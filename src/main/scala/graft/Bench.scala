@@ -1,24 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.bench.CdcBench
+
+/**
+ * Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the CDC
+ * apply-throughput benchmark (the primary BASELINE.json metric:
+ * change-events/sec applied end-to-end, WAL-replay -> lake upsert).
+ * Prints exactly ONE JSON line.
+ *
+ * Scaling evidence across two parallelism levels lives in graft.ScaleBench
+ * (writes BENCH/BASELINE.md); this main stays single-session.
+ */
 object Bench {
+
+  /** Headline subset: one per operator family, heaviest variants. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_join_revenue", "q_window_top_per_key",
+    "cdc_decode_roundtrip", "cdc_merge_final_state",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_cosine_topk", "dedup_embedding_cosine",
+    "text_fingerprint", "text_quality_score", "multimodal_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val queries = SparkEntry.queries
+    val results = headline.filter(queries.contains).map { name =>
+      val fn = queries(name)
+      fn(spark, sfDir).count() // warm (parquet footer cache, codegen)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      fn(spark, sfDir).count()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // CDC apply throughput: WAL segments on disk -> decode -> MERGE -> lake.
+    val cdc = CdcBench.run(spark, nTxns = 120000L, txnsPerSegment = 2000L)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        f""""cdc_apply":{"events":${cdc.events},"seconds":${cdc.seconds}%.3f,""" +
+        f""""events_per_sec":${cdc.eventsPerSec}%.0f}}""")
     spark.stop()
   }
 }

@@ -66,27 +66,10 @@ object MergeEngine {
   val noopStats: MergeStats =
     MergeStats(committed = false, -1L, 0L, 0L, 0L, 0L, 0L, 0L, -1L, -1L, 0)
 
-  /**
-   * Discover schema evolution in a batch: the (name -> declared type) pairs
-   * observed across all change events, rename map applied. Additive columns
-   * extend the table schema (Catalyst-driven schema merge — the north rule's
-   * replacement for the reference's per-row JSON pass-through).
-   */
-  def observedSchema(changes: DataFrame, renameMap: Map[String, String]): Seq[(String, String)] = {
-    val pairs = changes
-      .filter(col("kind") =!= "delete")
-      .select(explode(arrays_zip(col("columnnames"), col("columntypes"))).as("p"))
-      .select(col("p.columnnames").as("name"), col("p.columntypes").as("typ"))
-      .distinct()
-      .collect()
-      .map(r => (renameMap.getOrElse(r.getString(0), r.getString(0)), r.getString(1)))
-    // keep first type seen per name, deterministic order
-    pairs.sortBy(p => (p._1, p._2)).distinct.groupBy(_._1).map { case (n, ps) =>
-      (n, ps.head._2)
-    }.toSeq.sortBy(_._1)
-  }
-
-  /** Merge additive columns into the current schema. */
+  /** Merge additive columns into the current schema. Types arrive as the
+    * declared wal2json type strings (the engine's Catalyst-driven schema
+    * merge — the north rule's replacement for the reference's per-row JSON
+    * pass-through). */
   def evolveSchema(current: StructType, observed: Seq[(String, String)]): StructType = {
     val have = current.fieldNames.toSet
     val added = observed.filterNot { case (n, _) => have.contains(n) }
@@ -95,15 +78,22 @@ object MergeEngine {
   }
 
   /**
-   * Pivot schema-dynamic change events (parallel name/value arrays) into the
-   * table's typed columns. Key columns come from the new tuple for inserts
-   * and from oldkeys for update/delete (updates also carry the new tuple;
-   * wal2json keys PK changes through oldkeys so the old row is what gets
-   * replaced — we follow the reference's oldkeys-identify-the-row rule).
+   * Stage 1, schema-independent: extract typed key columns, split primary-
+   * key-changing updates, and carry the rest of the row as name->value /
+   * name->type maps (the wal2json self-describing encoding, kept dynamic
+   * until after dedup so the whole batch needs only ONE full-size pass).
+   *
+   * Key columns come from the new tuple for inserts and from oldkeys for
+   * update/delete (wal2json identifies the affected row via oldkeys — the
+   * reference's oldkeys-identify-the-row rule, DeleteChange.java:57-67).
+   * A PK-changing update (new tuple's key differs from oldkeys) splits into
+   * a delete of the old key and an insert of the new key at adjacent
+   * sequence positions: all seqs are doubled, the synthetic insert sits at
+   * 2s+1, preserving the (lsn, seq) total order.
    */
-  def pivot(changes: DataFrame, schema: StructType, keyColumns: Seq[String],
-            renameMap: Map[String, String]): DataFrame = {
-    // rename old column names in-flight: columnnames pass through the map
+  def prepare(changes: DataFrame, keyFields: Seq[StructField],
+              renameMap: Map[String, String]): DataFrame = {
+    val keyNames = keyFields.map(_.name)
     val renamed =
       if (renameMap.isEmpty) changes
       else {
@@ -114,20 +104,46 @@ object MergeEngine {
       }
     val withMaps = renamed
       .withColumn("_row", map_from_arrays(col("columnnames"), col("columnvalues")))
+      .withColumn("_types", map_from_arrays(col("columnnames"), col("columntypes")))
       .withColumn("_old",
         when(col("oldkeys").isNotNull,
           map_from_arrays(col("oldkeys.keynames"), col("oldkeys.keyvalues"))))
-    val dataCols = schema.fields.map { f =>
-      val v =
-        if (keyColumns.contains(f.name))
-          when(col("kind") === "insert", element_at(col("_row"), f.name))
-            .otherwise(coalesce(element_at(col("_old"), f.name),
-              element_at(col("_row"), f.name)))
-        else element_at(col("_row"), f.name)
-      v.cast(f.dataType).as(f.name)
+
+    def keyFromRow(f: StructField) = element_at(col("_row"), f.name).cast(f.dataType)
+    def keyFromOld(f: StructField) =
+      coalesce(element_at(col("_old"), f.name), element_at(col("_row"), f.name))
+        .cast(f.dataType)
+
+    def action(kind: Column, seq: Column, keyFrom: StructField => Column,
+               withValues: Boolean): Column = {
+      val keys = keyFields.map(f => keyFrom(f).as(f.name))
+      val payload =
+        if (withValues) Seq(col("_row").as("_row"), col("_types").as("_types"))
+        else Seq(lit(null).cast("map<string,string>").as("_row"),
+          lit(null).cast("map<string,string>").as("_types"))
+      struct((Seq(kind.as("kind"), seq.as("seq")) ++ keys ++ payload).toIndexedSeq: _*)
     }
-    withMaps.select(
-      (Seq(col("lsn"), col("seq"), col("kind")) ++ dataCols).toIndexedSeq: _*)
+
+    val normal = action(
+      col("kind"), col("seq") * 2,
+      f => when(col("kind") === "insert", keyFromRow(f)).otherwise(keyFromOld(f)),
+      withValues = true)
+    val delOld = action(lit("delete"), col("seq") * 2, keyFromOld, withValues = false)
+    val insNew = action(lit("insert"), col("seq") * 2 + 1, keyFromRow, withValues = true)
+
+    val keyChanged = col("kind") === "update" && col("oldkeys").isNotNull &&
+      keyNames.map { k =>
+        element_at(col("_row"), k).isNotNull &&
+          !(element_at(col("_old"), k) <=> element_at(col("_row"), k))
+      }.reduce(_ || _)
+
+    withMaps
+      .select(col("lsn"),
+        explode(when(keyChanged, array(delOld, insNew))
+          .otherwise(array(normal))).as("a"))
+      .select((Seq(col("lsn"), col("a.seq").as("seq"), col("a.kind").as("kind")) ++
+        keyNames.map(n => col(s"a.$n").as(n)) ++
+        Seq(col("a._row").as("_row"), col("a._types").as("_types"))).toIndexedSeq: _*)
   }
 
   /**
@@ -137,7 +153,6 @@ object MergeEngine {
    * crash) applies zero rows and commits nothing.
    */
   def applyBatch(table: LakeTable, changes: DataFrame): MergeStats = {
-    val spark = table.spark
     var attempt = 0
     while (true) {
       val snap = table.currentSnapshot.getOrElse(
@@ -153,19 +168,14 @@ object MergeEngine {
 
   private def applyOnce(table: LakeTable, snap: Snapshot,
                         changes: DataFrame): MergeStats = {
-    val spark = table.spark
     val keyCols = snap.keyColumns
-    val nBuckets = snap.nBuckets
+    val keyFields = keyCols.map(k => snap.schema(k))
 
-    // 1. Schema evolution: additive columns observed in this batch.
-    val observed = observedSchema(changes, snap.renameMap)
-    val schema = evolveSchema(snap.schema, observed)
+    // 1. Keys + PK-change split + bucket (schema-independent, single pass).
+    val prepared = prepare(changes, keyFields, snap.renameMap)
+      .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
 
-    // 2. Typed pivot + bucket assignment.
-    val pivoted = pivot(changes, schema, keyCols, snap.renameMap)
-      .withColumn("_bucket", table.bucketExpr(keyCols, nBuckets))
-
-    // 3. Exactly-once gate: drop events at or below their bucket's watermark.
+    // 2. Exactly-once gate: drop events at or below their bucket's watermark.
     val wmCol =
       if (snap.bucketWatermarks.isEmpty) lit(-1L)
       else {
@@ -173,20 +183,31 @@ object MergeEngine {
           .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
         coalesce(element_at(m, col("_bucket")), lit(-1L))
       }
-    val fresh = pivoted.filter(col("lsn") > wmCol)
+    val fresh = prepared.filter(col("lsn") > wmCol)
 
-    // 4. Keep-last per key by (lsn, seq): declarative max_by => partial
-    //    (map-side) aggregation absorbs hot keys before the shuffle.
-    val nonKeyFields = schema.fieldNames.filterNot(keyCols.contains).toSeq
-    val rowStruct = struct(
-      (Seq(col("lsn"), col("seq"), col("kind"), col("_bucket")) ++
-        nonKeyFields.map(col)).toIndexedSeq: _*)
+    // 3. Keep-last per key by (lsn, seq): declarative max_by => partial
+    //    (map-side) aggregation absorbs hot keys before the shuffle. The raw
+    //    row map rides along; the typed pivot happens AFTER dedup so the
+    //    batch needs exactly one full-size pass (and one driver-side plan).
+    val rowStruct = struct(col("lsn"), col("seq"), col("kind"),
+      col("_bucket"), col("_row"), col("_types"))
     val deduped = fresh
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(rowStruct, struct(col("lsn"), col("seq"))).as("w"))
       .select((keyCols.map(col) :+ col("w.*")).toIndexedSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    // One pass for lineage + touched buckets (small result: <= nBuckets rows).
+    try applyDeduped(table, snap, deduped)
+    finally deduped.unpersist()
+  }
+
+  private def applyDeduped(table: LakeTable, snap: Snapshot,
+                           deduped: DataFrame): MergeStats = {
+    val keyCols = snap.keyColumns
+    val nBuckets = snap.nBuckets
+
+    // 4. One pass for lineage + touched buckets (materializes the cache;
+    //    result is tiny: <= nBuckets rows).
     val statRows = deduped.groupBy(col("_bucket")).agg(
       count(lit(1)).as("keys"),
       sum(when(col("kind") === "insert", 1L).otherwise(0L)).as("ins"),
@@ -206,10 +227,27 @@ object MergeEngine {
     val maxLsn = statRows.map(_.getLong(6)).max
     val perBucketMax = statRows.map(r => r.getInt(0) -> r.getLong(6)).toMap
 
-    // 5. MERGE on the touched buckets only (copy-on-write at bucket grain).
+    // 5. Schema evolution from the surviving rows (cheap: reads the cache).
+    //    Additive columns observed in the batch extend the table schema.
+    val observed = deduped
+      .filter(col("_types").isNotNull)
+      .select(explode(col("_types")).as(Seq("name", "typ")))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .sortBy(identity).distinct
+      .groupBy(_._1).map { case (n, ps) => (n, ps.head._2) }
+      .toSeq.sortBy(_._1)
+    val schema = evolveSchema(snap.schema, observed)
+
+    // 6. Typed pivot of the (already small) surviving upserts, then MERGE on
+    //    the touched buckets only (copy-on-write at bucket grain).
     val tableCols = schema.fieldNames.toSeq
-    val selectCols = (tableCols.map(col) :+ col("_bucket")).toIndexedSeq
-    val upserts = deduped.filter(col("kind") =!= "delete").select(selectCols: _*)
+    val pivotCols = schema.fields.map { f =>
+      if (keyCols.contains(f.name)) col(f.name)
+      else element_at(col("_row"), f.name).cast(f.dataType).as(f.name)
+    }
+    val upserts = deduped.filter(col("kind") =!= "delete")
+      .select((pivotCols :+ col("_bucket")).toIndexedSeq: _*)
     val keys = deduped.select(keyCols.map(col): _*)
 
     val current = table.read(Some(touched))

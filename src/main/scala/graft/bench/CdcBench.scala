@@ -1,0 +1,60 @@
+package graft.bench
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import graft.cli.Main
+import graft.decode.ChangeDecoder
+import graft.gen.{ChangeStreamGen, GenConfig}
+import graft.lake.LakeTable
+import graft.streaming.{CdcPipeline, TableTarget}
+
+/**
+ * CDC apply-throughput benchmark: the BASELINE.json primary metric.
+ *
+ * End-to-end timed span: read JSONL WAL segments from disk -> from_json
+ * decode -> table filter -> typed pivot -> keep-last dedup -> bucket MERGE
+ * -> parquet write -> fenced snapshot commit. Generation happens before the
+ * clock starts (it stands in for the upstream database's WAL).
+ *
+ * Reference floor: pg2k4j claims ~1M records/min ≈ 16.7k events/s through
+ * the Kinesis Producer Library (reference README.md:76-80).
+ */
+object CdcBench {
+
+  final case class Result(events: Long, seconds: Double, buckets: Int) {
+    def eventsPerSec: Double = events / seconds
+  }
+
+  def run(spark: SparkSession, nTxns: Long, txnsPerSegment: Long,
+          nBuckets: Int = 32, walDirOverride: Option[String] = None): Result = {
+    val cfg = GenConfig(seed = 42L, nRepos = 5000, pathsPerRepo = 500)
+    val walDir = walDirOverride.getOrElse {
+      val d = Files.createTempDirectory("graft-bench-wal").toString
+      ChangeStreamGen.writeSegments(spark, cfg, d, nTxns, txnsPerSegment)
+      d
+    }
+    val root = Files.createTempDirectory("graft-bench-table").toString
+    val ckpt = Files.createTempDirectory("graft-bench-ckpt").toString
+
+    val target = TableTarget("repos", new LakeTable(spark, root),
+      Main.reposSchema, Seq("repo", "path"), nBuckets, Main.reposRenameMap)
+    val pipe = new CdcPipeline(spark, walDir, ckpt, Seq(target), Set("repos"))
+
+    // Count input change events outside the timed span (metric denominator).
+    val lines = spark.read.text(walDir)
+    val events = ChangeDecoder.decode(lines).count()
+
+    val t0 = System.nanoTime()
+    pipe.processBatch(lines, batchId = 0L)
+    val seconds = (System.nanoTime() - t0) / 1e9
+    Result(events, seconds, nBuckets)
+  }
+
+  /** Pre-write a WAL once so multiple sessions bench the identical input. */
+  def prepareWal(spark: SparkSession, nTxns: Long, txnsPerSegment: Long): String = {
+    val cfg = GenConfig(seed = 42L, nRepos = 5000, pathsPerRepo = 500)
+    val d = Files.createTempDirectory("graft-scale-wal").toString
+    ChangeStreamGen.writeSegments(spark, cfg, d, nTxns, txnsPerSegment)
+    d
+  }
+}

@@ -40,8 +40,15 @@ object ChangeDecoder {
    */
   def decode(lines: DataFrame, relevantTables: Set[String] = Set.empty,
              strict: Boolean = true): DataFrame = {
+    // The explode(array(...)) is a deliberate Generate barrier: it forces
+    // from_json to be evaluated EXACTLY ONCE per row and materialized as an
+    // attribute. Without it, CollapseProject/filter-pushdown substitute the
+    // from_json alias into every downstream reference (the strict guard
+    // alone references it 5 times), re-parsing each line 5-10x — measured
+    // as a ~7x CPU blowup on the decode stages.
     val parsed = lines
-      .select(from_json(col("value"), Wal2Json.walLineSchema).as("m"), col("value"))
+      .select(col("value"),
+        explode(array(from_json(col("value"), Wal2Json.walLineSchema))).as("m"))
 
     val malformed = col("m").isNull || col("m.lsn").isNull ||
       col("m.xid").isNull || col("m.change").isNull
@@ -85,6 +92,29 @@ object ChangeDecoder {
       col("c.columntypes").as("columntypes"),
       col("c.columnvalues").as("columnvalues"),
       col("c.oldkeys").as("oldkeys"))
+  }
+
+  /**
+   * Strict-mode validation as its own query: returns (up to `limit`)
+   * previews of malformed WAL lines. The inline raise_error guard in
+   * [[decode]] protects plans that evaluate the change column directly, but
+   * Catalyst may legally eliminate it in larger plans (IsNotNull over a
+   * NullType raise_error folds to false, and InferFiltersFromGenerate drops
+   * null change arrays before any guard) — so the engine ALSO runs this
+   * explicit check per batch and fails before applying anything
+   * (reference parity: Jackson required=true aborts the connector loop,
+   * SlotReaderKinesisWriter.java:145-147 — we fail even earlier, before any
+   * partial publish).
+   */
+  def malformedLines(lines: DataFrame, limit: Int = 5): Array[String] = {
+    val parsed = lines
+      .select(col("value"), from_json(col("value"), Wal2Json.walLineSchema).as("m"))
+    parsed
+      .filter(col("m").isNull || col("m.lsn").isNull || col("m.xid").isNull
+        || col("m.change").isNull)
+      .select(substring(col("value"), 1, 256))
+      .take(limit)
+      .map(_.getString(0))
   }
 
   /**

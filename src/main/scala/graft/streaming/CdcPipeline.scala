@@ -45,7 +45,8 @@ class CdcPipeline(
     targets: Seq[TableTarget],
     relevantTables: Set[String] = Set.empty,
     metricsPath: Option[String] = None,
-    maxFilesPerTrigger: Option[Int] = None) {
+    maxFilesPerTrigger: Option[Int] = None,
+    strictDecode: Boolean = true) {
 
   // Idempotent table creation (reference tolerates slot-already-exists,
   // PostgresConnector.java:90-97).
@@ -72,14 +73,26 @@ class CdcPipeline(
   /** The per-micro-batch apply, also callable directly on a static batch of
     * WAL lines (used by tests and the bench harness). */
   def processBatch(lines: DataFrame, batchId: Long): Unit = {
-    val changes = ChangeDecoder.decode(lines, relevantTables).persist()
-    try {
-      targets.foreach { t =>
-        val forTable = changes.filter(col("table") === t.name)
-        val stats = MergeEngine.applyBatch(t.table, forTable)
-        emitMetrics(batchId, t.name, stats)
-      }
-    } finally changes.unpersist()
+    // Strict decode parity with the reference (required=true aborts the
+    // loop): validate the whole batch BEFORE applying anything. This is an
+    // explicit query because inline raise_error guards are legally
+    // optimizable away (see ChangeDecoder.malformedLines).
+    if (strictDecode) {
+      val bad = ChangeDecoder.malformedLines(lines)
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"batch $batchId contains malformed wal2json line(s): ${bad.mkString(" | ")}")
+    }
+    // Deliberately NOT cached: the decoded events carry wide parallel
+    // arrays + full content — caching them costs more memory/GC than the
+    // (CPU-parallel, linearly-scaling) re-decode it would save. The merge
+    // engine caches only the deduped, typed rows.
+    val changes = ChangeDecoder.decode(lines, relevantTables)
+    targets.foreach { t =>
+      val forTable = changes.filter(col("table") === t.name)
+      val stats = MergeEngine.applyBatch(t.table, forTable)
+      emitMetrics(batchId, t.name, stats)
+    }
   }
 
   /** Start the streaming query tailing the WAL segment directory. */
@@ -97,7 +110,40 @@ class CdcPipeline(
 
   /** Run to completion over currently-available segments and stop. */
   def runAvailable(): Unit = {
-    val q = start(Trigger.AvailableNow())
-    q.awaitTermination()
+    val listener = new ProgressListener(metricsPath)
+    spark.streams.addListener(listener)
+    try {
+      val q = start(Trigger.AvailableNow())
+      q.awaitTermination()
+    } finally spark.streams.removeListener(listener)
+  }
+}
+
+/**
+ * Per-micro-batch metrics emission (north rule), the engine analog of the
+ * reference's status-interval heartbeat (O15, PostgresConnector.java:217-229):
+ * rates and durations from Structured Streaming's progress events, appended
+ * as JSONL next to the per-batch lineage records.
+ */
+class ProgressListener(metricsPath: Option[String])
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  @volatile var progressed: Int = 0
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    progressed += 1
+    val p = e.progress
+    metricsPath.foreach { mp =>
+      val path = java.nio.file.Paths.get(mp + ".progress.jsonl")
+      Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val line = s"""{"batchId":${p.batchId},"numInputRows":${p.numInputRows},""" +
+        s""""processedRowsPerSecond":${p.processedRowsPerSecond},""" +
+        s""""durationMs":${Option(p.durationMs.get("triggerExecution")).getOrElse(-1L)}}""" + "\n"
+      java.nio.file.Files.writeString(path, line,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    }
   }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.{RelationalQueries, CdcQueries}
+
+/**
+ * Physical-plan shape assertions — the "would this survive 100 TB" checks:
+ * filters and projections must reach the parquet scan, small dims must
+ * broadcast, the keep-last dedup must be a partial (map-side combining)
+ * hash aggregation rather than a window sort.
+ */
+class PlanSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize THIS plan so AQE settles on the final one
+    val full = df.queryExecution.executedPlan.toString
+    full.split("== Initial Plan ==").head // assert on the AQE final plan only
+  }
+
+  test("q1_agg: quantity filter is pushed to the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,5.0)]")
+      || p.contains("GreaterThan(l_quantity"), p)
+  }
+
+  test("q1_agg: scan reads only the referenced columns (column pruning)") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      readSchema)
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q_join_revenue: customer dim is broadcast") {
+    val p = plan("q_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_join_revenue: lineitem-orders is a shuffle join, not a broadcast NLJ") {
+    val p = plan("q_join_revenue")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cdc_merge_final_state: keep-last dedup is a partial hash aggregation") {
+    val p = plan("cdc_merge_final_state")
+    // two-phase agg: a partial (merge_max_by) before the shuffle, final after
+    assert(p.contains("partial_max_by") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), p) // not the sort-the-world window variant
+  }
+
+  test("cdc_dedup_keeplast: single shuffle (one Exchange) for the aggregation") {
+    val p = plan("cdc_dedup_keeplast")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // one for the groupBy, one for the final orderBy (output ordering only)
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    val p = plan("q1_agg")
+    // codegen'd operators print with a "*(stageId)" prefix in the plan tree
+    assert(p.contains("*(1)") && p.contains("*(2)"), p)
+  }
+
+  test("topk is a TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
