@@ -90,7 +90,7 @@ object ScaleBench {
 
     val rows = results.map { r =>
       f"| local[${r.n}] -> local[${r.n * 4}] | ${r.tN}%.2f | ${r.t4N}%.2f | ${r.epsN}%.0f | ${r.eps4N}%.0f | **${r.eff}%.3f** |"
-    }.mkString("\n")
+    }.mkString("\n|") // extra | swallowed by stripMargin on continuation rows
     val sampleLines = results.map { r =>
       s"- N=${r.n}: " + r.samples.map { case (c, s) => f"local[$c]:$s%.2f" }.mkString(" ")
     }.mkString("\n")

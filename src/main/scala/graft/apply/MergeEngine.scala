@@ -152,12 +152,13 @@ object MergeEngine {
    * a committed batch (Structured Streaming replays the last batch after a
    * crash) applies zero rows and commits nothing.
    */
-  def applyBatch(table: LakeTable, changes: DataFrame): MergeStats = {
+  def applyBatch(table: LakeTable, changes: DataFrame,
+                 saltBuckets: Int = 0): MergeStats = {
     var attempt = 0
     while (true) {
       val snap = table.currentSnapshot.getOrElse(
         throw new IllegalStateException("table must be created before applyBatch"))
-      try return applyOnce(table, snap, changes)
+      try return applyOnce(table, snap, changes, saltBuckets)
       catch {
         case _: CommitConflictException if attempt < 5 =>
           attempt += 1 // concurrent writer advanced the table: re-read, retry
@@ -166,8 +167,8 @@ object MergeEngine {
     noopStats // unreachable
   }
 
-  private def applyOnce(table: LakeTable, snap: Snapshot,
-                        changes: DataFrame): MergeStats = {
+  private def applyOnce(table: LakeTable, snap: Snapshot, changes: DataFrame,
+                        saltBuckets: Int): MergeStats = {
     val keyCols = snap.keyColumns
     val keyFields = keyCols.map(k => snap.schema(k))
 
@@ -183,31 +184,54 @@ object MergeEngine {
           .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
         coalesce(element_at(m, col("_bucket")), lit(-1L))
       }
-    val fresh = prepared.filter(col("lsn") > wmCol)
+    val fresh0 = prepared.filter(col("lsn") > wmCol)
+
+    // Batch-input lineage (dedup stats) measured DURING the dedup pass via
+    // an observation — no extra job.
+    val obs = org.apache.spark.sql.Observation()
+    val fresh = fresh0.observe(obs,
+      count(lit(1)).as("inputEvents"))
 
     // 3. Keep-last per key by (lsn, seq): declarative max_by => partial
     //    (map-side) aggregation absorbs hot keys before the shuffle. The raw
     //    row map rides along; the typed pivot happens AFTER dedup so the
     //    batch needs exactly one full-size pass (and one driver-side plan).
+    //
+    //    Hot-key skew: partial aggregation already collapses a hot key to
+    //    one row per map task. saltBuckets > 0 additionally forces an
+    //    explicit two-phase (salted) aggregation — groupBy(key, salt) then
+    //    groupBy(key) — for streams whose map-side hash tables would
+    //    otherwise overflow (north rule's primary-key salting).
     val rowStruct = struct(col("lsn"), col("seq"), col("kind"),
       col("_bucket"), col("_row"), col("_types"))
-    val deduped = fresh
+    val ordStruct = struct(col("lsn"), col("seq"))
+    val dedupInput =
+      if (saltBuckets <= 0) fresh
+      else {
+        val salted = fresh
+          .withColumn("_salt", pmod(xxhash64(col("lsn"), col("seq")), lit(saltBuckets)))
+          .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+          .agg(max_by(rowStruct, ordStruct).as("w"))
+          .select((keyCols.map(col) :+ col("w.*")).toIndexedSeq: _*)
+        salted
+      }
+    val deduped = dedupInput
       .groupBy(keyCols.map(col): _*)
-      .agg(max_by(rowStruct, struct(col("lsn"), col("seq"))).as("w"))
+      .agg(max_by(rowStruct, ordStruct).as("w"))
       .select((keyCols.map(col) :+ col("w.*")).toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    try applyDeduped(table, snap, deduped)
+    try applyDeduped(table, snap, deduped, obs)
     finally deduped.unpersist()
   }
 
-  private def applyDeduped(table: LakeTable, snap: Snapshot,
-                           deduped: DataFrame): MergeStats = {
+  private def applyDeduped(table: LakeTable, snap: Snapshot, deduped: DataFrame,
+                           obs: org.apache.spark.sql.Observation): MergeStats = {
     val keyCols = snap.keyColumns
     val nBuckets = snap.nBuckets
 
-    // 4. One pass for lineage + touched buckets (materializes the cache;
-    //    result is tiny: <= nBuckets rows).
+    // 4. One pass for per-bucket lineage + touched buckets (materializes the
+    //    cache; result is tiny: <= nBuckets rows).
     val statRows = deduped.groupBy(col("_bucket")).agg(
       count(lit(1)).as("keys"),
       sum(when(col("kind") === "insert", 1L).otherwise(0L)).as("ins"),
@@ -216,7 +240,11 @@ object MergeEngine {
       min(col("lsn")).as("minLsn"),
       max(col("lsn")).as("maxLsn")).collect()
 
-    if (statRows.isEmpty) return noopStats.copy(snapshotId = snap.snapshotId)
+    val inputEvents = obs.get.get("inputEvents")
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+
+    if (statRows.isEmpty)
+      return noopStats.copy(snapshotId = snap.snapshotId, inputEvents = inputEvents)
 
     val touched = statRows.map(_.getInt(0)).toSet
     val appliedKeys = statRows.map(_.getLong(1)).sum
@@ -275,20 +303,42 @@ object MergeEngine {
         b -> math.max(w, snap.bucketWatermarks.getOrElse(b, -1L))
       }
     val lineage = Map(
-      "inputEvents" -> -1L, "appliedKeys" -> appliedKeys,
+      "inputEvents" -> inputEvents, "appliedKeys" -> appliedKeys,
       "inserted" -> inserted, "updated" -> updated, "deleted" -> deleted,
+      "dedupDropped" -> (inputEvents - appliedKeys),
       "minLsn" -> minLsn, "maxLsn" -> maxLsn,
       "touchedBuckets" -> touched.size.toLong)
+    // Per-partition (bucket) lineage, accumulated across commits: applied-op
+    // counts summed, LSN bounds widened (north rule: per-partition lineage).
+    val batchBucketLineage = statRows.map { r =>
+      r.getInt(0) -> Map(
+        "keys" -> r.getLong(1), "inserted" -> r.getLong(2),
+        "updated" -> r.getLong(3), "deleted" -> r.getLong(4),
+        "minLsn" -> r.getLong(5), "maxLsn" -> r.getLong(6))
+    }.toMap
+    val bucketLineage = snap.bucketLineage ++ batchBucketLineage.map {
+      case (b, cur) =>
+        val prev = snap.bucketLineage.getOrElse(b, Map.empty[String, Long])
+        b -> Map(
+          "keys" -> (prev.getOrElse("keys", 0L) + cur("keys")),
+          "inserted" -> (prev.getOrElse("inserted", 0L) + cur("inserted")),
+          "updated" -> (prev.getOrElse("updated", 0L) + cur("updated")),
+          "deleted" -> (prev.getOrElse("deleted", 0L) + cur("deleted")),
+          "minLsn" -> math.min(prev.getOrElse("minLsn", Long.MaxValue), cur("minLsn")),
+          "maxLsn" -> math.max(prev.getOrElse("maxLsn", -1L), cur("maxLsn")))
+    }
     val next = snap.copy(
       schema = schema,
       bucketFiles = bucketFiles,
       bucketWatermarks = bucketWatermarks,
+      bucketLineage = bucketLineage,
       lsnHighWatermark = math.max(snap.lsnHighWatermark, maxLsn),
       lineage = lineage)
     table.commit(next, expectedSnapshotId = snap.snapshotId)
 
-    MergeStats(committed = true, newId, -1L, appliedKeys,
-      inserted, updated, deleted, -1L, minLsn, maxLsn, touched.size)
+    MergeStats(committed = true, newId, inputEvents, appliedKeys,
+      inserted, updated, deleted, inputEvents - appliedKeys,
+      minLsn, maxLsn, touched.size)
   }
 
   /**

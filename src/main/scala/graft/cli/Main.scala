@@ -88,7 +88,7 @@ object Main {
 
       case "show" =>
         val t = new LakeTable(spark, kv("table-root"))
-        val df = t.read()
+        val df = t.read(asOfSnapshot = kv.get("as-of").map(_.toLong))
         val n = df.count()
         println(s"rows=$n")
         df.orderBy("repo", "path")

@@ -50,7 +50,10 @@ final case class Snapshot(
     // old column name -> new column name (schema evolution by rename)
     renameMap: Map[String, String],
     // lineage of the batch that produced this snapshot
-    lineage: Map[String, Long]) {
+    lineage: Map[String, Long],
+    // per-partition lineage accumulated across commits:
+    // bucket -> {keys, inserted, updated, deleted, minLsn, maxLsn}
+    bucketLineage: Map[Int, Map[String, Long]] = Map.empty) {
   def allFiles: Seq[String] = bucketFiles.values.flatten.toSeq.sorted
 }
 
@@ -124,13 +127,16 @@ class LakeTable(val spark: SparkSession, val root: String) {
     pmod(xxhash64(keyColumns.map(col): _*), lit(nBuckets)).cast("int")
 
   /**
-   * Read the current content of the given buckets (or the whole table).
+   * Read the content of the given buckets (or the whole table), optionally
+   * as of a historical snapshot (time travel — snapshots are immutable, so
+   * any committed state remains readable).
    * Handles mixed-era files: after an additive-column or rename evolution,
    * untouched buckets still hold files with the old physical schema;
    * `mergeSchema` unions them and the rename map coalesces old->new.
    */
-  def read(buckets: Option[Set[Int]] = None): DataFrame = {
-    val snap = currentSnapshot.getOrElse(
+  def read(buckets: Option[Set[Int]] = None,
+           asOfSnapshot: Option[Long] = None): DataFrame = {
+    val snap = asOfSnapshot.map(readSnapshot).orElse(currentSnapshot).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
     val files = buckets match {
       case Some(bs) => bs.toSeq.sorted.flatMap(b => snap.bucketFiles.getOrElse(b, Nil))
@@ -206,6 +212,11 @@ object LakeTable {
     s.renameMap.toSeq.sorted.foreach { case (o, nn) => rm.put(o, nn) }
     val li = n.putObject("lineage")
     s.lineage.toSeq.sorted.foreach { case (k, v) => li.put(k, v) }
+    val bl = n.putObject("bucketLineage")
+    s.bucketLineage.toSeq.sortBy(_._1).foreach { case (b, m) =>
+      val o = bl.putObject(b.toString)
+      m.toSeq.sorted.foreach { case (k, v) => o.put(k, v) }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
@@ -228,6 +239,9 @@ object LakeTable {
       },
       lsnHighWatermark = n.get("lsnHighWatermark").asLong(),
       renameMap = objToMap("renameMap").map { case (k, v) => k -> v.asText() },
-      lineage = objToMap("lineage").map { case (k, v) => k -> v.asLong() })
+      lineage = objToMap("lineage").map { case (k, v) => k -> v.asLong() },
+      bucketLineage = objToMap("bucketLineage").map { case (b, o) =>
+        b.toInt -> o.fieldNames().asScala.map(k => k -> o.get(k).asLong()).toMap
+      })
   }
 }

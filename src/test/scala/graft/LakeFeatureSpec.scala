@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.apply.MergeEngine
+import graft.decode.ChangeDecoder
+import graft.gen.{ChangeStreamGen, GenConfig}
+import graft.lake.LakeTable
+import graft.cli.Main
+import graft.streaming.{CdcPipeline, TableTarget}
+
+/** Salting equivalence, per-bucket lineage, snapshot time travel,
+  * multi-table streams. */
+class LakeFeatureSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = GenConfig(seed = 31L, nRepos = 12, pathsPerRepo = 4, maxChangesPerTxn = 3)
+
+  private def newTable(): LakeTable = {
+    val t = new LakeTable(spark, tmpDir("repos"))
+    t.create(Main.reposSchema, Seq("repo", "path"), 4, Main.reposRenameMap)
+    t
+  }
+
+  private def lines(from: Long, until: Long, c: GenConfig = cfg) =
+    spark.createDataset((from until until)
+      .map(id => ChangeStreamGen.renderLine(c, ChangeStreamGen.txn(c, id)))).toDF("value")
+
+  private def state(t: LakeTable, asOf: Option[Long] = None): Map[(String, String), String] =
+    t.read(asOfSnapshot = asOf)
+      .select(col("repo"), col("path"), sha2(col("content"), 256)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+
+  test("salted two-phase dedup produces the identical final state") {
+    val plain = newTable(); val salted = newTable()
+    MergeEngine.applyBatch(plain, ChangeDecoder.decode(lines(0, 200)))
+    MergeEngine.applyBatch(salted, ChangeDecoder.decode(lines(0, 200)), saltBuckets = 7)
+    assert(state(plain) === state(salted))
+    assert(state(plain).nonEmpty)
+  }
+
+  test("per-bucket lineage accumulates across commits") {
+    val t = newTable()
+    val s1 = MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 100)))
+    val s2 = MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(100, 200)))
+    assert(s1.inputEvents > 0 && s2.inputEvents > 0)
+    assert(s1.dedupDropped >= 0)
+    val snap = t.currentSnapshot.get
+    assert(snap.bucketLineage.nonEmpty)
+    val totalKeys = snap.bucketLineage.values.map(_("keys")).sum
+    assert(totalKeys === s1.appliedKeys + s2.appliedKeys)
+    // LSN bounds widened, not replaced
+    assert(snap.bucketLineage.values.map(_("minLsn")).min === 1L)
+    assert(snap.bucketLineage.values.map(_("maxLsn")).max === 200L)
+    // snapshot-level lineage carries dedup stats
+    assert(snap.lineage("inputEvents") === s2.inputEvents)
+    assert(snap.lineage("dedupDropped") === s2.dedupDropped)
+  }
+
+  test("time travel: historical snapshots stay readable and immutable") {
+    val t = newTable()
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 100)))
+    val sid1 = t.currentSnapshot.get.snapshotId
+    val stateAt1 = state(t)
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(100, 200)))
+    assert(state(t) !== stateAt1)                 // table moved on
+    assert(state(t, asOf = Some(sid1)) === stateAt1) // history intact
+  }
+
+  test("multi-table WAL: one stream feeds two independent lake tables") {
+    // interleave apples + repos changes in one WAL
+    val apples = Seq(
+      """{"lsn":1000001,"xid":1,"change":[{"kind":"insert","schema":"public","table":"apples","columnnames":["id","name","quantity"],"columntypes":["integer","text","integer"],"columnvalues":[1,"Fuji",2]}]}""",
+      """{"lsn":1000002,"xid":2,"change":[{"kind":"update","schema":"public","table":"apples","columnnames":["id","name","quantity"],"columntypes":["integer","text","integer"],"columnvalues":[1,"Fuji",9],"oldkeys":{"keynames":["id"],"keytypes":["integer"],"keyvalues":[1]}}]}""")
+    val repoLines = (0L until 50L).map(id => ChangeStreamGen.renderLine(cfg, ChangeStreamGen.txn(cfg, id)))
+    val wal = tmpDir("wal")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wal/wal-000000000.jsonl"),
+      scala.util.Random.shuffle(apples ++ repoLines).mkString("\n") + "\n")
+
+    val applesSchema = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("quantity", IntegerType)))
+    val tRepos = new LakeTable(spark, tmpDir("repos"))
+    val tApples = new LakeTable(spark, tmpDir("apples"))
+    val pipe = new CdcPipeline(spark, wal, tmpDir("ckpt"),
+      Seq(
+        TableTarget("repos", tRepos, Main.reposSchema, Seq("repo", "path"), 4, Main.reposRenameMap),
+        TableTarget("apples", tApples, applesSchema, Seq("id"), 2)),
+      relevantTables = Set("repos", "apples"))
+    pipe.runAvailable()
+
+    assert(tApples.read().collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+      === Set((1, "Fuji", 9)))
+    def sha256(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exp = ChangeStreamGen.expectedFinalState(cfg, 50L)
+      .map { case (k, ch) => k -> sha256(ch.content) }
+    assert(state(tRepos) === exp)
+  }
+}
