@@ -65,14 +65,16 @@ class WalTable(dir: String) extends Table with SupportsRead {
   override def schema(): StructType = WalSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new WalScan(dir)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxPerTrigger = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
+    () => new WalScan(dir, maxPerTrigger)
+  }
 }
 
-class WalScan(dir: String) extends Scan {
+class WalScan(dir: String, maxPerTrigger: Option[Int]) extends Scan {
   override def readSchema(): StructType = WalSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WalMicroBatchStream(dir)
+    new WalMicroBatchStream(dir, maxPerTrigger)
 }
 
 /** Offset = number of fully consumed segments. */
@@ -80,11 +82,38 @@ case class WalOffset(segments: Long) extends Offset {
   override def json(): String = s"""{"segments":$segments}"""
 }
 
-class WalMicroBatchStream(dir: String) extends MicroBatchStream {
+class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
+  // Trigger.AvailableNow: pin the end of "available" at query start so the
+  // run terminates even while the WAL keeps growing (and so admission
+  // control below still splits the run into rate-limited micro-batches).
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(WalSource.listSegments(dir).size.toLong)
+
   override def initialOffset(): Offset = WalOffset(0L)
 
   override def latestOffset(): Offset =
     WalOffset(WalSource.listSegments(dir).size.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(m => ReadLimit.maxFiles(m)).getOrElse(ReadLimit.allAvailable())
+
+  /** Rate-limited tail: at most maxFiles new segments per micro-batch. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[WalOffset].segments
+    val all = availableNowTarget
+      .getOrElse(WalSource.listSegments(dir).size.toLong)
+    limit match {
+      case mf: ReadMaxFiles => WalOffset(math.min(all, s + mf.maxFiles()))
+      case _ => WalOffset(all)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val m = """"segments"\s*:\s*(\d+)""".r

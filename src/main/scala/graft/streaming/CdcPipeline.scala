@@ -95,11 +95,17 @@ class CdcPipeline(
     }
   }
 
-  /** Start the streaming query tailing the WAL segment directory. */
+  /** Start the streaming query tailing the WAL segment directory.
+    *
+    * Uses the graft-wal DSv2 source, NOT the generic file source: the file
+    * source orders files by modification time, so a healed/rewritten old
+    * segment would be delivered AFTER newer ones — and the sink's LSN
+    * watermark gate would then (correctly, but fatally) drop it. graft-wal
+    * delivers segments in name (= LSN) order regardless of mtime. */
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val reader = spark.readStream
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.getOrElse(1000))
-    val lines = reader.text(s"$walDir/*.jsonl")
+    val reader = spark.readStream.format("graft-wal")
+    maxFilesPerTrigger.foreach(m => reader.option("maxSegmentsPerTrigger", m))
+    val lines = reader.load(walDir)
     lines.writeStream
       .queryName("graft-cdc")
       .option("checkpointLocation", checkpointDir)
@@ -116,6 +122,33 @@ class CdcPipeline(
       val q = start(Trigger.AvailableNow())
       q.awaitTermination()
     } finally spark.streams.removeListener(listener)
+  }
+
+  /**
+   * Supervised run — the reference's outer retry loop (O13, runLoop at
+   * SlotReaderKinesisWriter.java:84-88 with exception handling at :121-167:
+   * catch, clean up, sleep, reconnect). Here a failed query restarts from
+   * the checkpoint; exactly-once fencing makes any replayed work a no-op,
+   * so supervision is safe by construction.
+   *
+   * @return number of restarts performed
+   */
+  def runSupervised(maxRestarts: Int = 3, backoffMs: Long = 1000L,
+                    onRestart: Int => Unit = _ => ()): Int = {
+    var restarts = 0
+    while (true) {
+      try {
+        runAvailable()
+        return restarts
+      } catch {
+        case _: Exception if restarts < maxRestarts =>
+          restarts += 1
+          Thread.sleep(backoffMs)
+          onRestart(restarts)
+        // beyond the budget: rethrow, like the reference's fatal path
+      }
+    }
+    restarts // unreachable
   }
 }
 

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.cli.Main
+import graft.gen.{ChangeStreamGen, GenConfig}
+import graft.lake.LakeTable
+import graft.streaming.{CdcPipeline, TableTarget}
+
+/**
+ * Supervision (reference O13/O14): a failed streaming run restarts from the
+ * checkpoint; replayed work is a fenced no-op; a poisoned input heals after
+ * the cause is fixed; a persistent failure exhausts the budget and
+ * propagates.
+ */
+class SupervisionSpec extends SparkSpec {
+
+  val cfg = GenConfig(seed = 51L, nRepos = 8, pathsPerRepo = 3, maxChangesPerTxn = 2)
+
+  private def mkPipe(wal: String, ckpt: String, t: LakeTable) =
+    new CdcPipeline(spark, wal, ckpt, Seq(
+      TableTarget("repos", t, Main.reposSchema, Seq("repo", "path"), 4, Main.reposRenameMap)),
+      Set("repos"), maxFilesPerTrigger = Some(1))
+
+  private def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("poisoned segment: fail, heal on restart, converge (reference retry loop)") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    ChangeStreamGen.writeSegments(spark, cfg, wal, 60L, txnsPerSegment = 20)
+    // poison the middle segment
+    val seg1 = Paths.get(s"$wal/wal-000000001.jsonl")
+    val good = Files.readString(seg1)
+    Files.writeString(seg1, good + "{\"garbage\": true}\n")
+
+    val t = new LakeTable(spark, tmpDir("repos"))
+    val pipe = mkPipe(wal, ckpt, t)
+    val restarts = pipe.runSupervised(maxRestarts = 2, backoffMs = 10L,
+      onRestart = _ => Files.writeString(seg1, good)) // operator fixes the WAL
+    assert(restarts === 1)
+
+    val exp = ChangeStreamGen.expectedFinalState(cfg, 60L)
+      .map { case (k, c) => k -> sha256(c.content) }
+    val got = t.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got === exp)
+    // segment 0 applied once, before the failure; not re-applied after restart
+    assert(t.currentSnapshot.get.lsnHighWatermark === 60L)
+  }
+
+  test("persistent failure exhausts the restart budget and propagates") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    ChangeStreamGen.writeSegments(spark, cfg, wal, 20L, txnsPerSegment = 20)
+    Files.writeString(Paths.get(s"$wal/wal-000000000.jsonl"),
+      "{\"garbage\": true}\n")
+    val t = new LakeTable(spark, tmpDir("repos"))
+    val pipe = mkPipe(wal, ckpt, t)
+    intercept[Exception] {
+      pipe.runSupervised(maxRestarts = 1, backoffMs = 10L)
+    }
+    assert(t.read().count() === 0) // nothing partially applied
+  }
+}
