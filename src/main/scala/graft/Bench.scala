@@ -45,7 +45,7 @@ object Bench {
     }
 
     // CDC apply throughput: WAL segments on disk -> decode -> MERGE -> lake.
-    val cdc = CdcBench.run(spark, nTxns = 120000L, txnsPerSegment = 2000L)
+    val cdc = CdcBench.run(spark, nTxns = 300000L, txnsPerSegment = 5000L)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

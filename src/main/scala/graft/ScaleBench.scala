@@ -100,7 +100,7 @@ object ScaleBench {
       f"""# BENCH — CDC apply throughput & scaling (this round's measurements)
          |
          |Job: identical end-to-end CDC apply (read JSONL WAL segments ->
-         |from_json decode -> key extraction + PK-change split -> keep-last
+         |native ParseWalLine decode -> key extraction + PK-change split -> keep-last
          |dedup -> schema evolution -> typed pivot -> bucketed MERGE ->
          |parquet write -> fenced snapshot commit) on the identical
          |${results.head.events}-change-event input (seed 42), at two

@@ -39,16 +39,19 @@ object ChangeDecoder {
    * @param strict         fail (like the reference) vs drop on malformed lines
    */
   def decode(lines: DataFrame, relevantTables: Set[String] = Set.empty,
-             strict: Boolean = true): DataFrame = {
+             strict: Boolean = true, nativeParser: Boolean = true): DataFrame = {
     // The explode(array(...)) is a deliberate Generate barrier: it forces
-    // from_json to be evaluated EXACTLY ONCE per row and materialized as an
+    // the parse to be evaluated EXACTLY ONCE per row and materialized as an
     // attribute. Without it, CollapseProject/filter-pushdown substitute the
-    // from_json alias into every downstream reference (the strict guard
+    // parse alias into every downstream reference (the strict guard
     // alone references it 5 times), re-parsing each line 5-10x — measured
     // as a ~7x CPU blowup on the decode stages.
+    val parseExpr =
+      if (nativeParser)
+        graft.functions.ParseWalLine.parseWalLine(lines.sparkSession, col("value"))
+      else from_json(col("value"), Wal2Json.walLineSchema)
     val parsed = lines
-      .select(col("value"),
-        explode(array(from_json(col("value"), Wal2Json.walLineSchema))).as("m"))
+      .select(col("value"), explode(array(parseExpr)).as("m"))
 
     val malformed = col("m").isNull || col("m.lsn").isNull ||
       col("m.xid").isNull || col("m.change").isNull
@@ -106,9 +109,13 @@ object ChangeDecoder {
    * SlotReaderKinesisWriter.java:145-147 — we fail even earlier, before any
    * partial publish).
    */
-  def malformedLines(lines: DataFrame, limit: Int = 5): Array[String] = {
-    val parsed = lines
-      .select(col("value"), from_json(col("value"), Wal2Json.walLineSchema).as("m"))
+  def malformedLines(lines: DataFrame, limit: Int = 5,
+                     nativeParser: Boolean = true): Array[String] = {
+    val parseExpr =
+      if (nativeParser)
+        graft.functions.ParseWalLine.parseWalLine(lines.sparkSession, col("value"))
+      else from_json(col("value"), Wal2Json.walLineSchema)
+    val parsed = lines.select(col("value"), parseExpr.as("m"))
     parsed
       .filter(col("m").isNull || col("m.lsn").isNull || col("m.xid").isNull
         || col("m.change").isNull)

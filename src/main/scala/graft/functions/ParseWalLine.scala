@@ -1,0 +1,419 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.model.Wal2Json
+
+/**
+ * Native Catalyst expression parsing one wal2json WAL line into the
+ * [[Wal2Json.walLineSchema]] struct — a specialized replacement for
+ * `from_json` on the engine's hottest path (every byte of a 10^10-event
+ * stream flows through this decode).
+ *
+ * Why not Jackson (`from_json`): generic JSON parsing materializes a token
+ * stream and per-field conversion machinery per row; this parser is a
+ * single forward scan over the UTF8String's bytes with zero intermediate
+ * tokens, allocating only the output values. Semantics match `from_json`
+ * with the wal2json schema:
+ *
+ *  - unknown object keys are skipped (self-describing events may carry
+ *    extra fields);
+ *  - `columnvalues`/`keyvalues` elements are captured as their literal
+ *    text for non-string scalars ("185.22", "true"), decoded text for
+ *    strings, null for null — exactly `from_json`'s StringType behavior,
+ *    including nested objects/arrays captured as raw JSON;
+ *  - any structural error yields a NULL result row (PERMISSIVE), which the
+ *    engine's explicit strict validation then surfaces
+ *    (ChangeDecoder.malformedLines).
+ *
+ * CodegenFallback: the expression does its work in one opaque eval call;
+ * the surrounding plan stages remain codegen'd and the parse cost itself
+ * dwarfs the interpreted-call overhead.
+ */
+case class ParseWalLine(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = Wal2Json.walLineSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "parse_wal_line"
+
+  override protected def withNewChildInternal(newChild: Expression): ParseWalLine =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    WalLineParser.parse(input.asInstanceOf[UTF8String])
+}
+
+object ParseWalLine {
+  /** Register `parse_wal_line` in the session's function registry (idempotent)
+    * so it is usable from both the Column API (expr) and SQL. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "parse_wal_line", exprs => ParseWalLine(exprs.head), "built-in")
+
+  /** Column form: parses a string column into the walLineSchema struct. */
+  def parseWalLine(spark: org.apache.spark.sql.SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("parse_wal_line", c)
+  }
+}
+
+/** One-pass recursive-descent parser over the line's UTF-8 bytes. */
+object WalLineParser {
+
+  final class Malformed extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+  private val malformed = new Malformed
+
+  def parse(line: UTF8String): InternalRow = {
+    val bytes = line.getBytes // materialized copy; single allocation
+    try new P(bytes).parseTop()
+    catch {
+      case _: Malformed =>
+        // match from_json PERMISSIVE: structurally-broken input yields a
+        // row of nulls; blank input yields NULL
+        var k = 0; var blank = true
+        while (k < bytes.length && blank) {
+          val c = bytes(k)
+          if (c != ' ' && c != '\t' && c != '\n' && c != '\r') blank = false
+          k += 1
+        }
+        if (blank) null
+        else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](null, null, null))
+    }
+  }
+
+  private final class P(b: Array[Byte]) {
+    private var i = 0
+    private val n = b.length
+
+    /** Field-level recovery, matching Spark's JSON partial-results mode: a
+      * field whose value fails to parse becomes null, the scan skips the
+      * raw value and continues; only structural breakage outside a field
+      * value nulls the whole row. */
+    private def fieldSafe[A >: Null](f: => A): A = {
+      val save = i
+      try f catch { case _: Malformed => i = save; skipValue(); null }
+    }
+
+    def parseTop(): InternalRow = {
+      skipWs()
+      expect('{')
+      var lsn: Any = null
+      var xid: Any = null
+      var change: Any = null
+      var first = true
+      skipWs()
+      if (peek() == '}') { i += 1; return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(lsn, xid, change)) }
+      while (true) {
+        if (!first) expect(',')
+        first = false
+        skipWs()
+        val key = parseString()
+        skipWs(); expect(':'); skipWs()
+        key.toString match {
+          case "lsn" => lsn = fieldSafe(parseLong())
+          case "xid" => xid = fieldSafe(parseLong())
+          case "change" => change = fieldSafe(parseChangeArray())
+          case _ => skipValue()
+        }
+        skipWs()
+        if (peek() == '}') { i += 1
+          return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(lsn, xid, change))
+        }
+      }
+      null // unreachable
+    }
+
+    private def parseChangeArray(): ArrayData = {
+      expect('[')
+      skipWs()
+      if (peek() == ']') { i += 1; return new GenericArrayData(Array.empty[Any]) }
+      val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+      var continue = true
+      while (continue) {
+        out += parseChange()
+        skipWs()
+        peek() match {
+          case ',' => i += 1; skipWs()
+          case ']' => i += 1; continue = false
+          case _ => throw malformed
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    private def parseChange(): InternalRow = {
+      expect('{')
+      var kind: Any = null; var schema: Any = null; var table: Any = null
+      var names: Any = null; var types: Any = null; var values: Any = null
+      var oldkeys: Any = null
+      skipWs()
+      if (peek() == '}') { i += 1 }
+      else {
+        var first = true
+        var open = true
+        while (open) {
+          if (!first) { expect(',') }
+          first = false
+          skipWs()
+          val key = parseString()
+          skipWs(); expect(':'); skipWs()
+          key.toString match {
+            case "kind" => kind = fieldSafe(parseString())
+            case "schema" => schema = fieldSafe(parseString())
+            case "table" => table = fieldSafe(parseString())
+            case "columnnames" => names = fieldSafe(parseStringArray())
+            case "columntypes" => types = fieldSafe(parseStringArray())
+            case "columnvalues" => values = fieldSafe(parseScalarArray())
+            case "oldkeys" => oldkeys = fieldSafe(parseOldKeys())
+            case _ => skipValue()
+          }
+          skipWs()
+          if (peek() == '}') { i += 1; open = false }
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array(kind, schema, table, names, types, values, oldkeys))
+    }
+
+    private def parseOldKeys(): InternalRow = {
+      if (peek() == 'n') { parseNullLiteral(); return null }
+      expect('{')
+      var kn: Any = null; var kt: Any = null; var kv: Any = null
+      skipWs()
+      if (peek() == '}') { i += 1 }
+      else {
+        var first = true
+        var open = true
+        while (open) {
+          if (!first) expect(',')
+          first = false
+          skipWs()
+          val key = parseString()
+          skipWs(); expect(':'); skipWs()
+          key.toString match {
+            case "keynames" => kn = fieldSafe(parseStringArray())
+            case "keytypes" => kt = fieldSafe(parseStringArray())
+            case "keyvalues" => kv = fieldSafe(parseScalarArray())
+            case _ => skipValue()
+          }
+          skipWs()
+          if (peek() == '}') { i += 1; open = false }
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(kn, kt, kv))
+    }
+
+    /** ["a","b",...] — strings only (columnnames/columntypes/keynames). */
+    private def parseStringArray(): ArrayData = {
+      if (peek() == 'n') { parseNullLiteral(); return null }
+      expect('[')
+      skipWs()
+      if (peek() == ']') { i += 1; return new GenericArrayData(Array.empty[Any]) }
+      val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var continue = true
+      while (continue) {
+        skipWs()
+        out += (if (peek() == 'n') { parseNullLiteral(); null } else parseString())
+        skipWs()
+        peek() match {
+          case ',' => i += 1
+          case ']' => i += 1; continue = false
+          case _ => throw malformed
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    /** Mixed scalar array (columnvalues/keyvalues): strings decoded, other
+      * scalars as literal text, nested structures as raw JSON — matching
+      * from_json's StringType coercion. */
+    private def parseScalarArray(): ArrayData = {
+      if (peek() == 'n') { parseNullLiteral(); return null }
+      expect('[')
+      skipWs()
+      if (peek() == ']') { i += 1; return new GenericArrayData(Array.empty[Any]) }
+      val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+      var continue = true
+      while (continue) {
+        skipWs()
+        out += (peek() match {
+          case '"' => parseString()
+          case 'n' => parseNullLiteral(); null
+          case '{' | '[' => rawStructure()
+          case _ => rawScalar()
+        })
+        skipWs()
+        peek() match {
+          case ',' => i += 1
+          case ']' => i += 1; continue = false
+          case _ => throw malformed
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    // ---------------------------------------------------------- primitives
+
+    private def peek(): Char = {
+      if (i >= n) throw malformed
+      b(i).toChar
+    }
+
+    private def expect(c: Char): Unit = {
+      skipWs()
+      if (i >= n || b(i) != c) throw malformed
+      i += 1
+    }
+
+    private def skipWs(): Unit = {
+      while (i < n && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r')) i += 1
+    }
+
+    private def parseLong(): java.lang.Long = {
+      skipWs()
+      var neg = false
+      if (peek() == '-') { neg = true; i += 1 }
+      if (i >= n || b(i) < '0' || b(i) > '9') throw malformed
+      var v = 0L
+      while (i < n && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      // integer followed by a fraction/exponent => not a clean long
+      if (i < n && (b(i) == '.' || b(i) == 'e' || b(i) == 'E')) throw malformed
+      java.lang.Long.valueOf(if (neg) -v else v)
+    }
+
+    private def parseNullLiteral(): Unit = {
+      if (i + 4 <= n && b(i) == 'n' && b(i + 1) == 'u' && b(i + 2) == 'l' && b(i + 3) == 'l') i += 4
+      else throw malformed
+    }
+
+    /** JSON string with full escape handling; returns decoded UTF8String. */
+    private def parseString(): UTF8String = {
+      if (peek() != '"') throw malformed
+      i += 1
+      val start = i
+      // fast path: scan for end quote with no escapes
+      var j = i
+      while (j < n && b(j) != '"' && b(j) != '\\') j += 1
+      if (j >= n) throw malformed
+      if (b(j) == '"') { // no escapes: zero-copy slice
+        i = j + 1
+        return UTF8String.fromBytes(b, start, j - start)
+      }
+      // slow path with escapes
+      val buf = new java.io.ByteArrayOutputStream(64)
+      buf.write(b, start, j - start)
+      i = j
+      while (true) {
+        if (i >= n) throw malformed
+        b(i) match {
+          case '"' => i += 1
+            val arr = buf.toByteArray
+            return UTF8String.fromBytes(arr, 0, arr.length)
+          case '\\' =>
+            i += 1
+            if (i >= n) throw malformed
+            b(i).toChar match {
+              case '"' => buf.write('"'); i += 1
+              case '\\' => buf.write('\\'); i += 1
+              case '/' => buf.write('/'); i += 1
+              case 'b' => buf.write('\b'); i += 1
+              case 'f' => buf.write('\f'); i += 1
+              case 'n' => buf.write('\n'); i += 1
+              case 'r' => buf.write('\r'); i += 1
+              case 't' => buf.write('\t'); i += 1
+              case 'u' =>
+                i += 1
+                val cp0 = hex4()
+                val cp =
+                  if (Character.isHighSurrogate(cp0.toChar) && i + 1 < n
+                      && b(i) == '\\' && b(i + 1) == 'u') {
+                    i += 2
+                    val lo = hex4()
+                    Character.toCodePoint(cp0.toChar, lo.toChar)
+                  } else cp0
+                val s = new String(Character.toChars(cp))
+                buf.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              case _ => throw malformed
+            }
+          case c => buf.write(c); i += 1
+        }
+      }
+      null // unreachable
+    }
+
+    private def hex4(): Int = {
+      if (i + 4 > n) throw malformed
+      var v = 0
+      var k = 0
+      while (k < 4) {
+        val c = b(i).toChar
+        val d =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else throw malformed
+        v = v * 16 + d
+        i += 1; k += 1
+      }
+      v
+    }
+
+    /** Non-string scalar (number/true/false): captured as its literal text. */
+    private def rawScalar(): UTF8String = {
+      val start = i
+      while (i < n && b(i) != ',' && b(i) != ']' && b(i) != '}' && b(i) != ' '
+        && b(i) != '\t' && b(i) != '\n' && b(i) != '\r') i += 1
+      if (i == start) throw malformed
+      UTF8String.fromBytes(b, start, i - start)
+    }
+
+    /** Nested object/array: compact JSON text — whitespace outside strings
+      * is dropped, matching from_json's StringType behavior (Jackson
+      * re-serializes the subtree compactly). */
+    private def rawStructure(): UTF8String = {
+      val buf = new java.io.ByteArrayOutputStream(64)
+      var depth = 0
+      var inStr = false
+      while (i < n) {
+        val c = b(i)
+        if (inStr) {
+          buf.write(c)
+          if (c == '\\') { i += 1; if (i < n) buf.write(b(i)) }
+          else if (c == '"') inStr = false
+        } else c.toChar match {
+          case ' ' | '\t' | '\n' | '\r' => // skip
+          case '"' => inStr = true; buf.write(c)
+          case '{' | '[' => depth += 1; buf.write(c)
+          case '}' | ']' =>
+            depth -= 1; buf.write(c)
+            if (depth == 0) {
+              i += 1
+              val arr = buf.toByteArray
+              return UTF8String.fromBytes(arr, 0, arr.length)
+            }
+          case _ => buf.write(c)
+        }
+        i += 1
+      }
+      throw malformed
+    }
+
+    /** Skip any JSON value (unknown keys). */
+    private def skipValue(): Unit = {
+      skipWs()
+      peek() match {
+        case '"' => parseString()
+        case '{' | '[' => rawStructure()
+        case 'n' => parseNullLiteral()
+        case _ => rawScalar()
+      }
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.decode.ChangeDecoder
+import graft.functions.ParseWalLine
+import graft.gen.{ChangeStreamGen, GenConfig}
+import graft.model.Wal2Json
+
+/**
+ * The native wal2json parser must be observationally identical to
+ * from_json(walLineSchema) — on generated streams, hand-written edge cases,
+ * and malformed garbage (where both yield NULL rows).
+ */
+class ParseWalLineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bothParses(lines: Seq[String]): (Array[String], Array[String]) = {
+    val df = spark.createDataset(lines).toDF("value")
+    ParseWalLine.register(spark)
+    val native = df.select(to_json(call_function("parse_wal_line", col("value"))).as("j"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val jackson = df.select(to_json(from_json(col("value"), Wal2Json.walLineSchema)).as("j"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    (native, jackson)
+  }
+
+  test("parity with from_json on a generated stream (incl. schema evolution)") {
+    val cfg = GenConfig(seed = 77L, nRepos = 30, pathsPerRepo = 6,
+      addColumnAtLsn = 200L, renameAtLsn = 350L)
+    val lines = (0L until 500L).map(id =>
+      ChangeStreamGen.renderLine(cfg, ChangeStreamGen.txn(cfg, id)))
+    val (n, j) = bothParses(lines)
+    assert(n.length === j.length)
+    n.zip(j).zipWithIndex.foreach { case ((a, b), idx) =>
+      assert(a === b, s"line $idx: ${lines(idx).take(120)}")
+    }
+  }
+
+  test("parity on edge cases: escapes, unicode, nested values, field order, extras") {
+    val cases = Seq(
+      // escapes incl. \uXXXX and surrogate pair, tab/newline
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["text"],"columnvalues":["q\"\\\/\b\f\n\r\tzé😀"]}]}""",
+      // non-string scalars keep literal text; null stays null
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a","b","c","d"],"columntypes":["t","t","t","t"],"columnvalues":[185.22,true,null,-42]}]}""",
+      // nested object/array captured as raw JSON
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a","b"],"columntypes":["json","json"],"columnvalues":[{"k": [1, "x"]},[1,2,3]]}]}""",
+      // reordered fields + unknown extras are skipped
+      """{"change":[{"table":"t","unknown":{"deep":[1,2]},"kind":"delete","oldkeys":{"keyvalues":[7],"keynames":["id"],"keytypes":["integer"]},"schema":"s"}],"xid":3147483647,"lsn":99}""",
+      // empty change array; whitespace everywhere
+      """ { "lsn" : 5 , "xid" : 6 , "change" : [ ] } """,
+      // missing fields => nulls
+      """{"lsn":7}""",
+      """{"xid":8,"change":[]}""",
+      // null oldkeys / null arrays
+      """{"lsn":1,"xid":2,"change":[{"kind":"delete","schema":"s","table":"t","oldkeys":null}]}""",
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":null,"columntypes":null,"columnvalues":null}]}""")
+    val (n, j) = bothParses(cases)
+    n.zip(j).zipWithIndex.foreach { case ((a, b), idx) =>
+      assert(a === b, s"case $idx: ${cases(idx).take(120)}")
+    }
+  }
+
+  test("malformed inputs yield NULL rows, matching from_json PERMISSIVE") {
+    val cases = Seq(
+      "", "not json", "[1,2,3]", "{", """{"lsn": }""", """{"lsn":1 "xid":2}""",
+      """{"lsn":1.5,"xid":2,"change":[]}""", // non-integer lsn
+      """{"lsn":1,"xid":2,"change":{"kind":"x"}}""", // change not an array
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","columnnames":"nope"}]}""")
+    val (n, j) = bothParses(cases)
+    n.zip(j).zipWithIndex.foreach { case ((a, b), idx) =>
+      assert(a === b, s"case $idx: '${cases(idx)}' native=$a jackson=$b")
+    }
+  }
+
+  test("engine parity: decode(native) == decode(from_json) on a real stream") {
+    val cfg = GenConfig(seed = 13L, nRepos = 10, pathsPerRepo = 4)
+    val lines = (0L until 200L).map(id =>
+      ChangeStreamGen.renderLine(cfg, ChangeStreamGen.txn(cfg, id)))
+    val df = spark.createDataset(lines).toDF("value")
+    val a = ChangeDecoder.decode(df, nativeParser = true)
+      .select(to_json(struct(col("*")))).collect().map(_.getString(0)).sorted
+    val b = ChangeDecoder.decode(df, nativeParser = false)
+      .select(to_json(struct(col("*")))).collect().map(_.getString(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+}
