@@ -96,6 +96,11 @@ object Main {
             sha2(col("content"), 256).as("content_sha256"))
           .show(kv.getOrElse("limit", "10").toInt, truncate = false)
 
+      case "vacuum" =>
+        val t = new LakeTable(spark, kv("table-root"))
+        val (snaps, files) = t.expireSnapshots(kv.getOrElse("keep-last", "5").toInt)
+        println(s"""{"expired_snapshots":$snaps,"deleted_files":$files}""")
+
       case other => sys.error(s"unknown command $other")
     } finally spark.stop()
   }

@@ -166,6 +166,43 @@ class LakeTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /**
+   * Retention maintenance: drop snapshots older than the newest `keepLast`
+   * and delete data files referenced ONLY by the dropped ones (the analog
+   * of Iceberg's expire_snapshots + orphan cleanup; bounds storage growth
+   * from bucket-grain copy-on-write while keeping `keepLast` snapshots
+   * time-travelable).
+   *
+   * @return (snapshots removed, data files deleted)
+   */
+  def expireSnapshots(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val ids = {
+      if (!Files.isDirectory(metaDir)) return (0, 0)
+      Files.list(metaDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case SnapshotRe(n) => n.toLong }
+        .toSeq.sorted
+    }
+    if (ids.size <= keepLast) return (0, 0)
+    val (expire, keep) = ids.splitAt(ids.size - keepLast)
+    val keptFiles = keep.flatMap(id => readSnapshot(id).allFiles).toSet
+    val deadFiles = expire.flatMap(id => readSnapshot(id).allFiles).toSet -- keptFiles
+    deadFiles.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+    expire.foreach(id => Files.deleteIfExists(metaDir.resolve(f"snapshot-$id%012d.json")))
+    // sweep now-empty commit directories
+    if (Files.isDirectory(dataDir)) {
+      Files.list(dataDir).iterator().asScala.toSeq.foreach { commitDir =>
+        val subs = Files.walk(commitDir).iterator().asScala.toSeq.reverse
+        subs.foreach { p =>
+          if (Files.isDirectory(p) && !Files.list(p).iterator().hasNext)
+            Files.deleteIfExists(p)
+        }
+      }
+    }
+    (expire.size, deadFiles.size)
+  }
+
   /** Write `df` (which must carry an integer `_bucket` column) as the data
     * files of commit `snapshotId`; returns bucket -> new relative file paths. */
   def writeBucketed(df: DataFrame, snapshotId: Long): Map[Int, Seq[String]] = {

@@ -163,8 +163,80 @@ object SimilarityOps {
        |        JOIN norms nb ON d0.vb = nb.vec_id) d)
        |WHERE cos2_bp >= 1500 ORDER BY label, va, vb""".stripMargin
 
+  /**
+   * IVF-style ANN: a deterministic codebook (the embeddings of vec_ids
+   * 0,17,34,...) plays the role of k-means centroids; every vector is
+   * assigned to its nearest centroid (coarse quantizer), and queries probe
+   * ONLY their own cell — the inverted-file structure that turns a
+   * corpus-wide scan into a per-cell scan at 10^10 scale. Output: per query
+   * (vec_id < 10), its cell and the top-3 same-cell neighbors.
+   */
+  private val NCELLS = 8
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val cents = q.filter(pmod(col("vec_id"), lit(17)) === 0 && col("vec_id") < 17 * NCELLS)
+      .select((col("vec_id") / 17).cast("int").as("cell"), col("idx"), col("q").as("cq"))
+    // coarse assignment: argmax quantized dot to centroid, tie-break on cell
+    val dots = q.join(cents, Seq("idx"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(sum(col("q") * col("cq")).as("dot"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot").desc, col("cell").asc)
+    val assign = dots.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cell"))
+    // probe: brute-force INSIDE the query's cell only
+    val qa = q.join(assign, "vec_id")
+    val queries = qa.filter(col("vec_id") < 10)
+      .select(col("cell"), col("idx"), col("vec_id").as("qid"), col("q").as("qq"))
+    val cands = qa.select(col("cell"), col("idx"), col("vec_id").as("nid"), col("q").as("cq"))
+    val n = norms(q)
+    val scored = queries.join(cands, Seq("cell", "idx"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("cell"), col("qid"), col("nid"))
+      .agg(sum(col("qq") * col("cq")).as("dot"))
+      .join(n.select(col("vec_id").as("qid"), col("n2").as("na")), "qid")
+      .join(n.select(col("vec_id").as("nid"), col("n2").as("nb")), "nid")
+      .withColumn("cos2_bp", expr(metricExpr))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos2_bp").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("cell"), col("rnk"), col("nid"), col("cos2_bp"))
+      .orderBy("qid", "rnk")
+  }
+
+  val annIvfTopKSql: String =
+    s"""WITH quant AS ($quantizedSql),
+       |norms AS ($normsSql),
+       |cents AS (
+       |  SELECT CAST(vec_id // 17 AS INT) AS cell, idx, q AS cq FROM quant
+       |  WHERE vec_id % 17 = 0 AND vec_id < ${17 * NCELLS}),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dot DESC, cell ASC) AS rn FROM (
+       |      SELECT a.vec_id, c.cell, CAST(sum(a.q * c.cq) AS BIGINT) AS dot
+       |      FROM quant a JOIN cents c ON a.idx = c.idx GROUP BY 1, 2))
+       |  WHERE rn = 1),
+       |qa AS (SELECT q.*, s.cell FROM quant q JOIN assign s USING (vec_id)),
+       |scored AS (
+       |  SELECT d.cell, d.qid, d.nid, $metricSqlExpr AS cos2_bp FROM (
+       |    SELECT d0.cell, d0.qid, d0.nid, d0.dot, na.n2 AS na, nb.n2 AS nb FROM (
+       |      SELECT a.cell, a.vec_id AS qid, b.vec_id AS nid,
+       |        CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |      FROM qa a JOIN qa b ON a.cell = b.cell AND a.idx = b.idx
+       |        AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+       |      GROUP BY 1, 2, 3) d0
+       |    JOIN norms na ON d0.qid = na.vec_id
+       |    JOIN norms nb ON d0.nid = nb.vec_id) d)
+       |SELECT qid, cell, rnk, nid, cos2_bp FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos2_bp DESC, nid ASC) AS INT) AS rnk FROM scored)
+       |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ann_cosine_topk" -> (annTopK _, annTopKSql),
     "ann_lsh_buckets" -> (annLshBuckets _, annLshBucketsSql),
+    "ann_ivf_topk" -> (annIvfTopK _, annIvfTopKSql),
     "dedup_embedding_cosine" -> (embeddingNearDup _, embeddingNearDupSql))
 }

@@ -99,4 +99,22 @@ class LakeFeatureSpec extends SparkSpec {
       .map { case (k, ch) => k -> sha256(ch.content) }
     assert(state(tRepos) === exp)
   }
+
+  test("expireSnapshots keeps recent history, deletes dead files") {
+    val t = newTable()
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 60)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(60, 120)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(120, 180)))
+    val before = state(t)
+    val sidCurrent = t.currentSnapshot.get.snapshotId
+    val (removedSnaps, removedFiles) = t.expireSnapshots(keepLast = 2)
+    assert(removedSnaps === 2) // snapshots 0 (empty) and 1
+    assert(state(t) === before) // current state untouched
+    // previous snapshot still time-travelable
+    assert(t.read(asOfSnapshot = Some(sidCurrent - 1)).count() > 0)
+    // expired snapshot gone
+    intercept[Exception] { t.readSnapshot(1L) }
+    // and expiry is idempotent
+    assert(t.expireSnapshots(keepLast = 2) === ((0, 0)))
+  }
 }
