@@ -38,6 +38,9 @@ object ChangeDecoder {
    *                       SlotReaderKinesisWriter.java:233)
    * @param strict         fail (like the reference) vs drop on malformed lines
    */
+  private def startsWithBracket(c: Column): Column =
+    substring(ltrim(c), 1, 1) === "["
+
   def decode(lines: DataFrame, relevantTables: Set[String] = Set.empty,
              strict: Boolean = true, nativeParser: Boolean = true): DataFrame = {
     // The explode(array(...)) is a deliberate Generate barrier: it forces
@@ -46,11 +49,22 @@ object ChangeDecoder {
     // parse alias into every downstream reference (the strict guard
     // alone references it 5 times), re-parsing each line 5-10x — measured
     // as a ~7x CPU blowup on the decode stages.
+    // KPL-aggregation parity (reference consumer accepts a single
+    // SlotMessage or an ARRAY of them per record,
+    // SlotMessageRecordProcessor.java:73-82): a line starting with '[' is
+    // an aggregated batch of wal lines — exploded into its elements first.
+    val singles = lines.filter(!startsWithBracket(col("value")))
+    val aggregated = lines.filter(startsWithBracket(col("value")))
+      .select(explode(from_json(col("value"),
+        org.apache.spark.sql.types.ArrayType(Wal2Json.walLineSchema))).as("m0"))
+      .select(to_json(col("m0")).as("value")) // re-enter the single path
+    val allLines = singles.unionByName(aggregated)
+
     val parseExpr =
       if (nativeParser)
         graft.functions.ParseWalLine.parseWalLine(lines.sparkSession, col("value"))
       else from_json(col("value"), Wal2Json.walLineSchema)
-    val parsed = lines
+    val parsed = allLines
       .select(col("value"), explode(array(parseExpr)).as("m"))
 
     val malformed = col("m").isNull || col("m.lsn").isNull ||
@@ -115,10 +129,19 @@ object ChangeDecoder {
       if (nativeParser)
         graft.functions.ParseWalLine.parseWalLine(lines.sparkSession, col("value"))
       else from_json(col("value"), Wal2Json.walLineSchema)
-    val parsed = lines.select(col("value"), parseExpr.as("m"))
-    parsed
-      .filter(col("m").isNull || col("m.lsn").isNull || col("m.xid").isNull
-        || col("m.change").isNull)
+    val singleBad = col("m").isNull || col("m.lsn").isNull ||
+      col("m.xid").isNull || col("m.change").isNull
+    // aggregated (KPL) lines are valid iff the array parses and every
+    // element carries the required envelope fields
+    val aggOk = col("arr").isNotNull &&
+      size(filter(col("arr"), e =>
+        e.isNull || e.getField("lsn").isNull || e.getField("xid").isNull ||
+          e.getField("change").isNull)) === 0
+    lines
+      .select(col("value"), parseExpr.as("m"),
+        from_json(col("value"),
+          org.apache.spark.sql.types.ArrayType(Wal2Json.walLineSchema)).as("arr"))
+      .filter(when(startsWithBracket(col("value")), !aggOk).otherwise(singleBad))
       .select(substring(col("value"), 1, 256))
       .take(limit)
       .map(_.getString(0))

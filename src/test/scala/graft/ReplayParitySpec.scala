@@ -152,4 +152,20 @@ class ReplayParitySpec extends SparkSpec {
       .toDF("value")
     assert(ChangeDecoder.decode(df, strict = false).count() === 1)
   }
+
+  test("KPL-aggregated lines: an array of slot messages decodes like singles") {
+    // reference consumer accepts single objects or arrays
+    // (SlotMessageRecordProcessor.java:73-82)
+    val agg = "[" + Seq(ins(1, 560, 1, "Fuji", 2), ins(2, 561, 2, "Gala", 3))
+      .mkString(",") + "]"
+    val single = upd(3, 562, 1, "Fuji", 7)
+    val df = spark.createDataset(Seq(agg, single)).toDF("value")
+    assert(graft.decode.ChangeDecoder.malformedLines(df).isEmpty)
+    val t = newTable()
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(df))
+    assert(state(t) === Set((1, "Fuji", 7), (2, "Gala", 3)))
+    // malformed aggregated line is caught by strict validation
+    val bad = spark.createDataset(Seq("""[{"lsn":1},{"nope":true}]""")).toDF("value")
+    assert(graft.decode.ChangeDecoder.malformedLines(bad).nonEmpty)
+  }
 }
