@@ -50,9 +50,11 @@ object ScaleBench {
     val nTxns = if (args.length > 0) args(0).toLong else 500000L
     val reps = if (args.length > 1) args(1).toInt else 3
     val ns = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq else Seq(8)
+    val reuseWal = if (args.length > 3) Some(args(3)) else None
 
     val prep = session(ns.map(_ * 4).max)
-    val walDir = CdcBench.prepareWal(prep, nTxns, txnsPerSegment = nTxns / 64)
+    val walDir = reuseWal.getOrElse(
+      CdcBench.prepareWal(prep, nTxns, txnsPerSegment = nTxns / 64))
     val warmWal = CdcBench.prepareWal(prep, 4000L, txnsPerSegment = 500L)
     prep.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
