@@ -39,7 +39,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map { case (k, (fn, _)) => k -> fn }
+    registry.map { case (k, (fn, _)) => k -> fn } ++
+      RelationalQueries.noOracle // sketches: rows-only check, no SQL oracle
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */

@@ -182,6 +182,23 @@ object RelationalQueries {
       |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
       |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
 
+  /** Approximate aggregates (HLL distinct sketch + t-digest quantiles).
+    * No DuckDB oracle — sketch implementations differ across engines, so
+    * the driver records the weaker rows-only check for this one. */
+  def approxAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+      .orderBy("l_returnflag")
+
+  /** Queries with no SQL-expressible oracle (driver does rows-only). */
+  val noOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_agg" -> (approxAgg _))
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q1_agg" -> (q1Agg _, q1AggSql),
     "q_join_revenue" -> (joinRevenue _, joinRevenueSql),

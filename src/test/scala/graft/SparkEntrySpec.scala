@@ -12,8 +12,9 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle and column names match the oracle aliases") {
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  test("every oracle belongs to a query; only sketch queries lack oracles") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === Set("q_approx_agg"))
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
