@@ -293,7 +293,8 @@ object MergeEngine {
       .repartition(col("_bucket")) // co-locate each bucket into one task/file
 
     val newId = snap.snapshotId + 1
-    val written = table.writeBucketed(merged, newId)
+    val commitDir = table.newCommitDirName(newId)
+    val written = table.writeBucketed(merged, commitDir)
 
     // 6. Fenced snapshot commit.
     val bucketFiles = snap.bucketFiles ++
@@ -334,7 +335,11 @@ object MergeEngine {
       bucketLineage = bucketLineage,
       lsnHighWatermark = math.max(snap.lsnHighWatermark, maxLsn),
       lineage = lineage)
-    table.commit(next, expectedSnapshotId = snap.snapshotId)
+    // A lost fencing race (or any commit failure) must not leak the
+    // attempt's data files — they are referenced by no snapshot and would
+    // otherwise accumulate unbounded across conflict retries.
+    try table.commit(next, expectedSnapshotId = snap.snapshotId)
+    catch { case e: Throwable => table.deleteDataDir(commitDir); throw e }
 
     MergeStats(committed = true, newId, inputEvents, appliedKeys,
       inserted, updated, deleted, inputEvents - appliedKeys,

@@ -1,6 +1,8 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, FileAlreadyExistsException}
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,7 +17,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
  *
  * Layout:
  * {{{
- *   <root>/data/commit-<snapshotId>/_bucket=<k>/part-*.parquet
+ *   <root>/data/commit-<snapshotId>-<attempt>/_bucket=<k>/part-*.parquet
  *   <root>/meta/snapshot-<%012d>.json
  * }}}
  *
@@ -26,10 +28,12 @@ import com.fasterxml.jackson.databind.node.ObjectNode
  * MERGE shuffles both sides on the same key hash.
  *
  * Consistency: the current snapshot is the highest-numbered manifest. A
- * commit writes snapshot-(expected+1) via temp-file + atomic rename;
- * Files.move without REPLACE_EXISTING throws if a concurrent writer got
- * there first — that is the snapshot-id fencing (the transactional analog of
- * the reference's slot-busy single-writer lock wait,
+ * commit writes a fully-fsynced temp file, then publishes it with
+ * Files.createLink (link(2)) — the one POSIX primitive that atomically FAILS
+ * with EEXIST when the target exists (rename(2)/ATOMIC_MOVE silently
+ * replaces, which would let two racing committers both "win"). The loser
+ * gets [[CommitConflictException]] — that is the snapshot-id fencing (the
+ * transactional analog of the reference's slot-busy single-writer lock wait,
  * PostgresConnector.java:164-215). Each snapshot also records per-bucket LSN
  * high watermarks; a replayed batch whose events are all <= watermark
  * becomes a byte-identical no-op, which upgrades the reference's
@@ -112,15 +116,37 @@ class LakeTable(val spark: SparkSession, val root: String) {
     val stamped = next.copy(snapshotId = newId)
     val target = metaDir.resolve(f"snapshot-$newId%012d.json")
     val tmp = metaDir.resolve(f".snapshot-$newId%012d.json.tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, toJson(stamped))
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    writeDurable(tmp, toJson(stamped))
+    // link(2) atomically fails with EEXIST if a concurrent writer published
+    // first; rename(2) (Files.move ATOMIC_MOVE) would silently REPLACE the
+    // winner's snapshot on POSIX — no fencing at all. A zombie driver
+    // finishing a stale foreachBatch after failover must lose here.
+    try Files.createLink(target, tmp)
     catch {
       case _: FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
         throw new CommitConflictException(s"snapshot $newId already committed")
-    }
+    } finally Files.deleteIfExists(tmp)
+    fsyncDir(metaDir)
     stamped
   }
+
+  /** Write content and fsync it before publishing (a linked-in snapshot must
+    * never be visible with partial content after a crash). */
+  private def writeDurable(p: Path, content: String): Unit = {
+    val ch = FileChannel.open(p, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(content.getBytes(StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
+  }
+
+  /** Make the new directory entry durable (best-effort: some filesystems
+    * reject opening a directory for read). */
+  private def fsyncDir(dir: Path): Unit =
+    try {
+      val ch = FileChannel.open(dir, StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Exception => () }
 
   /** Expression computing the storage bucket of the given key columns. */
   def bucketExpr(keyColumns: Seq[String], nBuckets: Int) =
@@ -203,10 +229,52 @@ class LakeTable(val spark: SparkSession, val root: String) {
     (expire.size, deadFiles.size)
   }
 
+  /** A fresh, collision-free data directory name for an attempted commit of
+    * `snapshotId`. Unique per ATTEMPT: two racing writers targeting the same
+    * snapshot id must never share a directory (mode=overwrite would clobber
+    * the winner's data files before the loser's commit is fenced off). */
+  def newCommitDirName(snapshotId: Long, prefix: String = "commit"): String =
+    f"$prefix-$snapshotId%012d-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Recursively delete an attempted commit's data directory (called when
+    * the commit loses the fencing race or fails — otherwise orphaned files
+    * would accumulate unbounded under concurrent-writer conflicts). */
+  def deleteDataDir(dirName: String): Unit = {
+    val p = Paths.get(root, "data", dirName)
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  /**
+   * Orphan sweep (the analog of Iceberg's remove_orphan_files): delete data
+   * directories not referenced by ANY retained snapshot and older than
+   * `graceMs` (the grace period protects an in-flight writer that has
+   * written its data files but not yet committed).
+   *
+   * @return number of orphan directories removed
+   */
+  def removeOrphans(graceMs: Long = 60 * 60 * 1000L): Int = {
+    if (!Files.isDirectory(dataDir)) return 0
+    val liveDirs = {
+      val ids = Files.list(metaDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case SnapshotRe(n) => n.toLong }.toSeq
+      ids.flatMap(id => readSnapshot(id).allFiles)
+        .map(f => Paths.get(f).getName(1).toString).toSet // data/<dir>/...
+    }
+    val cutoff = System.currentTimeMillis() - graceMs
+    val orphans = Files.list(dataDir).iterator().asScala.toSeq.filter { p =>
+      !liveDirs.contains(p.getFileName.toString) &&
+        Files.getLastModifiedTime(p).toMillis < cutoff
+    }
+    orphans.foreach(p => deleteDataDir(p.getFileName.toString))
+    orphans.size
+  }
+
   /** Write `df` (which must carry an integer `_bucket` column) as the data
-    * files of commit `snapshotId`; returns bucket -> new relative file paths. */
-  def writeBucketed(df: DataFrame, snapshotId: Long): Map[Int, Seq[String]] = {
-    val commitDir = s"commit-$snapshotId"
+    * files of an attempted commit; returns bucket -> new relative file paths. */
+  def writeBucketed(df: DataFrame, commitDir: String): Map[Int, Seq[String]] = {
     val outPath = s"$root/data/$commitDir"
     df.write.partitionBy("_bucket").mode("overwrite").parquet(outPath)
     val base = Paths.get(outPath)

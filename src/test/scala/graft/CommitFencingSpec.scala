@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, CyclicBarrier, Executors, TimeUnit}
+import org.apache.spark.sql.types._
+import graft.lake.{CommitConflictException, LakeTable, Snapshot}
+
+/**
+ * Snapshot fencing under a genuinely concurrent commit race (the zombie-
+ * driver scenario: a stale foreachBatch finishing after failover must LOSE).
+ * On POSIX, rename(2) silently replaces an existing target, so the fencing
+ * primitive must be link(2)/createLink, which atomically fails with EEXIST.
+ */
+class CommitFencingSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(StructField("id", IntegerType)))
+
+  private def freshTable(): LakeTable = {
+    val t = new LakeTable(spark, tmpDir("fence"))
+    t.create(schema, Seq("id"), 2)
+    t
+  }
+
+  test("concurrent committers: exactly one wins, winner's snapshot survives") {
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 0 until 30) {
+        val t = freshTable()
+        val base = t.currentSnapshot.get
+        val barrier = new CyclicBarrier(2)
+        val done = new CountDownLatch(2)
+        val results = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        Seq("A", "B").foreach { who =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              val mine = base.copy(lineage = Map("writer" -> who.hashCode.toLong))
+              barrier.await(10, TimeUnit.SECONDS)
+              try {
+                t.commit(mine, expectedSnapshotId = base.snapshotId)
+                results.put(who, "won")
+              } catch {
+                case _: CommitConflictException => results.put(who, "lost")
+              } finally done.countDown()
+            }
+          })
+        }
+        assert(done.await(30, TimeUnit.SECONDS), s"round $round timed out")
+        val outcomes = Seq("A", "B").map(results.get)
+        assert(outcomes.count(_ == "won") == 1,
+          s"round $round: expected exactly one winner, got $outcomes")
+        // the surviving snapshot is the winner's, not the loser's
+        val winner = Seq("A", "B").find(results.get(_) == "won").get
+        val surviving = t.currentSnapshot.get
+        assert(surviving.snapshotId == base.snapshotId + 1)
+        assert(surviving.lineage("writer") == winner.hashCode.toLong, s"round $round clobbered")
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("removeOrphans deletes stale unreferenced data dirs, keeps live + fresh ones") {
+    val t = freshTable()
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // live commit: one real bucketed write + commit
+    val df = Seq(1, 2, 3).toDF("id").withColumn("_bucket", t.bucketExpr(Seq("id"), 2))
+    val snap = t.currentSnapshot.get
+    val dirName = t.newCommitDirName(snap.snapshotId + 1)
+    val written = t.writeBucketed(df, dirName)
+    t.commit(snap.copy(bucketFiles = written, lsnHighWatermark = 1L), snap.snapshotId)
+
+    // orphan: a stale attempt dir (conflict loser) with old mtime
+    val orphan = Paths.get(t.root, "data", "commit-000000000007-deadbeef")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-0.parquet"), "junk")
+    val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10_000_000L)
+    Files.setLastModifiedTime(orphan, old)
+
+    // fresh unreferenced dir (in-flight writer) must survive the grace period
+    val inflight = Paths.get(t.root, "data", "commit-000000000008-cafebabe")
+    Files.createDirectories(inflight)
+
+    assert(t.removeOrphans(graceMs = 1_000_000L) == 1)
+    assert(!Files.exists(orphan))
+    assert(Files.exists(inflight))
+    assert(t.read().count() == 3) // live data untouched
+  }
+
+  test("failed commit cleans up its attempted data directory") {
+    val t = freshTable()
+    import spark.implicits._
+    val snap = t.currentSnapshot.get
+    // a competing writer advances the table first
+    t.commit(snap.copy(lsnHighWatermark = 5L), snap.snapshotId)
+    // the stale writer's apply loses and must not leak files: drive the
+    // same write-then-commit path MergeEngine uses
+    val df = Seq(9).toDF("id").withColumn("_bucket",
+      org.apache.spark.sql.functions.lit(0))
+    val dirName = t.newCommitDirName(snap.snapshotId + 1)
+    t.writeBucketed(df, dirName)
+    intercept[CommitConflictException] {
+      try t.commit(snap.copy(bucketFiles = Map.empty), snap.snapshotId)
+      catch { case e: Throwable => t.deleteDataDir(dirName); throw e }
+    }
+    assert(!Files.exists(Paths.get(t.root, "data", dirName)))
+  }
+}
