@@ -1,15 +1,17 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 import java.util
 import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,16 +25,27 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - O2 WAL tail scan / readPending (PostgresConnector.java:106-108)
  *    == `planInputPartitions(start, end)` over newly published segments;
  *  - O3 current-LSN probe (PostgresConnector.java:110-122)
- *    == `latestOffset()` = the count of fully published segments.
+ *    == `latestOffset()` = the greatest fully published segment NAME;
+ *  - LSN ack / WAL release (SlotReaderCallback.java:70-85) == `commit(end)`
+ *    with `retention=delete`: segments at or below the durably-logged offset
+ *    are pruned, the analog of Postgres reclaiming acked WAL.
  *
- * Offsets are segment counts (segments are atomically published via rename,
- * so a visible segment is complete); the LSN high-watermark lives in the
- * sink (MergeEngine), the offset log only needs source progress — the same
- * two-sided split the reference has between the slot's restart LSN and the
- * consumer's position.
+ * Offsets are segment NAMES, never listing positions: segment retention or
+ * repair can add/remove directory entries at any time, and a positional
+ * offset would silently re-read or skip segments when indices shift. Name
+ * offsets are immune — `planInputPartitions` selects exactly the segments in
+ * (start.last, end.last]. Contract with the WAL writer: segments are
+ * published (atomic rename) in monotonically increasing name order, so a
+ * visible segment is complete and nothing below the consumed name will ever
+ * be new data.
+ *
+ * I/O goes through the Hadoop FileSystem API, so `file:`, `hdfs:`, `s3a:`
+ * etc. all work, and large segments are split into line-aligned byte ranges
+ * (`splitBytes`, default 64 MiB) — one oversized segment no longer
+ * serializes onto a single core.
  *
  * Usage: spark.readStream.format("graft-wal").load(dir) => one `value:
- * string` column per WAL line, one input partition per segment.
+ * string` column per WAL line.
  */
 class WalSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-wal"
@@ -49,14 +62,31 @@ class WalSourceProvider extends TableProvider with DataSourceRegister {
 object WalSource {
   val schema: StructType = StructType(Seq(StructField("value", StringType)))
 
-  /** Complete (atomically renamed) segments, in LSN order. */
-  def listSegments(dir: String): Seq[String] = {
-    val p = Paths.get(dir)
-    if (!Files.isDirectory(p)) return Nil
-    Files.list(p).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("wal-") && n.endsWith(".jsonl"))
-      .toSeq.sorted
+  val DefaultSplitBytes: Long = 64L * 1024 * 1024
+
+  private[sources] def fsFor(dir: String): (FileSystem, HPath) = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+    val p = new HPath(dir)
+    (p.getFileSystem(conf), p)
+  }
+
+  private def isSegment(n: String): Boolean =
+    n.startsWith("wal-") && n.endsWith(".jsonl")
+
+  /** Complete (atomically renamed) segment names, in LSN (= name) order. */
+  def listSegments(dir: String): Seq[String] =
+    listSegmentStatus(dir).map(_._1)
+
+  /** (name, byteSize) of complete segments, in LSN order. */
+  def listSegmentStatus(dir: String): Seq[(String, Long)] = {
+    val (fs, p) = fsFor(dir)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && isSegment(s.getPath.getName))
+      .map(s => (s.getPath.getName, s.getLen))
+      .sortBy(_._1)
   }
 }
 
@@ -67,89 +97,201 @@ class WalTable(dir: String) extends Table with SupportsRead {
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxPerTrigger = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
-    () => new WalScan(dir, maxPerTrigger)
+    val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
+      .getOrElse(WalSource.DefaultSplitBytes)
+    val retention = Option(options.get("retention")).contains("delete")
+    () => new WalScan(dir, maxPerTrigger, splitBytes, retention)
   }
 }
 
-class WalScan(dir: String, maxPerTrigger: Option[Int]) extends Scan {
+class WalScan(dir: String, maxPerTrigger: Option[Int], splitBytes: Long,
+              retention: Boolean) extends Scan {
   override def readSchema(): StructType = WalSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WalMicroBatchStream(dir, maxPerTrigger)
+    new WalMicroBatchStream(dir, maxPerTrigger, splitBytes, retention)
 }
 
-/** Offset = number of fully consumed segments. */
-case class WalOffset(segments: Long) extends Offset {
-  override def json(): String = s"""{"segments":$segments}"""
+/** Offset = NAME of the last fully consumed segment ("" before any). Names
+  * are zero-padded (`wal-%09d.jsonl`) so lexicographic order = LSN order. */
+case class WalOffset(last: String) extends Offset {
+  override def json(): String = {
+    val esc = last.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    s"""{"last":"$esc"}"""
+  }
 }
 
-class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None)
+class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
+                          splitBytes: Long = WalSource.DefaultSplitBytes,
+                          retention: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
+  private def lastName(): String =
+    WalSource.listSegments(dir).lastOption.getOrElse("")
+
   // Trigger.AvailableNow: pin the end of "available" at query start so the
   // run terminates even while the WAL keeps growing (and so admission
   // control below still splits the run into rate-limited micro-batches).
-  @volatile private var availableNowTarget: Option[Long] = None
+  @volatile private var availableNowTarget: Option[String] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(WalSource.listSegments(dir).size.toLong)
+    availableNowTarget = Some(lastName())
 
-  override def initialOffset(): Offset = WalOffset(0L)
+  override def initialOffset(): Offset = WalOffset("")
 
-  override def latestOffset(): Offset =
-    WalOffset(WalSource.listSegments(dir).size.toLong)
+  override def latestOffset(): Offset = WalOffset(lastName())
 
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(m => ReadLimit.maxFiles(m)).getOrElse(ReadLimit.allAvailable())
 
   /** Rate-limited tail: at most maxFiles new segments per micro-batch. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[WalOffset].segments
-    val all = availableNowTarget
-      .getOrElse(WalSource.listSegments(dir).size.toLong)
-    limit match {
-      case mf: ReadMaxFiles => WalOffset(math.min(all, s + mf.maxFiles()))
-      case _ => WalOffset(all)
+    val s = start.asInstanceOf[WalOffset].last
+    // `start` is the end of the last fully COMMITTED batch (a new trigger
+    // begins only after the previous batch reached the commit log; a crash
+    // replay re-plans from the offset log without calling this) — so
+    // segments at or below it are releasable now. Spark only invokes
+    // commit(end) lazily at the next batch construction, which would leave
+    // the final batch's segments unpruned until the next run.
+    prune(s)
+    val target = availableNowTarget.getOrElse(lastName())
+    val pending = WalSource.listSegments(dir)
+      .filter(n => n > s && n <= target)
+    val takeN = limit match {
+      case mf: ReadMaxFiles => math.min(pending.size, mf.maxFiles())
+      case _ => pending.size
     }
+    if (takeN == 0) WalOffset(s) else WalOffset(pending(takeN - 1))
   }
 
   override def deserializeOffset(json: String): Offset = {
-    val m = """"segments"\s*:\s*(\d+)""".r
-    m.findFirstMatchIn(json) match {
-      case Some(g) => WalOffset(g.group(1).toLong)
-      case None => throw new IllegalArgumentException(s"bad WAL offset: $json")
+    val nameRe = """"last"\s*:\s*"([^"]*)"""".r
+    nameRe.findFirstMatchIn(json) match {
+      case Some(g) => WalOffset(g.group(1))
+      case None =>
+        // migrate a pre-name-offset checkpoint: {"segments":N} meant "the
+        // first N segments of the listing" — valid only while nothing was
+        // ever deleted, which held under the old source (no retention).
+        val legacy = """"segments"\s*:\s*(\d+)""".r
+        legacy.findFirstMatchIn(json) match {
+          case Some(g) =>
+            val n = g.group(1).toInt
+            val segs = WalSource.listSegments(dir)
+            if (n == 0) WalOffset("")
+            else if (n <= segs.size) WalOffset(segs(n - 1))
+            else throw new IllegalArgumentException(
+              s"legacy WAL offset $n exceeds ${segs.size} segments in $dir")
+          case None => throw new IllegalArgumentException(s"bad WAL offset: $json")
+        }
     }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[WalOffset].segments
-    val e = end.asInstanceOf[WalOffset].segments
-    val segs = WalSource.listSegments(dir)
-    (s until e).map(i => WalInputPartition(s"$dir/${segs(i.toInt)}")
-      .asInstanceOf[InputPartition]).toArray
+    val s = start.asInstanceOf[WalOffset].last
+    val e = end.asInstanceOf[WalOffset].last
+    WalSource.listSegmentStatus(dir)
+      .filter { case (n, _) => n > s && n <= e }
+      .flatMap { case (n, size) =>
+        // line-aligned byte-range splits: a split owns every line that
+        // STARTS inside it (the reader skips a leading partial line and
+        // finishes the line straddling its end)
+        val nSplits = math.max(1L, (size + splitBytes - 1) / splitBytes)
+        (0L until nSplits).map { k =>
+          val off = k * splitBytes
+          WalInputPartition(s"$dir/$n", off, math.min(splitBytes, size - off))
+            .asInstanceOf[InputPartition]
+        }
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WalReaderFactory
 
-  override def commit(end: Offset): Unit = () // segments are retained
+  /** WAL release: once the engine durably logs `end` (exactly-once offset
+    * log + idempotent sink), segments at or below it are never needed again.
+    * With `retention=delete` they are pruned — the reference's LSN-ack WAL
+    * reclamation (SlotReaderCallback.java:70-85). Name offsets make this
+    * safe: deletion can never shift what the remaining names mean. */
+  override def commit(end: Offset): Unit =
+    prune(end.asInstanceOf[WalOffset].last)
+
+  private def prune(upTo: String): Unit = {
+    if (!retention || upTo.isEmpty) return
+    val (fs, p) = WalSource.fsFor(dir)
+    WalSource.listSegments(dir)
+      .filter(_ <= upTo)
+      .foreach(n => fs.delete(new HPath(p, n), false))
+  }
+
   override def stop(): Unit = ()
 }
 
-case class WalInputPartition(path: String) extends InputPartition
+/** One line-aligned byte range of one segment. */
+case class WalInputPartition(path: String, start: Long, length: Long)
+    extends InputPartition
 
 class WalReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[WalInputPartition].path
-    new PartitionReader[InternalRow] {
-      private val reader = Files.newBufferedReader(Paths.get(path))
-      private var line: String = _
-      override def next(): Boolean = { line = reader.readLine(); line != null }
-      override def get(): InternalRow =
-        InternalRow(UTF8String.fromString(line))
-      override def close(): Unit = reader.close()
+    val p = partition.asInstanceOf[WalInputPartition]
+    new WalPartitionReader(p.path, p.start, p.length)
+  }
+}
+
+/**
+ * Reads the lines of one byte range via the Hadoop FileSystem API
+ * (filesystem-agnostic, executor-side). Range semantics are Hadoop
+ * TextInputFormat's: if start > 0 the leading partial line belongs to the
+ * previous split and is skipped; the line straddling the range end is read
+ * to completion. Lines are emitted as raw UTF-8 bytes (no UTF-16 round
+ * trip — the downstream native parser consumes UTF8String directly).
+ */
+class WalPartitionReader(path: String, start: Long, length: Long)
+    extends PartitionReader[InternalRow] {
+  private val end = start + length
+  private val hp = new HPath(path)
+  // executor-side: default Hadoop config (file:/hdfs:/s3a: from classpath
+  // core-site.xml); options needing session confs would use a broadcast
+  private val fs = hp.getFileSystem(new Configuration())
+  private val stream = fs.open(hp)
+  if (start > 0) stream.seek(start)
+  private val in = new java.io.BufferedInputStream(stream, 1 << 16)
+  private var pos: Long = start
+  private val buf = new java.io.ByteArrayOutputStream(4096)
+  private var line: UTF8String = _
+
+  if (start > 0) skipToLineStart()
+
+  /** The partial line at the head of a mid-file split belongs to the
+    * previous split — consume through its newline. */
+  private def skipToLineStart(): Unit = {
+    var b = in.read()
+    while (b != -1) {
+      pos += 1
+      if (b == '\n') return
+      b = in.read()
     }
   }
+
+  override def next(): Boolean = {
+    if (pos >= end) return false
+    buf.reset()
+    var b = in.read()
+    if (b == -1) return false
+    while (b != -1 && b != '\n') {
+      buf.write(b)
+      pos += 1
+      b = in.read()
+    }
+    if (b == '\n') pos += 1
+    // strip a trailing \r (CRLF input)
+    val arr = buf.toByteArray
+    val len = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1 else arr.length
+    line = UTF8String.fromBytes(arr, 0, len)
+    true
+  }
+
+  override def get(): InternalRow = InternalRow(line)
+  override def close(): Unit = in.close()
 }

@@ -46,7 +46,12 @@ class CdcPipeline(
     relevantTables: Set[String] = Set.empty,
     metricsPath: Option[String] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    strictDecode: Boolean = true) {
+    strictDecode: Boolean = true,
+    // delete WAL segments once their offset is durably committed (the
+    // reference's LSN-ack WAL release); safe because offsets are segment
+    // names and the sink is idempotent
+    walRetention: Boolean = false,
+    walSplitBytes: Option[Long] = None) {
 
   // Idempotent table creation (reference tolerates slot-already-exists,
   // PostgresConnector.java:90-97).
@@ -105,6 +110,8 @@ class CdcPipeline(
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val reader = spark.readStream.format("graft-wal")
     maxFilesPerTrigger.foreach(m => reader.option("maxSegmentsPerTrigger", m))
+    if (walRetention) reader.option("retention", "delete")
+    walSplitBytes.foreach(b => reader.option("splitBytes", b))
     val lines = reader.load(walDir)
     lines.writeStream
       .queryName("graft-cdc")

@@ -8,13 +8,75 @@ import graft.lake.LakeTable
 import graft.sources.WalSource
 
 /**
- * The custom DSv2 streaming source (`graft-wal`): segment-count offsets,
- * partition-per-segment planning, resume, and end-to-end use as the
- * pipeline's WAL tail (reference O1/O2/O3 as source machinery).
+ * The custom DSv2 streaming source (`graft-wal`): segment-NAME offsets,
+ * byte-range split planning, resume under retention/deletion, and
+ * end-to-end use as the pipeline's WAL tail (reference O1/O2/O3 + the
+ * LSN-ack WAL release as source machinery).
  */
 class WalSourceSpec extends SparkSpec {
 
   val cfg = GenConfig(seed = 21L, nRepos = 10, pathsPerRepo = 4, maxChangesPerTxn = 2)
+
+  private def runCount(dir: String, ckpt: String,
+                       options: Map[String, String] = Map.empty): (Long, Int) = {
+    var total = 0L
+    var parts = 0
+    val reader = spark.readStream.format("graft-wal")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        parts = math.max(parts, df.rdd.getNumPartitions)
+        total += df.count()
+      }
+      .start()
+    q.awaitTermination()
+    (total, parts)
+  }
+
+  test("resume is immune to deletion of already-consumed segments") {
+    val dir = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    ChangeStreamGen.writeSegments(spark, cfg, dir, 60L, txnsPerSegment = 20)
+    assert(runCount(dir, ckpt)._1 === 60L)
+    // retention/repair removes two consumed segments: name-based offsets
+    // must keep meaning the same thing (positional offsets would shift,
+    // re-reading consumed data or skipping the new tail)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/wal-000000000.jsonl"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/wal-000000001.jsonl"))
+    ChangeStreamGen.writeSegments(spark, cfg, dir, 100L, txnsPerSegment = 20)
+    assert(runCount(dir, ckpt)._1 === 40L) // exactly the two appended segments
+  }
+
+  test("retention=delete prunes consumed segments, resume stays exactly-once") {
+    val dir = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    ChangeStreamGen.writeSegments(spark, cfg, dir, 60L, txnsPerSegment = 20)
+    val opts = Map("retention" -> "delete")
+    assert(runCount(dir, ckpt, opts)._1 === 60L)
+    // release happens when the NEXT trigger observes the committed offset
+    assert(runCount(dir, ckpt, opts)._1 === 0L) // nothing re-read
+    assert(WalSource.listSegments(dir).isEmpty) // acked WAL released
+    ChangeStreamGen.writeSegments(spark, cfg, dir, 100L, txnsPerSegment = 20)
+    assert(runCount(dir, ckpt, opts)._1 === 40L) // only the new tail
+    assert(runCount(dir, ckpt, opts)._1 === 0L)
+    assert(WalSource.listSegments(dir).isEmpty)
+  }
+
+  test("a large segment splits into multiple line-aligned input partitions") {
+    val dir = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    ChangeStreamGen.writeSegments(spark, cfg, dir, 50L, txnsPerSegment = 50)
+    val size = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$dir/wal-000000000.jsonl"))
+    assert(size > 4096, "need a multi-split segment")
+    val (total, parts) = runCount(dir, ckpt, Map("splitBytes" -> "4096"))
+    assert(total === 50L)   // every line exactly once across splits
+    assert(parts > 1)       // the segment really was split
+    // and the split stream decodes identically to an unsplit read
+    val ckpt2 = tmpDir("ckpt")
+    val (total2, parts2) = runCount(dir, ckpt2)
+    assert(total2 === 50L && parts2 === 1)
+  }
 
   test("segment listing is ordered and ignores foreign/partial files") {
     val dir = tmpDir("wal")
