@@ -152,13 +152,20 @@ object MergeEngine {
    * a committed batch (Structured Streaming replays the last batch after a
    * crash) applies zero rows and commits nothing.
    */
+  /**
+   * @param validate called after the batch's first materializing action but
+   *        BEFORE anything is written or committed — the hook where the
+   *        pipeline checks its observe-based malformed-line count (single
+   *        decode pass) and aborts the batch by throwing
+   */
   def applyBatch(table: LakeTable, changes: DataFrame,
-                 saltBuckets: Int = 0): MergeStats = {
+                 saltBuckets: Int = 0,
+                 validate: () => Unit = () => ()): MergeStats = {
     var attempt = 0
     while (true) {
       val snap = table.currentSnapshot.getOrElse(
         throw new IllegalStateException("table must be created before applyBatch"))
-      try return applyOnce(table, snap, changes, saltBuckets)
+      try return applyOnce(table, snap, changes, saltBuckets, validate)
       catch {
         case _: CommitConflictException if attempt < 5 =>
           attempt += 1 // concurrent writer advanced the table: re-read, retry
@@ -168,7 +175,7 @@ object MergeEngine {
   }
 
   private def applyOnce(table: LakeTable, snap: Snapshot, changes: DataFrame,
-                        saltBuckets: Int): MergeStats = {
+                        saltBuckets: Int, validate: () => Unit): MergeStats = {
     val keyCols = snap.keyColumns
     val keyFields = keyCols.map(k => snap.schema(k))
 
@@ -221,12 +228,13 @@ object MergeEngine {
       .select((keyCols.map(col) :+ col("w.*")).toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    try applyDeduped(table, snap, deduped, obs)
+    try applyDeduped(table, snap, deduped, obs, validate)
     finally deduped.unpersist()
   }
 
   private def applyDeduped(table: LakeTable, snap: Snapshot, deduped: DataFrame,
-                           obs: org.apache.spark.sql.Observation): MergeStats = {
+                           obs: org.apache.spark.sql.Observation,
+                           validate: () => Unit): MergeStats = {
     val keyCols = snap.keyColumns
     val nBuckets = snap.nBuckets
 
@@ -242,6 +250,13 @@ object MergeEngine {
 
     val inputEvents = obs.get.get("inputEvents")
       .map(_.asInstanceOf[Long]).getOrElse(-1L)
+
+    // Batch validation gate: the decode metrics are complete now (the stat
+    // pass materialized the plan) and nothing has been written — a strict-
+    // mode malformed batch aborts here, before any file or commit exists.
+    // This must run even when zero events survived the watermark gate: a
+    // batch that is malformed IN FULL must still fail, not no-op.
+    validate()
 
     if (statRows.isEmpty)
       return noopStats.copy(snapshotId = snap.snapshotId, inputEvents = inputEvents)

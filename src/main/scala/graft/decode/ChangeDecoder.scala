@@ -41,8 +41,53 @@ object ChangeDecoder {
   private def startsWithBracket(c: Column): Column =
     substring(ltrim(c), 1, 1) === "["
 
+  /** Decoded events plus a (blocking) malformed-line counter fed by
+    * `observe` metrics in the SAME plan — available after the decoded
+    * DataFrame's first action, at zero extra parse cost. */
+  final case class ValidatedDecode(events: DataFrame, malformedCount: () => Long)
+
+  /**
+   * Single-pass decode + validation for the pipeline's hot path: malformed
+   * lines are COUNTED by CollectMetrics nodes riding the one decode pass
+   * (and dropped), instead of a separate validation query that parses the
+   * whole batch twice more. The caller checks `malformedCount()` after the
+   * first action and before committing anything (MergeEngine's validate
+   * hook), preserving the reference's required=true abort semantics
+   * (SlotReaderKinesisWriter.java:145-147) while parsing each line exactly
+   * once. Filters cannot pass a CollectMetrics node, so the counts always
+   * see every line.
+   */
+  def decodeValidated(lines: DataFrame, relevantTables: Set[String] = Set.empty,
+                      nativeParser: Boolean = true): ValidatedDecode = {
+    val obsAgg = org.apache.spark.sql.Observation()
+    val obsSingle = org.apache.spark.sql.Observation()
+    val events = assemble(lines, relevantTables, strict = false, nativeParser,
+      Some(obsAgg), Some(obsSingle))
+    def metric(o: org.apache.spark.sql.Observation): Option[Long] =
+      o.get.get("nBad").map(_.asInstanceOf[Long]) // blocks until first action
+    val counter = () => (metric(obsAgg), metric(obsSingle)) match {
+      case (Some(a), Some(s)) => a + s
+      case _ =>
+        // The executed plan lost a CollectMetrics node: AQE's empty-relation
+        // propagation replaces fully-empty subtrees (and ConvertToLocal-
+        // Relation statically folds LocalRelation test inputs), and
+        // observedMetrics are harvested from the FINAL physical plan only.
+        // This happens exactly when the batch produced no rows — rare and
+        // cheap — so fall back to an explicit (re-parsing) count; a present
+        // metric is always trustworthy, so the hot path stays single-parse.
+        malformedCount(lines, nativeParser)
+    }
+    ValidatedDecode(events, counter)
+  }
+
   def decode(lines: DataFrame, relevantTables: Set[String] = Set.empty,
-             strict: Boolean = true, nativeParser: Boolean = true): DataFrame = {
+             strict: Boolean = true, nativeParser: Boolean = true): DataFrame =
+    assemble(lines, relevantTables, strict, nativeParser, None, None)
+
+  private def assemble(lines: DataFrame, relevantTables: Set[String],
+                       strict: Boolean, nativeParser: Boolean,
+                       obsAgg: Option[org.apache.spark.sql.Observation],
+                       obsSingle: Option[org.apache.spark.sql.Observation]): DataFrame = {
     // The explode(array(...)) is a deliberate Generate barrier: it forces
     // the parse to be evaluated EXACTLY ONCE per row and materialized as an
     // attribute. Without it, CollapseProject/filter-pushdown substitute the
@@ -53,10 +98,24 @@ object ChangeDecoder {
     // SlotMessage or an ARRAY of them per record,
     // SlotMessageRecordProcessor.java:73-82): a line starting with '[' is
     // an aggregated batch of wal lines — exploded into its elements first.
+    val aggType = org.apache.spark.sql.types.ArrayType(Wal2Json.walLineSchema)
     val singles = lines.filter(!startsWithBracket(col("value")))
-    val aggregated = lines.filter(startsWithBracket(col("value")))
-      .select(explode(from_json(col("value"),
-        org.apache.spark.sql.types.ArrayType(Wal2Json.walLineSchema))).as("m0"))
+    var aggregated0 = lines.filter(startsWithBracket(col("value")))
+      .select(col("value"), explode(array(from_json(col("value"), aggType))).as("arr"))
+    obsAgg.foreach(o => aggregated0 =
+      aggregated0.observe(o, count(when(col("arr").isNull, 1)).as("nBad")))
+    // strict must be self-contained here too: an unparseable aggregated
+    // line yields a null array, and explode(null) silently emits nothing —
+    // the guard lives INSIDE the generator input so it cannot be skipped
+    val arrCol =
+      if (strict)
+        when(col("arr").isNull,
+          raise_error(concat(lit("malformed wal2json line: "),
+            substring(col("value"), 1, 256))).cast(aggType))
+          .otherwise(col("arr"))
+      else col("arr")
+    val aggregated = aggregated0
+      .select(explode(arrCol).as("m0"))
       .select(to_json(col("m0")).as("value")) // re-enter the single path
     val allLines = singles.unionByName(aggregated)
 
@@ -64,11 +123,13 @@ object ChangeDecoder {
       if (nativeParser)
         graft.functions.ParseWalLine.parseWalLine(lines.sparkSession, col("value"))
       else from_json(col("value"), Wal2Json.walLineSchema)
-    val parsed = allLines
+    var parsed = allLines
       .select(col("value"), explode(array(parseExpr)).as("m"))
 
     val malformed = col("m").isNull || col("m.lsn").isNull ||
       col("m.xid").isNull || col("m.change").isNull
+    obsSingle.foreach(o => parsed =
+      parsed.observe(o, count(when(malformed, 1)).as("nBad")))
 
     // The strict guard must live INSIDE the generator input: Catalyst's
     // InferFiltersFromGenerate inserts IsNotNull/size>0 filters below any
@@ -124,7 +185,18 @@ object ChangeDecoder {
    * partial publish).
    */
   def malformedLines(lines: DataFrame, limit: Int = 5,
-                     nativeParser: Boolean = true): Array[String] = {
+                     nativeParser: Boolean = true): Array[String] =
+    malformedDf(lines, nativeParser)
+      .select(substring(col("value"), 1, 256))
+      .take(limit)
+      .map(_.getString(0))
+
+  /** Exact malformed-line count via the same explicit query (fallback for
+    * when observe metrics are unavailable — see [[decodeValidated]]). */
+  def malformedCount(lines: DataFrame, nativeParser: Boolean = true): Long =
+    malformedDf(lines, nativeParser).count()
+
+  private def malformedDf(lines: DataFrame, nativeParser: Boolean): DataFrame = {
     val parseExpr =
       if (nativeParser)
         graft.functions.ParseWalLine.parseWalLine(lines.sparkSession, col("value"))
@@ -142,9 +214,6 @@ object ChangeDecoder {
         from_json(col("value"),
           org.apache.spark.sql.types.ArrayType(Wal2Json.walLineSchema)).as("arr"))
       .filter(when(startsWithBracket(col("value")), !aggOk).otherwise(singleBad))
-      .select(substring(col("value"), 1, 256))
-      .take(limit)
-      .map(_.getString(0))
   }
 
   /**

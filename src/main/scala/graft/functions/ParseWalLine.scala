@@ -281,11 +281,22 @@ object WalLineParser {
       var neg = false
       if (peek() == '-') { neg = true; i += 1 }
       if (i >= n || b(i) < '0' || b(i) > '9') throw malformed
+      // accumulate in NEGATIVE space: |Long.MinValue| > Long.MaxValue, so
+      // this admits exactly [-2^63, 2^63-1] and overflow-checks without
+      // wrapping. Jackson (from_json) throws on out-of-range => field
+      // nulled via fieldSafe; silent wrap would fabricate a wrong LSN.
+      val limit = Long.MinValue / 10 // -922337203685477580
       var v = 0L
-      while (i < n && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+      while (i < n && b(i) >= '0' && b(i) <= '9') {
+        val d = b(i) - '0'
+        if (v < limit || (v == limit && d > 8)) throw malformed
+        v = v * 10 - d
+        i += 1
+      }
       // integer followed by a fraction/exponent => not a clean long
       if (i < n && (b(i) == '.' || b(i) == 'e' || b(i) == 'E')) throw malformed
-      java.lang.Long.valueOf(if (neg) -v else v)
+      if (!neg && v == Long.MinValue) throw malformed // 9223372036854775808
+      java.lang.Long.valueOf(if (neg) v else -v)
     }
 
     private def parseNullLiteral(): Unit = {

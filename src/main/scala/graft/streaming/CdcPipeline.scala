@@ -76,26 +76,37 @@ class CdcPipeline(
   }
 
   /** The per-micro-batch apply, also callable directly on a static batch of
-    * WAL lines (used by tests and the bench harness). */
+    * WAL lines (used by tests and the bench harness).
+    *
+    * Strict decode parity with the reference (required=true aborts the
+    * loop) costs ZERO extra parses: validation rides the single decode pass
+    * as observe/CollectMetrics counts (inline raise_error guards are
+    * legally optimizable away, and a separate validation query would parse
+    * every line twice more — it measurably dominated decode CPU). The
+    * count is checked after the batch's first action and BEFORE any write
+    * or commit (MergeEngine's validate hook); sample bad lines are fetched
+    * by a second query only on the failure path. */
   def processBatch(lines: DataFrame, batchId: Long): Unit = {
-    // Strict decode parity with the reference (required=true aborts the
-    // loop): validate the whole batch BEFORE applying anything. This is an
-    // explicit query because inline raise_error guards are legally
-    // optimizable away (see ChangeDecoder.malformedLines).
-    if (strictDecode) {
-      val bad = ChangeDecoder.malformedLines(lines)
-      if (bad.nonEmpty)
-        throw new IllegalArgumentException(
-          s"batch $batchId contains malformed wal2json line(s): ${bad.mkString(" | ")}")
-    }
     // Deliberately NOT cached: the decoded events carry wide parallel
     // arrays + full content — caching them costs more memory/GC than the
     // (CPU-parallel, linearly-scaling) re-decode it would save. The merge
     // engine caches only the deduped, typed rows.
-    val changes = ChangeDecoder.decode(lines, relevantTables)
+    val decoded =
+      if (strictDecode) ChangeDecoder.decodeValidated(lines, relevantTables)
+      else ChangeDecoder.ValidatedDecode(
+        ChangeDecoder.decode(lines, relevantTables, strict = false), () => 0L)
+    def validate(): Unit = {
+      val nBad = decoded.malformedCount()
+      if (nBad > 0) {
+        val samples = ChangeDecoder.malformedLines(lines) // failure path only
+        throw new IllegalArgumentException(
+          s"batch $batchId contains $nBad malformed wal2json line(s): " +
+            samples.mkString(" | "))
+      }
+    }
     targets.foreach { t =>
-      val forTable = changes.filter(col("table") === t.name)
-      val stats = MergeEngine.applyBatch(t.table, forTable)
+      val forTable = decoded.events.filter(col("table") === t.name)
+      val stats = MergeEngine.applyBatch(t.table, forTable, validate = validate _)
       emitMetrics(batchId, t.name, stats)
     }
   }

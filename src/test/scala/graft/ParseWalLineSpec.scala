@@ -72,6 +72,21 @@ class ParseWalLineSpec extends SparkSpec {
     }
   }
 
+  test("64-bit overflow parity: out-of-range integers null the field like Jackson") {
+    val cases = Seq(
+      // 2^63 (one past Long.MaxValue): Jackson coercion fails => field null
+      """{"lsn":9223372036854775808,"xid":2,"change":[]}""",
+      // far past: 20+ digits must not silently wrap to an arbitrary LSN
+      """{"lsn":99999999999999999999,"xid":2,"change":[]}""",
+      """{"lsn":1,"xid":184467440737095516160,"change":[]}""",
+      // exact bounds still parse
+      """{"lsn":9223372036854775807,"xid":-9223372036854775808,"change":[]}""")
+    val (n, j) = bothParses(cases)
+    n.zip(j).zipWithIndex.foreach { case ((a, b), idx) =>
+      assert(a === b, s"case $idx: '${cases(idx)}' native=$a jackson=$b")
+    }
+  }
+
   test("engine parity: decode(native) == decode(from_json) on a real stream") {
     val cfg = GenConfig(seed = 13L, nRepos = 10, pathsPerRepo = 4)
     val lines = (0L until 200L).map(id =>
