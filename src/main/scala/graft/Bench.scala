@@ -46,6 +46,11 @@ object Bench {
 
     // CDC apply throughput: WAL segments on disk -> decode -> MERGE -> lake.
     val cdc = CdcBench.run(spark, nTxns = 300000L, txnsPerSegment = 5000L)
+    // Micro-batched replay of the same volume (6 x 10-segment triggers):
+    // the realistic 10^10-event shape; merge-on-read keeps per-batch cost
+    // O(batch) where bucket CoW paid O(table) per batch.
+    val cdcStream = CdcBench.runStreaming(spark, nTxns = 300000L,
+      txnsPerSegment = 5000L, segmentsPerTrigger = 10)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -53,7 +58,9 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         f""""cdc_apply":{"events":${cdc.events},"seconds":${cdc.seconds}%.3f,""" +
-        f""""events_per_sec":${cdc.eventsPerSec}%.0f}}""")
+        f""""events_per_sec":${cdc.eventsPerSec}%.0f},""" +
+        f""""cdc_apply_stream":{"events":${cdcStream.events},"seconds":${cdcStream.seconds}%.3f,""" +
+        f""""events_per_sec":${cdcStream.eventsPerSec}%.0f,"batches":6}}""")
     spark.stop()
   }
 }

@@ -23,12 +23,16 @@ import graft.lake.{CommitConflictException, LakeTable, Snapshot}
  * before the shuffle, which is the skew story at 10^10 events):
  *
  * {{{
- *   changes -> normalize(rename, typed pivot) -> filter lsn > watermark(bucket)
- *           -> groupBy(pk).agg(max_by(row, (lsn, seq)))            // dedup
- *           -> affected buckets only:
- *                current(buckets) LEFT ANTI JOIN keys  ++  upserts  // merge
- *           -> write bucket files -> fenced snapshot commit
+ *   changes -> normalize(rename) -> filter lsn > watermark(bucket)
+ *           -> groupBy(pk).agg(max_by(row, (lsn, seq)))             // dedup
+ *           -> typed pivot -> append per-bucket DELTA files         // merge-
+ *           -> [buckets at delta threshold: compact to fresh base]  // on-read
+ *           -> fenced snapshot commit
  * }}}
+ *
+ * The merge itself is O(batch): deltas are appended, never joined against
+ * the current state at write time; readers (and the amortized per-bucket
+ * compaction) resolve keep-last-by-(lsn,seq) via [[LakeTable.mergedView]].
  */
 object MergeEngine {
 
@@ -282,38 +286,56 @@ object MergeEngine {
       .toSeq.sortBy(_._1)
     val schema = evolveSchema(snap.schema, observed)
 
-    // 6. Typed pivot of the (already small) surviving upserts, then MERGE on
-    //    the touched buckets only (copy-on-write at bucket grain).
-    val tableCols = schema.fieldNames.toSeq
+    // 6. Typed pivot of the (already small) surviving events — upserts carry
+    //    the full new tuple, deletes carry keys plus a marker — appended as
+    //    per-bucket DELTA files (merge-on-read). The write is O(batch),
+    //    never O(touched buckets): no current-state read, no anti-join, no
+    //    bucket rewrite. Bucket-grain copy-on-write rewrote every touched
+    //    bucket in full, which at realistic batch sizes (keys spread across
+    //    all buckets) meant rewriting the ENTIRE table per batch.
     val pivotCols = schema.fields.map { f =>
       if (keyCols.contains(f.name)) col(f.name)
       else element_at(col("_row"), f.name).cast(f.dataType).as(f.name)
+      // deletes carry _row = null => data columns null, _kind marks them
     }
-    val upserts = deduped.filter(col("kind") =!= "delete")
-      .select((pivotCols :+ col("_bucket")).toIndexedSeq: _*)
-    val keys = deduped.select(keyCols.map(col): _*)
-
-    val current = table.read(Some(touched))
-      .withColumn("_bucket", table.bucketExpr(keyCols, nBuckets))
-    // Conform current rows to the evolved schema (new columns = null).
-    val currentConformed = {
-      val cols = tableCols.map { n =>
-        if (current.columns.contains(n)) col(n)
-        else lit(null).cast(schema(n).dataType).as(n)
-      } :+ col("_bucket")
-      current.select(cols.toIndexedSeq: _*)
-    }
-    val survivors = currentConformed.join(keys, keyCols, "left_anti")
-    val merged = survivors.unionByName(upserts)
-      .repartition(col("_bucket")) // co-locate each bucket into one task/file
-
+    val deltaRows = deduped.select((pivotCols.toSeq ++ Seq(
+        col("lsn").as("_lsn"), col("seq").cast("int").as("_seq"),
+        col("kind").as("_kind"), col("_bucket"))).toIndexedSeq: _*)
+      .repartition(col("_bucket")) // one delta file per touched bucket
     val newId = snap.snapshotId + 1
-    val commitDir = table.newCommitDirName(newId)
-    val written = table.writeBucketed(merged, commitDir)
+    val deltaDir = table.newCommitDirName(newId, "delta")
+    val writtenDeltas = table.writeBucketed(deltaRows, deltaDir)
+    var attemptDirs = List(deltaDir)
 
-    // 6. Fenced snapshot commit.
-    val bucketFiles = snap.bucketFiles ++
-      touched.map(b => b -> written.getOrElse(b, Nil)).toMap
+    val deltasAfter = snap.bucketDeltas ++ writtenDeltas.map { case (b, fs) =>
+      b -> (snap.bucketDeltas.getOrElse(b, Nil) ++ fs)
+    }
+
+    // 7. Bounded read amplification: buckets whose delta chain reached
+    //    maxDeltasPerBucket are compacted back to a fresh base WITHIN this
+    //    commit (read base+deltas, keep-last, drop delete markers). Cost is
+    //    amortized: each bucket compacts once every maxDeltas batches.
+    val toCompact = deltasAfter.collect {
+      case (b, fs) if fs.size >= table.maxDeltasPerBucket => b
+    }.toSet
+    val (bucketFiles, bucketDeltas) =
+      if (toCompact.isEmpty) (snap.bucketFiles, deltasAfter)
+      else {
+        val baseFiles = toCompact.toSeq.sorted
+          .flatMap(b => snap.bucketFiles.getOrElse(b, Nil))
+        val deltaFiles = toCompact.toSeq.sorted
+          .flatMap(b => deltasAfter.getOrElse(b, Nil))
+        val mergedRows = table
+          .mergedView(schema, keyCols, snap.renameMap, baseFiles, deltaFiles)
+          .withColumn("_bucket", table.bucketExpr(keyCols, nBuckets))
+        val compactDir = table.newCommitDirName(newId, "compact")
+        attemptDirs ::= compactDir
+        val w = table.writeBucketed(mergedRows, compactDir)
+        val newBase = snap.bucketFiles ++
+          toCompact.map(b => b -> w.getOrElse(b, Nil)).toMap
+        (newBase.filter(_._2.nonEmpty), // a fully-deleted bucket vanishes
+          deltasAfter ++ toCompact.map(b => b -> Seq.empty[String]).toMap)
+      }
     val bucketWatermarks = snap.bucketWatermarks ++
       perBucketMax.map { case (b, w) =>
         b -> math.max(w, snap.bucketWatermarks.getOrElse(b, -1L))
@@ -346,6 +368,7 @@ object MergeEngine {
     val next = snap.copy(
       schema = schema,
       bucketFiles = bucketFiles,
+      bucketDeltas = bucketDeltas.filter(_._2.nonEmpty),
       bucketWatermarks = bucketWatermarks,
       bucketLineage = bucketLineage,
       lsnHighWatermark = math.max(snap.lsnHighWatermark, maxLsn),
@@ -354,7 +377,7 @@ object MergeEngine {
     // attempt's data files — they are referenced by no snapshot and would
     // otherwise accumulate unbounded across conflict retries.
     try table.commit(next, expectedSnapshotId = snap.snapshotId)
-    catch { case e: Throwable => table.deleteDataDir(commitDir); throw e }
+    catch { case e: Throwable => attemptDirs.foreach(table.deleteDataDir); throw e }
 
     MergeStats(committed = true, newId, inputEvents, appliedKeys,
       inserted, updated, deleted, inputEvents - appliedKeys,

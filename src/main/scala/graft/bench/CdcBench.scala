@@ -50,6 +50,37 @@ object CdcBench {
     Result(events, seconds, nBuckets)
   }
 
+  /**
+   * Multi-micro-batch variant: the same WAL replayed through the streaming
+   * pipeline in `segmentsPerTrigger`-segment batches. This is the shape of
+   * the 10^10-event workload (an endless sequence of micro-batches into an
+   * ever-growing table) and what merge-on-read optimizes: per-batch cost is
+   * O(batch), while bucket-grain copy-on-write degraded to O(table) per
+   * batch. Timed span includes checkpointing and all commits.
+   */
+  def runStreaming(spark: SparkSession, nTxns: Long, txnsPerSegment: Long,
+                   segmentsPerTrigger: Int, nBuckets: Int = 32,
+                   walDirOverride: Option[String] = None,
+                   maxDeltasPerBucket: Int = 8): Result = {
+    val cfg = GenConfig(seed = 42L, nRepos = 5000, pathsPerRepo = 500)
+    val walDir = walDirOverride.getOrElse {
+      val d = Files.createTempDirectory("graft-bench-wal").toString
+      ChangeStreamGen.writeSegments(spark, cfg, d, nTxns, txnsPerSegment)
+      d
+    }
+    val root = Files.createTempDirectory("graft-bench-table").toString
+    val ckpt = Files.createTempDirectory("graft-bench-ckpt").toString
+    val target = TableTarget("repos", new LakeTable(spark, root, maxDeltasPerBucket),
+      Main.reposSchema, Seq("repo", "path"), nBuckets, Main.reposRenameMap)
+    val pipe = new CdcPipeline(spark, walDir, ckpt, Seq(target), Set("repos"),
+      maxFilesPerTrigger = Some(segmentsPerTrigger))
+    val events = ChangeDecoder.decode(spark.read.text(walDir)).count()
+    val t0 = System.nanoTime()
+    pipe.runAvailable()
+    val seconds = (System.nanoTime() - t0) / 1e9
+    Result(events, seconds, nBuckets)
+  }
+
   /** Pre-write a WAL once so multiple sessions bench the identical input. */
   def prepareWal(spark: SparkSession, nTxns: Long, txnsPerSegment: Long): String = {
     val cfg = GenConfig(seed = 42L, nRepos = 5000, pathsPerRepo = 500)

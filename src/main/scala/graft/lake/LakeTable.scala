@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException, StandardOp
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 
@@ -22,10 +22,15 @@ import com.fasterxml.jackson.databind.node.ObjectNode
  * }}}
  *
  * Data is hash-bucketed by the primary key: bucket = pmod(xxhash64(key), n).
- * A commit rewrites ONLY the buckets its batch touches (copy-on-write at
- * bucket granularity) — at 10^10-row scale an upsert batch touching 1% of
- * keys rewrites ~1% of the table, and the per-key equi-join that implements
- * MERGE shuffles both sides on the same key hash.
+ * Writes are MERGE-ON-READ: a commit appends small per-bucket DELTA files
+ * (upserts + delete markers, each carrying (lsn, seq, kind)) instead of
+ * rewriting the buckets it touches — apply cost is O(batch), never O(table),
+ * which is what survives 10^10 rows (bucket-grain copy-on-write rewrote the
+ * ENTIRE table for any batch spreading keys across all buckets). Readers
+ * merge base + deltas with a keep-last-by-(lsn,seq) aggregation per key;
+ * buckets with no deltas take a plain base scan. A bucket whose delta count
+ * reaches `maxDeltasPerBucket` is compacted back to a fresh base file within
+ * the same commit, so read amplification stays bounded.
  *
  * Consistency: the current snapshot is the highest-numbered manifest. A
  * commit writes a fully-fsynced temp file, then publishes it with
@@ -45,10 +50,12 @@ final case class Snapshot(
     schema: StructType,
     keyColumns: Seq[String],
     nBuckets: Int,
-    // bucket -> list of data file paths (relative to table root)
+    // bucket -> list of BASE data file paths (relative to table root)
     bucketFiles: Map[Int, Seq[String]],
     // bucket -> highest LSN applied to that bucket
     bucketWatermarks: Map[Int, Long],
+    // bucket -> merge-on-read delta files, oldest first (empty = compacted)
+    bucketDeltas: Map[Int, Seq[String]] = Map.empty,
     // global high watermark (max over buckets, monotone)
     lsnHighWatermark: Long,
     // old column name -> new column name (schema evolution by rename)
@@ -58,10 +65,14 @@ final case class Snapshot(
     // per-partition lineage accumulated across commits:
     // bucket -> {keys, inserted, updated, deleted, minLsn, maxLsn}
     bucketLineage: Map[Int, Map[String, Long]] = Map.empty) {
-  def allFiles: Seq[String] = bucketFiles.values.flatten.toSeq.sorted
+  def allFiles: Seq[String] =
+    (bucketFiles.values.flatten ++ bucketDeltas.values.flatten).toSeq.sorted
+  /** Buckets holding any data (base or delta). */
+  def dataBuckets: Set[Int] = bucketFiles.keySet ++ bucketDeltas.keySet
 }
 
-class LakeTable(val spark: SparkSession, val root: String) {
+class LakeTable(val spark: SparkSession, val root: String,
+                val maxDeltasPerBucket: Int = 8) {
   import LakeTable._
 
   private def metaDir: Path = Paths.get(root, "meta")
@@ -96,7 +107,7 @@ class LakeTable(val spark: SparkSession, val root: String) {
       case Some(s) => s
       case None =>
         val s = Snapshot(0L, schema, keyColumns, nBuckets,
-          Map.empty, Map.empty, -1L, renameMap, Map.empty)
+          Map.empty, Map.empty, Map.empty, -1L, renameMap, Map.empty)
         try commit(s, expectedSnapshotId = -1L)
         catch { case _: CommitConflictException => () } // concurrent create
         currentSnapshot.get
@@ -164,18 +175,68 @@ class LakeTable(val spark: SparkSession, val root: String) {
            asOfSnapshot: Option[Long] = None): DataFrame = {
     val snap = asOfSnapshot.map(readSnapshot).orElse(currentSnapshot).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
-    val files = buckets match {
-      case Some(bs) => bs.toSeq.sorted.flatMap(b => snap.bucketFiles.getOrElse(b, Nil))
-      case None => snap.allFiles
+    val sel = buckets.getOrElse(snap.dataBuckets).toSeq.sorted
+    // Fast path for buckets with no pending deltas: plain base scan, no
+    // merge aggregation. Only delta-carrying buckets pay the keep-last.
+    val (withDeltas, clean) =
+      sel.partition(b => snap.bucketDeltas.getOrElse(b, Nil).nonEmpty)
+    val cleanDf = readConformed(
+      clean.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
+      snap.schema, snap.renameMap, withMergeCols = false)
+    if (withDeltas.isEmpty) cleanDf
+    else {
+      val merged = mergedView(snap.schema, snap.keyColumns, snap.renameMap,
+        withDeltas.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
+        withDeltas.flatMap(b => snap.bucketDeltas.getOrElse(b, Nil)))
+      cleanDf.unionByName(merged)
     }
+  }
+
+  /**
+   * Merge-on-read view: current rows = base rows (which any delta on the
+   * same key supersedes — deltas pass the bucket watermark gate, so they
+   * are strictly newer) unioned with delta rows, keep-last per key by
+   * (lsn, seq), delete markers dropped. Used by [[read]] and by MERGE
+   * compaction.
+   */
+  def mergedView(schema: StructType, keyColumns: Seq[String],
+                 renameMap: Map[String, String],
+                 baseFiles: Seq[String], deltaFiles: Seq[String]): DataFrame = {
+    val base = readConformed(baseFiles, schema, renameMap, withMergeCols = false)
+      .withColumn("_lsn", lit(-1L))
+      .withColumn("_seq", lit(-1).cast("int"))
+      .withColumn("_kind", lit("insert"))
+    val deltas = readConformed(deltaFiles, schema, renameMap, withMergeCols = true)
+    val all = base.unionByName(deltas)
+    val dataCols = schema.fieldNames.filterNot(keyColumns.contains).toSeq
+    val payload = struct((dataCols.map(col) :+ col("_kind")).toIndexedSeq: _*)
+    val ord = struct(col("_lsn"), col("_seq"))
+    all.groupBy(keyColumns.map(col): _*)
+      .agg(max_by(payload, ord).as("_w"))
+      .filter(col("_w._kind") =!= "delete")
+      .select(schema.fieldNames.map(n =>
+        (if (keyColumns.contains(n)) col(n) else col(s"_w.$n")).as(n)).toIndexedSeq: _*)
+  }
+
+  /** Read `files` and conform them to `schema` (mergeSchema across eras,
+    * rename coalescing, column order/casts); `withMergeCols` additionally
+    * carries the delta merge metadata (_lsn, _seq, _kind). */
+  private def readConformed(files: Seq[String], schema: StructType,
+                            renameMap: Map[String, String],
+                            withMergeCols: Boolean): DataFrame = {
+    val extras = if (withMergeCols) Seq("_lsn", "_seq", "_kind") else Nil
     if (files.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        snap.schema)
+      val mergeFields =
+        if (withMergeCols) Seq(StructField("_lsn", LongType),
+          StructField("_seq", IntegerType), StructField("_kind", StringType))
+        else Nil
+      val full = StructType(schema.fields ++ mergeFields)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     } else {
       var df = spark.read.option("mergeSchema", "true")
         .parquet(files.map(f => s"$root/$f"): _*)
       // Apply renames: new name wins; old-era files contribute via coalesce.
-      snap.renameMap.foreach { case (oldName, newName) =>
+      renameMap.foreach { case (oldName, newName) =>
         val has = df.columns.toSet
         if (has.contains(oldName) && has.contains(newName))
           df = df.withColumn(newName, coalesce(col(newName), col(oldName)))
@@ -184,10 +245,10 @@ class LakeTable(val spark: SparkSession, val root: String) {
           df = df.withColumnRenamed(oldName, newName)
       }
       // Conform to snapshot schema (order + any columns absent in all files).
-      val cols = snap.schema.fields.map { f =>
+      val cols = schema.fields.map { f =>
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
-      }
+      } ++ extras.map(col)
       df.select(cols.toIndexedSeq: _*)
     }
   }
@@ -312,6 +373,10 @@ object LakeTable {
     s.bucketWatermarks.toSeq.sortBy(_._1).foreach { case (b, w) =>
       bw.put(b.toString, w)
     }
+    val bd = n.putObject("bucketDeltas")
+    s.bucketDeltas.toSeq.sortBy(_._1).foreach { case (b, fs) =>
+      val arr = bd.putArray(b.toString); fs.foreach(arr.add)
+    }
     n.put("lsnHighWatermark", s.lsnHighWatermark)
     val rm = n.putObject("renameMap")
     s.renameMap.toSeq.sorted.foreach { case (o, nn) => rm.put(o, nn) }
@@ -341,6 +406,9 @@ object LakeTable {
       },
       bucketWatermarks = objToMap("bucketWatermarks").map { case (k, v) =>
         k.toInt -> v.asLong()
+      },
+      bucketDeltas = objToMap("bucketDeltas").map { case (k, v) =>
+        k.toInt -> v.elements().asScala.map(_.asText()).toSeq
       },
       lsnHighWatermark = n.get("lsnHighWatermark").asLong(),
       renameMap = objToMap("renameMap").map { case (k, v) => k -> v.asText() },
