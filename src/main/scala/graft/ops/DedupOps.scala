@@ -12,8 +12,12 @@ import TextOps.{md5Long, md5LongSql}
  * Scale design: every variant is shuffle-bounded by (shingle -> doc) or
  * (band-signature -> doc) inverted lists, never by an all-pairs cross join —
  * the candidate-pair generation is a self-equi-join on a blocking key, which
- * is exactly the shape that survives 100 TB (hot shingles can be dropped by
- * frequency cap — a stopword-shingle filter — before the join).
+ * is exactly the shape that survives 100 TB. Hot shingles ARE dropped by a
+ * document-frequency cap (a stop-shingle filter, [[ShingleCap]]) before the
+ * join: a shingle present in f documents contributes f^2 candidate rows, so
+ * without the cap one boilerplate phrase goes quadratic at scale. The cap is
+ * applied symmetrically to the per-doc sizes, so Jaccard stays a true
+ * similarity over the capped shingle sets in both engines.
  *
  * All similarity math is exact integer arithmetic (basis points via integer
  * division) for cross-engine determinism.
@@ -53,12 +57,29 @@ object DedupOps {
        |    i -> array_to_string((string_split(text,' '))[i:i+${N - 1}], ' ')))) AS g
        |  FROM documents""".stripMargin
 
+  /** Stop-shingle document-frequency cap: shingles in more than this many
+    * docs are dropped BEFORE the self-join (f docs => f^2 candidate rows). */
+  val ShingleCap = 50
+
+  private def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleCap).select(col("g"))
+    sh.join(hot, Seq("g"), "left_anti")
+  }
+
+  private val cappedShinglesSql: String =
+    s"""SELECT sh.doc_id, sh.g FROM sh
+       |  WHERE sh.g NOT IN (
+       |    SELECT g FROM sh GROUP BY g HAVING count(*) > $ShingleCap)""".stripMargin
+
   /**
-   * N-gram Jaccard near-dup: inverted-list self-join on shingle, candidate
-   * pairs scored |A∩B| / |A∪B| in basis points; pairs >= 2000 bp (0.2).
+   * N-gram Jaccard near-dup: frequency-capped inverted-list self-join on
+   * shingle, candidate pairs scored |A∩B| / |A∪B| in basis points over the
+   * capped shingle sets; pairs >= 2000 bp (0.2).
    */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+    val sh = cappedShingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val pairs = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -76,10 +97,11 @@ object DedupOps {
 
   val ngramJaccardSql: String =
     s"""WITH sh AS ($shingledSql),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |shc AS ($cappedShinglesSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  FROM shc a JOIN shc b ON a.g = b.g AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
        |  (inter * 10000) // (sa.n + sb.n - inter) AS jaccard_bp

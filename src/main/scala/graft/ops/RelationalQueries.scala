@@ -182,22 +182,91 @@ object RelationalQueries {
       |  concat_ws('-', o_orderstatus, o_orderpriority) AS tag
       |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
 
-  /** Approximate aggregates (HLL distinct sketch + t-digest quantiles).
-    * No DuckDB oracle — sketch implementations differ across engines, so
-    * the driver records the weaker rows-only check for this one. */
-  def approxAgg(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
+  /**
+   * Approximate aggregates with a DETERMINISTIC sketch, hash-exact across
+   * engines (unlike HLL/t-digest, whose internals differ):
+   *
+   *  - distinct-count: K-minimum-values (KMV) over the md5-derived 60-bit
+   *    hash of l_partkey — the K-th smallest distinct hash h_K estimates
+   *    distinct ≈ (K-1) * 2^60 / h_K (Bar-Yossef et al.'s KMV estimator),
+   *    computed in exact integer arithmetic (DECIMAL / HUGEINT);
+   *  - quantiles: exact lower-rank percentile over a deterministic 5%
+   *    hash sample (md5(orderkey_linenumber) % 20 = 0) — the value is
+   *    SELECTED, never arithmetically aggregated, so doubles stay
+   *    bit-identical.
+   *
+   * Both are honest scale shapes: KMV is a distinct + per-group top-K; the
+   * sample quantile sorts 5% of the data per group.
+   */
+  private val KMV_K = 64
+  private val HashSpace = 1L << 60 // md5Long is 60-bit (15 hex chars)
+
+  def approxAgg(spark: SparkSession, dir: String): DataFrame = {
+    import TextOps.md5Long
+    val li = t(spark, dir, "lineitem")
+    val distinctHashes = li
+      .select(col("l_returnflag"), md5Long(col("l_partkey").cast("string")).as("h"))
+      .distinct()
+    val wH = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
+    val kth = distinctHashes
+      .withColumn("rnk", row_number().over(wH))
+      .filter(col("rnk") === KMV_K)
+      .select(col("l_returnflag"), col("h").as("hk"))
+      .withColumn("approx_parts",
+        expr(s"CAST(CAST(${KMV_K - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0)) div hk AS BIGINT)"))
+    val samp = li
+      .filter(md5Long(concat_ws("_", col("l_orderkey"), col("l_linenumber"))) % 20 === 0)
+      .select(col("l_returnflag"), col("l_extendedprice").as("p"))
+    val wP = Window.partitionBy(col("l_returnflag")).orderBy(col("p"))
+    val counts = samp.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val quants = samp
+      .withColumn("rnk", row_number().over(wP))
+      .join(counts, "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+        max(when(col("rnk") === expr("(n-1)*50 div 100 + 1"), col("p"))).as("p50_price"),
+        max(when(col("rnk") === expr("(n-1)*99 div 100 + 1"), col("p"))).as("p99_price"),
+        min(col("n")).as("sample_n"))
+    kth.select(col("l_returnflag"), col("approx_parts"))
+      .join(quants, "l_returnflag")
+      .select(col("l_returnflag"), col("approx_parts"), col("sample_n"),
+        col("p50_price"), col("p99_price"))
       .orderBy("l_returnflag")
+  }
+
+  val approxAggSql: String = {
+    import TextOps.md5LongSql
+    s"""WITH dh AS (
+       |  SELECT DISTINCT l_returnflag, ${md5LongSql("CAST(l_partkey AS VARCHAR)")} AS h
+       |  FROM lineitem),
+       |kth AS (
+       |  SELECT l_returnflag,
+       |    CAST((CAST(${KMV_K - 1} AS HUGEINT) * $HashSpace) // h AS BIGINT) AS approx_parts
+       |  FROM (SELECT l_returnflag, h,
+       |          row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rnk
+       |        FROM dh)
+       |  WHERE rnk = $KMV_K),
+       |samp AS (
+       |  SELECT l_returnflag, l_extendedprice AS p FROM lineitem
+       |  WHERE ${md5LongSql("concat_ws('_', l_orderkey, l_linenumber)")} % 20 = 0),
+       |counts AS (SELECT l_returnflag, count(*) AS n FROM samp GROUP BY 1),
+       |ranked AS (
+       |  SELECT l_returnflag, p,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY p) AS rnk
+       |  FROM samp),
+       |quants AS (
+       |  SELECT r.l_returnflag,
+       |    max(CASE WHEN rnk = (n-1)*50//100 + 1 THEN p END) AS p50_price,
+       |    max(CASE WHEN rnk = (n-1)*99//100 + 1 THEN p END) AS p99_price,
+       |    CAST(min(n) AS BIGINT) AS sample_n
+       |  FROM ranked r JOIN counts c USING (l_returnflag) GROUP BY 1)
+       |SELECT k.l_returnflag, approx_parts, sample_n, p50_price, p99_price
+       |FROM kth k JOIN quants q USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
 
   /** Queries with no SQL-expressible oracle (driver does rows-only). */
-  val noOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_approx_agg" -> (approxAgg _))
+  val noOracle: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q1_agg" -> (q1Agg _, q1AggSql),
@@ -208,5 +277,6 @@ object RelationalQueries {
     "q_topk" -> (topK _, topKSql),
     "q_setops" -> (setOps _, setOpsSql),
     "q_rollup" -> (rollupAgg _, rollupAggSql),
-    "q_scalar_funcs" -> (scalarFuncs _, scalarFuncsSql))
+    "q_scalar_funcs" -> (scalarFuncs _, scalarFuncsSql),
+    "q_approx_agg" -> (approxAgg _, approxAggSql))
 }

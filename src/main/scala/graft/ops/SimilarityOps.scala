@@ -101,8 +101,7 @@ object SimilarityOps {
    * Bucket-equal vectors are ANN candidates — candidate generation becomes
    * an equi-join on `bucket`, the scale path for 10^10 rows.
    */
-  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val q = quantized(spark, dir)
+  private def lshBuckets(q: DataFrame): DataFrame =
     q.select(col("vec_id"), col("idx"), col("q"),
         explode(sequence(lit(0), lit(7))).as("j"))
       .withColumn("r", pmod(col("idx") * 31 + col("j") * 17, lit(7)) - 3)
@@ -112,8 +111,9 @@ object SimilarityOps {
       .agg(sum(when(col("dotj") > 0,
         expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L))
         .as("bucket"))
-      .orderBy("vec_id")
-  }
+
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
+    lshBuckets(quantized(spark, dir)).orderBy("vec_id")
 
   val annLshBucketsSql: String =
     s"""WITH quant AS ($quantizedSql),
@@ -162,6 +162,59 @@ object SimilarityOps {
        |        FROM dots d0 JOIN norms na ON d0.va = na.vec_id
        |        JOIN norms nb ON d0.vb = nb.vec_id) d)
        |WHERE cos2_bp >= 1500 ORDER BY label, va, vb""".stripMargin
+
+  /**
+   * Embedding-cosine near-duplicate pairs blocked by the random-hyperplane
+   * LSH bucket — the 100 TB composition: bucket cardinality is driven by
+   * the hash (2^8 signatures), never by a data-dependent attribute like
+   * `label`, whose hottest value makes label-blocking quadratic. Candidate
+   * generation stays an equi-join on `bucket`; the same 1500 bp cosine²
+   * threshold is applied to candidates that share a bucket.
+   */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val n = norms(q)
+    val qb = q.join(lshBuckets(q), "vec_id")
+    val a = qb.select(col("bucket"), col("idx"), col("vec_id").as("va"), col("q").as("qa"))
+    val b = qb.select(col("bucket"), col("idx"), col("vec_id").as("vb"), col("q").as("qb"))
+    val dots = a.join(b, Seq("bucket", "idx"))
+      .filter(col("va") < col("vb"))
+      .groupBy(col("bucket"), col("va"), col("vb"))
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    dots
+      .join(n.select(col("vec_id").as("va"), col("n2").as("na")), "va")
+      .join(n.select(col("vec_id").as("vb"), col("n2").as("nb")), "vb")
+      .withColumn("cos2_bp", expr(metricExpr))
+      .filter(col("cos2_bp") >= 1500)
+      .select(col("bucket"), col("va"), col("vb"), col("cos2_bp"))
+      .orderBy("bucket", "va", "vb")
+  }
+
+  val embeddingNearDupLshSql: String =
+    s"""WITH quant AS ($quantizedSql),
+       |norms AS ($normsSql),
+       |bdots AS (
+       |  SELECT vec_id, j,
+       |    CAST(sum(q * (((idx * 31 + j * 17) % 7) - 3)) AS BIGINT) AS dotj
+       |  FROM (SELECT vec_id, idx, q, unnest(range(0, 8)) AS j FROM quant)
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dotj > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM bdots GROUP BY 1),
+       |qb AS (SELECT q.*, b.bucket FROM quant q JOIN buckets b USING (vec_id)),
+       |dots AS (
+       |  SELECT a.bucket, a.vec_id AS va, b.vec_id AS vb,
+       |    CAST(sum(a.q * b.q) AS BIGINT) AS dot
+       |  FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.idx = b.idx
+       |    AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT bucket, va, vb, cos2_bp FROM (
+       |  SELECT d.bucket, d.va, d.vb, $metricSqlExpr AS cos2_bp
+       |  FROM (SELECT d0.bucket, d0.va, d0.vb, d0.dot, na.n2 AS na, nb.n2 AS nb
+       |        FROM dots d0 JOIN norms na ON d0.va = na.vec_id
+       |        JOIN norms nb ON d0.vb = nb.vec_id) d)
+       |WHERE cos2_bp >= 1500 ORDER BY bucket, va, vb""".stripMargin
 
   /**
    * IVF-style ANN: a deterministic codebook (the embeddings of vec_ids
@@ -238,5 +291,6 @@ object SimilarityOps {
     "ann_cosine_topk" -> (annTopK _, annTopKSql),
     "ann_lsh_buckets" -> (annLshBuckets _, annLshBucketsSql),
     "ann_ivf_topk" -> (annIvfTopK _, annIvfTopKSql),
-    "dedup_embedding_cosine" -> (embeddingNearDup _, embeddingNearDupSql))
+    "dedup_embedding_cosine" -> (embeddingNearDup _, embeddingNearDupSql),
+    "dedup_embedding_lsh" -> (embeddingNearDupLsh _, embeddingNearDupLshSql))
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DedupOps
+
+/**
+ * The stop-shingle frequency cap: a shingle present in f documents yields
+ * f^2 candidate-pair rows in the inverted-list self-join, so hot shingles
+ * (boilerplate) must be dropped before the join — bounded candidates even
+ * when one phrase appears in every document.
+ */
+class DedupCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one hot shingle does not explode the candidate set") {
+    val dir = tmpDir("docs")
+    val hot = "common boiler plate header text" // one 5-gram, in EVERY doc
+    // 120 docs share the hot shingle (> ShingleCap = 50); only docs 0 and 1
+    // additionally share enough unique shingles to be real near-dups
+    val docs = (0 until 120).map { i =>
+      val body =
+        if (i <= 1) s"alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        else s"unique$i w$i x$i y$i z$i a$i b$i c$i d$i e$i"
+      (i.toLong, s"$hot $body", (hot.length + body.length + 1).toLong)
+    }
+    docs.toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = DedupOps.ngramJaccard(spark, dir).collect()
+    // without the cap the hot shingle alone creates 120*119/2 = 7140
+    // candidate pairs; with it only the genuinely-similar pair survives
+    assert(pairs.length === 1)
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) === ((0L, 1L)))
+  }
+
+  test("capped join plan stays an equi-join (no cartesian/BNLJ)") {
+    val dir = tmpDir("docs2")
+    (0 until 10).map(i => (i.toLong, s"a b c d e f$i g$i", 15L))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = DedupOps.ngramJaccard(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

@@ -12,9 +12,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle belongs to a query; only sketch queries lack oracles") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet === Set("q_approx_agg"))
+  test("every query has an oracle and vice versa (full hash-exact coverage)") {
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
