@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.bench.CdcBench
 
 /**
@@ -22,6 +23,22 @@ object Bench {
     "ann_cosine_topk", "dedup_embedding_cosine",
     "text_fingerprint", "text_quality_score", "multimodal_meta")
 
+  /** Full-output checksum sink: forces EVERY output column to be computed
+    * (a bare count() lets Spark prune projection-only queries down to a
+    * parquet row count, timing nothing). Map columns go through to_json
+    * (xxhash64 rejects maps); the sum is order-independent. */
+  def checksum(df: DataFrame): Long = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
+        case _ => col(f.name)
+      }
+    }
+    val r = df.select(xxhash64(cols.toIndexedSeq: _*).as("h"))
+      .agg(sum(col("h"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,9 +55,9 @@ object Bench {
     val queries = SparkEntry.queries
     val results = headline.filter(queries.contains).map { name =>
       val fn = queries(name)
-      fn(spark, sfDir).count() // warm (parquet footer cache, codegen)
+      checksum(fn(spark, sfDir)) // warm (parquet footer cache, codegen)
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      checksum(fn(spark, sfDir))
       name -> (System.nanoTime() - t0) / 1e9
     }
 

@@ -9,15 +9,9 @@ import graft.streaming.{CdcPipeline, TableTarget}
 
 /**
  * spark-submit entry point — parity with the reference's CommandLineRunner
- * (CommandLineRunner.java:24-46), reshaped for a lake-sink engine:
- *
- * {{{
- *   gen  --wal-dir D --txns N [--txns-per-segment K] [--seed S]
- *        [--add-col-at L] [--rename-at L]            synthesize WAL segments
- *   run  --wal-dir D --table-root R --checkpoint C   stream-apply to the lake
- *        [--buckets B] [--relevant-tables a,b]
- *   show --table-root R                              print final table state
- * }}}
+ * (CommandLineRunner.java:24-46: declared options, required-ness,
+ * validation, and a --help short-circuit before any connection is opened),
+ * reshaped for a lake-sink engine.
  */
 object Main {
 
@@ -30,12 +24,76 @@ object Main {
 
   val reposRenameMap: Map[String, String] = Map("lang" -> "language")
 
+  /** Declared option surface per command: name -> (required, help). The
+    * validator rejects unknown flags and missing required ones up front —
+    * the reference's picocli-grade UX (CommandLineRunner.java:48-205). */
+  private val commands: Map[String, Map[String, (Boolean, String)]] = Map(
+    "gen" -> Map(
+      "wal-dir" -> (true, "directory to write WAL segments into"),
+      "txns" -> (true, "number of transactions to synthesize"),
+      "txns-per-segment" -> (false, "transactions per segment file (default 10000)"),
+      "seed" -> (false, "deterministic stream seed (default 42)"),
+      "add-col-at" -> (false, "LSN at which an additive column appears"),
+      "rename-at" -> (false, "LSN at which a column rename appears")),
+    "run" -> Map(
+      "wal-dir" -> (true, "WAL segment directory to tail"),
+      "table-root" -> (true, "lake table root directory"),
+      "checkpoint" -> (true, "streaming checkpoint directory"),
+      "buckets" -> (false, "primary-key hash buckets (default 32)"),
+      "relevant-tables" -> (false, "comma-separated table filter (default repos)"),
+      "max-segments-per-trigger" -> (false, "admission control: segments per micro-batch"),
+      "retention" -> (false, "delete|retain consumed WAL segments (default retain)"),
+      "split-bytes" -> (false, "byte-range split size for large segments (default 64MiB)"),
+      "max-deltas" -> (false, "delta files per bucket before compaction (default 8)"),
+      "salt-buckets" -> (false, "two-phase salted dedup for hot keys (default off)"),
+      "strict" -> (false, "true|false: abort batches with malformed lines (default true)"),
+      "max-restarts" -> (false, "supervision budget for data errors/flakes (default 0 = unsupervised)")),
+    "show" -> Map(
+      "table-root" -> (true, "lake table root directory"),
+      "as-of" -> (false, "historical snapshot id (time travel)"),
+      "limit" -> (false, "rows to print (default 10)")),
+    "vacuum" -> Map(
+      "table-root" -> (true, "lake table root directory"),
+      "keep-last" -> (false, "snapshots to retain (default 5)"),
+      "orphan-grace-ms" -> (false, "also sweep unreferenced data dirs older than this"))
+  )
+
+  def helpText: String = {
+    val sb = new StringBuilder("graft — Spark-native CDC engine (WAL tail -> lake MERGE)\n\n")
+    commands.toSeq.sortBy(_._1).foreach { case (cmd, opts) =>
+      sb.append(s"  $cmd\n")
+      opts.toSeq.sortBy { case (k, (req, _)) => (!req, k) }.foreach {
+        case (k, (req, help)) =>
+          sb.append(f"    --$k%-26s ${if (req) "(required) " else ""}$help\n")
+      }
+    }
+    sb.append("\n  help | --help                  print this message\n")
+    sb.toString
+  }
+
   def parseArgs(args: Array[String]): (String, Map[String, String]) = {
-    require(args.nonEmpty, "usage: gen|run|show --key value ...")
+    if (args.isEmpty || args.head == "help" || args.head == "--help")
+      return ("help", Map.empty)
     val cmd = args.head
-    val kv = args.tail.grouped(2).collect {
+    val declared = commands.getOrElse(cmd,
+      throw new IllegalArgumentException(
+        s"unknown command '$cmd' — expected one of ${commands.keys.toSeq.sorted.mkString(", ")}\n$helpText"))
+    if (args.tail.length % 2 != 0)
+      throw new IllegalArgumentException(
+        s"dangling flag: every --key needs a value\n$helpText")
+    val kv = args.tail.grouped(2).map {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+      case Array(k, _) =>
+        throw new IllegalArgumentException(s"expected a --flag, got '$k'\n$helpText")
     }.toMap
+    val unknown = kv.keySet -- declared.keySet
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown option(s) for $cmd: ${unknown.toSeq.sorted.map("--" + _).mkString(", ")}\n$helpText")
+    val missing = declared.collect { case (k, (true, _)) if !kv.contains(k) => k }
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"missing required option(s) for $cmd: ${missing.toSeq.sorted.map("--" + _).mkString(", ")}\n$helpText")
     (cmd, kv)
   }
 
@@ -55,6 +113,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val (cmd, kv) = parseArgs(args)
+    if (cmd == "help") { println(helpText); return } // short-circuit: no session
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = session(cpus)
     try cmd match {
@@ -70,15 +129,26 @@ object Main {
 
       case "run" =>
         val root = kv("table-root")
-        val target = TableTarget("repos", new LakeTable(spark, root),
+        val table = new LakeTable(spark, root,
+          maxDeltasPerBucket = kv.getOrElse("max-deltas", "8").toInt)
+        val target = TableTarget("repos", table,
           reposSchema, Seq("repo", "path"),
           nBuckets = kv.getOrElse("buckets", "32").toInt, reposRenameMap)
         val relevant = kv.get("relevant-tables")
           .map(_.split(",").toSet).getOrElse(Set("repos"))
         val pipe = new CdcPipeline(spark, kv("wal-dir"), kv("checkpoint"),
-          Seq(target), relevant, metricsPath = Some(s"$root/_metrics/batches.jsonl"))
+          Seq(target), relevant,
+          metricsPath = Some(s"$root/_metrics/batches.jsonl"),
+          maxFilesPerTrigger = kv.get("max-segments-per-trigger").map(_.toInt),
+          strictDecode = kv.getOrElse("strict", "true").toBoolean,
+          walRetention = kv.get("retention").contains("delete"),
+          walSplitBytes = kv.get("split-bytes").map(_.toLong),
+          saltBuckets = kv.getOrElse("salt-buckets", "0").toInt)
         val t0 = System.nanoTime()
-        pipe.runAvailable()
+        kv.get("max-restarts").map(_.toInt) match {
+          case Some(budget) if budget > 0 => pipe.runSupervised(maxRestarts = budget)
+          case _ => pipe.runAvailable()
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         val applied = pipe.stats.map(_._3.appliedKeys).sum
         val snap = target.table.currentSnapshot.get
@@ -99,9 +169,9 @@ object Main {
       case "vacuum" =>
         val t = new LakeTable(spark, kv("table-root"))
         val (snaps, files) = t.expireSnapshots(kv.getOrElse("keep-last", "5").toInt)
-        println(s"""{"expired_snapshots":$snaps,"deleted_files":$files}""")
-
-      case other => sys.error(s"unknown command $other")
+        val orphans = kv.get("orphan-grace-ms")
+          .map(g => t.removeOrphans(g.toLong)).getOrElse(0)
+        println(s"""{"expired_snapshots":$snaps,"deleted_files":$files,"orphan_dirs":$orphans}""")
     } finally spark.stop()
   }
 }

@@ -51,7 +51,10 @@ class CdcPipeline(
     // reference's LSN-ack WAL release); safe because offsets are segment
     // names and the sink is idempotent
     walRetention: Boolean = false,
-    walSplitBytes: Option[Long] = None) {
+    walSplitBytes: Option[Long] = None,
+    // > 0 forces the explicit two-phase (salted) keep-last dedup for
+    // streams whose hot keys overflow map-side hash tables
+    saltBuckets: Int = 0) {
 
   // Idempotent table creation (reference tolerates slot-already-exists,
   // PostgresConnector.java:90-97).
@@ -106,7 +109,8 @@ class CdcPipeline(
     }
     targets.foreach { t =>
       val forTable = decoded.events.filter(col("table") === t.name)
-      val stats = MergeEngine.applyBatch(t.table, forTable, validate = validate _)
+      val stats = MergeEngine.applyBatch(t.table, forTable,
+        saltBuckets = saltBuckets, validate = validate _)
       emitMetrics(batchId, t.name, stats)
     }
   }
@@ -144,29 +148,84 @@ class CdcPipeline(
 
   /**
    * Supervised run — the reference's outer retry loop (O13, runLoop at
-   * SlotReaderKinesisWriter.java:84-88 with exception handling at :121-167:
-   * catch, clean up, sleep, reconnect). Here a failed query restarts from
-   * the checkpoint; exactly-once fencing makes any replayed work a no-op,
-   * so supervision is safe by construction.
+   * SlotReaderKinesisWriter.java:84-88 with exception handling at :121-167)
+   * WITH its error taxonomy: the reference distinguishes recovery-mode
+   * (57P03: sleep and retry until the database heals) from slot-busy
+   * (55006: 30 patient retries for the other consumer to release) from
+   * fatal (SlotReaderKinesisWriter.java:134-144, PostgresConnector.java:
+   * 164-215). The engine's analogs:
+   *
+   *  - [[CdcPipeline.FailureKind.DataError]] — malformed wal2json input:
+   *    retrying helps only after an operator repairs the WAL (the healed-
+   *    segment workflow), so it gets the small `maxRestarts` budget;
+   *  - [[CdcPipeline.FailureKind.Contention]] — snapshot-fencing conflicts
+   *    that survived applyBatch's inner retries (another writer holds the
+   *    table): patient, like slot-busy — `contentionRestarts` attempts;
+   *  - [[CdcPipeline.FailureKind.Transient]] — everything else (flakes):
+   *    `maxRestarts` with backoff.
+   *
+   * A failed query restarts from the checkpoint; exactly-once fencing makes
+   * any replayed work a no-op, so supervision is safe by construction.
+   * Budgets are per-class: a poisoned segment cannot eat the restart budget
+   * a genuine transient flake would need, and vice versa.
    *
    * @return number of restarts performed
    */
   def runSupervised(maxRestarts: Int = 3, backoffMs: Long = 1000L,
+                    contentionRestarts: Int = 30,
                     onRestart: Int => Unit = _ => ()): Int = {
-    var restarts = 0
+    import CdcPipeline.FailureKind._
+    var dataErrors = 0; var contentions = 0; var transients = 0
+    var total = 0
     while (true) {
       try {
         runAvailable()
-        return restarts
+        return total
       } catch {
-        case _: Exception if restarts < maxRestarts =>
-          restarts += 1
+        case e: Exception =>
+          val canRetry = CdcPipeline.classify(e) match {
+            case DataError => dataErrors += 1; dataErrors <= maxRestarts
+            case Contention => contentions += 1; contentions <= contentionRestarts
+            case Transient => transients += 1; transients <= maxRestarts
+          }
+          if (!canRetry) throw e // budget exhausted: the reference's fatal path
+          total += 1
           Thread.sleep(backoffMs)
-          onRestart(restarts)
-        // beyond the budget: rethrow, like the reference's fatal path
+          onRestart(total)
       }
     }
-    restarts // unreachable
+    total // unreachable
+  }
+}
+
+object CdcPipeline {
+  /** Failure classes for supervision (see [[CdcPipeline.runSupervised]]). */
+  sealed trait FailureKind
+  object FailureKind {
+    /** Malformed input — a repair-then-retry case, never a silent skip. */
+    case object DataError extends FailureKind
+    /** Lost the single-writer fencing race persistently (slot-busy analog). */
+    case object Contention extends FailureKind
+    /** Anything else — a transient flake worth a small retry budget. */
+    case object Transient extends FailureKind
+  }
+
+  /** Classify by walking the cause chain (streaming wraps the batch's
+    * exception in StreamingQueryException). */
+  def classify(e: Throwable): FailureKind = {
+    var c: Throwable = e
+    while (c != null) {
+      c match {
+        case ia: IllegalArgumentException
+            if ia.getMessage != null && ia.getMessage.contains("malformed wal2json") =>
+          return FailureKind.DataError
+        case _: graft.lake.CommitConflictException =>
+          return FailureKind.Contention
+        case _ => ()
+      }
+      c = if (c.getCause eq c) null else c.getCause
+    }
+    FailureKind.Transient
   }
 }
 

@@ -67,4 +67,40 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  // --- dedup / similarity family: candidate generation must be an
+  // equi-join on a blocking key, never an all-pairs product, and the heavy
+  // aggregations must combine map-side (partial) before the shuffle.
+
+  private def assertNoProductJoin(name: String): String = {
+    val p = plan(name)
+    assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plan has a BNLJ:\n$p")
+    p
+  }
+
+  test("dedup_minhash_lsh: banded equi-join, partial min aggregation") {
+    val p = assertNoProductJoin("dedup_minhash_lsh")
+    assert(p.contains("partial_min") || p.contains("partial_"), p)
+  }
+
+  test("dedup_ngram_jaccard: capped inverted-list equi-join, no product") {
+    assertNoProductJoin("dedup_ngram_jaccard")
+  }
+
+  test("dedup_embedding_lsh: bucket-blocked equi-join, no product") {
+    val p = assertNoProductJoin("dedup_embedding_lsh")
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+  }
+
+  test("dedup_embedding_cosine / ann_ivf_topk: no product joins") {
+    assertNoProductJoin("dedup_embedding_cosine")
+    assertNoProductJoin("ann_ivf_topk")
+  }
+
+  test("dedup_exact: single hash aggregation with map-side combine") {
+    val p = plan("dedup_exact")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
 }

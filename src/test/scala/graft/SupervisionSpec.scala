@@ -50,6 +50,41 @@ class SupervisionSpec extends SparkSpec {
     assert(t.currentSnapshot.get.lsnHighWatermark === 60L)
   }
 
+  test("error taxonomy: malformed input, fencing contention, flakes classify apart") {
+    import graft.streaming.CdcPipeline.{classify, FailureKind}
+    val malformed = new IllegalArgumentException(
+      "batch 3 contains 2 malformed wal2json line(s): {...}")
+    assert(classify(malformed) === FailureKind.DataError)
+    // streaming wraps the batch failure — the cause chain must be walked
+    assert(classify(new RuntimeException("query failed", malformed))
+      === FailureKind.DataError)
+    assert(classify(new RuntimeException("outer",
+      new graft.lake.CommitConflictException("snapshot 7 already committed")))
+      === FailureKind.Contention)
+    assert(classify(new java.io.IOException("connection reset"))
+      === FailureKind.Transient)
+    // self-caused exceptions must not loop the classifier
+    val selfRef = new RuntimeException("x")
+    assert(classify(selfRef) === FailureKind.Transient)
+  }
+
+  test("per-class budgets: a data error cannot eat the contention budget") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    ChangeStreamGen.writeSegments(spark, cfg, wal, 20L, txnsPerSegment = 20)
+    Files.writeString(Paths.get(s"$wal/wal-000000000.jsonl"),
+      "{\"garbage\": true}\n")
+    val t = new LakeTable(spark, tmpDir("repos"))
+    val pipe = mkPipe(wal, ckpt, t)
+    var attempts = 0
+    intercept[Exception] {
+      // contentionRestarts is huge; the DataError budget (maxRestarts=1)
+      // must still stop the loop after exactly one restart
+      pipe.runSupervised(maxRestarts = 1, backoffMs = 10L,
+        contentionRestarts = 1000, onRestart = _ => attempts += 1)
+    }
+    assert(attempts === 1)
+  }
+
   test("persistent failure exhausts the restart budget and propagates") {
     val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
     ChangeStreamGen.writeSegments(spark, cfg, wal, 20L, txnsPerSegment = 20)
