@@ -76,8 +76,6 @@ object ChangeStreamGen {
   def txn(cfg: GenConfig, txnId: Long): GenTxn = {
     val lsn = txnId + 1
     val xid = 3000000000L + txnId // > Int.MaxValue: 64-bit xid on the wire
-    val renamed = lsn >= cfg.renameAtLsn
-    val withSize = lsn >= cfg.addColumnAtLsn
     val n = 1 + (h(cfg.seed, txnId, 1) & 0x7fffffffL).toInt % cfg.maxChangesPerTxn
     val changes = (0 until n).map { i =>
       val hk = h(cfg.seed, txnId, 2, i.toLong)

@@ -74,9 +74,7 @@ object MultimodalOps {
         (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 577 + 64)
           .as("fake_width"),
         (conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 577 + 64)
-          .as("fake_height"),
-        (octet_length(encode(col("text"), "UTF-8")).cast("long") / lit(100)).cast("long")
-          .cast("long").as("n_frames"))
+          .as("fake_height"))
       .withColumn("n_frames", expr("n_bytes div 100") + 1)
       .orderBy("doc_id")
 

@@ -64,7 +64,35 @@ object WalSource {
 
   val DefaultSplitBytes: Long = 64L * 1024 * 1024
 
-  private[sources] def fsFor(dir: String): (FileSystem, HPath) = {
+  /** Complete (atomically renamed) segment names, in LSN (= name) order. */
+  def listSegments(dir: String): Seq[String] =
+    new HadoopWalProvider(dir).listSegments().map(_._1)
+}
+
+/**
+ * The replication-connector SEAM — the engine analog of the reference's
+ * PostgresConnector surface (`readPending()` / `getCurrentLSN()` /
+ * `setFlushedLSN()`, PostgresConnector.java:106-127): a WAL provider
+ * publishes complete, immutable, monotonically-named segments; the engine
+ * tails, reads, and acknowledges them. [[WalMicroBatchStream]] is written
+ * against this trait only, so a live-database provider (e.g. one staging a
+ * pgoutput/wal2json stream into segments) plugs in without touching the
+ * Spark source machinery. The bundled [[HadoopWalProvider]] serves any
+ * Hadoop filesystem (file:, hdfs:, s3a:, ...).
+ */
+trait WalProvider {
+  /** O2 readPending: complete segments as (name, byteSize), name order. */
+  def listSegments(): Seq[(String, Long)]
+  /** Executor-readable URI of one segment (the data plane). */
+  def segmentPath(name: String): String
+  /** LSN ack (O10, SlotReaderCallback.java:70-85): the consumer's position
+    * is durably recorded at or beyond `upToInclusive`; the provider may
+    * reclaim everything at or below it. */
+  def release(upToInclusive: String): Unit
+}
+
+class HadoopWalProvider(dir: String) extends WalProvider {
+  private def fsAndPath(): (FileSystem, HPath) = {
     val conf = SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
@@ -75,18 +103,22 @@ object WalSource {
   private def isSegment(n: String): Boolean =
     n.startsWith("wal-") && n.endsWith(".jsonl")
 
-  /** Complete (atomically renamed) segment names, in LSN (= name) order. */
-  def listSegments(dir: String): Seq[String] =
-    listSegmentStatus(dir).map(_._1)
-
-  /** (name, byteSize) of complete segments, in LSN order. */
-  def listSegmentStatus(dir: String): Seq[(String, Long)] = {
-    val (fs, p) = fsFor(dir)
+  override def listSegments(): Seq[(String, Long)] = {
+    val (fs, p) = fsAndPath()
     if (!fs.exists(p)) return Nil
     fs.listStatus(p).toSeq
       .filter(s => s.isFile && isSegment(s.getPath.getName))
       .map(s => (s.getPath.getName, s.getLen))
       .sortBy(_._1)
+  }
+
+  override def segmentPath(name: String): String = s"$dir/$name"
+
+  override def release(upToInclusive: String): Unit = {
+    val (fs, p) = fsAndPath()
+    listSegments().map(_._1)
+      .filter(_ <= upToInclusive)
+      .foreach(n => fs.delete(new HPath(p, n), false))
   }
 }
 
@@ -122,14 +154,18 @@ case class WalOffset(last: String) extends Offset {
 
 class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
                           splitBytes: Long = WalSource.DefaultSplitBytes,
-                          retention: Boolean = false)
+                          retention: Boolean = false,
+                          provider: WalProvider = null)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
+  private val wal: WalProvider =
+    Option(provider).getOrElse(new HadoopWalProvider(dir))
+
   private def lastName(): String =
-    WalSource.listSegments(dir).lastOption.getOrElse("")
+    wal.listSegments().lastOption.map(_._1).getOrElse("")
 
   // Trigger.AvailableNow: pin the end of "available" at query start so the
   // run terminates even while the WAL keeps growing (and so admission
@@ -157,7 +193,7 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
     // the final batch's segments unpruned until the next run.
     prune(s)
     val target = availableNowTarget.getOrElse(lastName())
-    val pending = WalSource.listSegments(dir)
+    val pending = wal.listSegments().map(_._1)
       .filter(n => n > s && n <= target)
     val takeN = limit match {
       case mf: ReadMaxFiles => math.min(pending.size, mf.maxFiles())
@@ -178,7 +214,7 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
         legacy.findFirstMatchIn(json) match {
           case Some(g) =>
             val n = g.group(1).toInt
-            val segs = WalSource.listSegments(dir)
+            val segs = wal.listSegments().map(_._1)
             if (n == 0) WalOffset("")
             else if (n <= segs.size) WalOffset(segs(n - 1))
             else throw new IllegalArgumentException(
@@ -191,7 +227,7 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[WalOffset].last
     val e = end.asInstanceOf[WalOffset].last
-    WalSource.listSegmentStatus(dir)
+    wal.listSegments()
       .filter { case (n, _) => n > s && n <= e }
       .flatMap { case (n, size) =>
         // line-aligned byte-range splits: a split owns every line that
@@ -200,7 +236,7 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
         val nSplits = math.max(1L, (size + splitBytes - 1) / splitBytes)
         (0L until nSplits).map { k =>
           val off = k * splitBytes
-          WalInputPartition(s"$dir/$n", off, math.min(splitBytes, size - off))
+          WalInputPartition(wal.segmentPath(n), off, math.min(splitBytes, size - off))
             .asInstanceOf[InputPartition]
         }
       }.toArray
@@ -217,13 +253,8 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
   override def commit(end: Offset): Unit =
     prune(end.asInstanceOf[WalOffset].last)
 
-  private def prune(upTo: String): Unit = {
-    if (!retention || upTo.isEmpty) return
-    val (fs, p) = WalSource.fsFor(dir)
-    WalSource.listSegments(dir)
-      .filter(_ <= upTo)
-      .foreach(n => fs.delete(new HPath(p, n), false))
-  }
+  private def prune(upTo: String): Unit =
+    if (retention && upTo.nonEmpty) wal.release(upTo)
 
   override def stop(): Unit = ()
 }
