@@ -230,158 +230,153 @@ object MergeEngine {
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(rowStruct, ordStruct).as("w"))
       .select((keyCols.map(col) :+ col("w.*")).toIndexedSeq: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    try applyDeduped(table, snap, deduped, obs, validate)
-    finally deduped.unpersist()
-  }
-
-  private def applyDeduped(table: LakeTable, snap: Snapshot, deduped: DataFrame,
-                           obs: org.apache.spark.sql.Observation,
-                           validate: () => Unit): MergeStats = {
-    val keyCols = snap.keyColumns
-    val nBuckets = snap.nBuckets
-
-    // 4. One pass for per-bucket lineage + touched buckets (materializes the
-    //    cache; result is tiny: <= nBuckets rows).
-    val statRows = deduped.groupBy(col("_bucket")).agg(
-      count(lit(1)).as("keys"),
-      sum(when(col("kind") === "insert", 1L).otherwise(0L)).as("ins"),
-      sum(when(col("kind") === "update", 1L).otherwise(0L)).as("upd"),
-      sum(when(col("kind") === "delete", 1L).otherwise(0L)).as("del"),
-      min(col("lsn")).as("minLsn"),
-      max(col("lsn")).as("maxLsn")).collect()
-
-    val inputEvents = obs.get.get("inputEvents")
-      .map(_.asInstanceOf[Long]).getOrElse(-1L)
-
-    // Batch validation gate: the decode metrics are complete now (the stat
-    // pass materialized the plan) and nothing has been written — a strict-
-    // mode malformed batch aborts here, before any file or commit exists.
-    // This must run even when zero events survived the watermark gate: a
-    // batch that is malformed IN FULL must still fail, not no-op.
-    validate()
-
-    if (statRows.isEmpty)
-      return noopStats.copy(snapshotId = snap.snapshotId, inputEvents = inputEvents)
-
-    val touched = statRows.map(_.getInt(0)).toSet
-    val appliedKeys = statRows.map(_.getLong(1)).sum
-    val inserted = statRows.map(_.getLong(2)).sum
-    val updated = statRows.map(_.getLong(3)).sum
-    val deleted = statRows.map(_.getLong(4)).sum
-    val minLsn = statRows.map(_.getLong(5)).min
-    val maxLsn = statRows.map(_.getLong(6)).max
-    val perBucketMax = statRows.map(r => r.getInt(0) -> r.getLong(6)).toMap
-
-    // 5. Schema evolution from the surviving rows (cheap: reads the cache).
-    //    Additive columns observed in the batch extend the table schema.
-    val observed = deduped
-      .filter(col("_types").isNotNull)
-      .select(explode(col("_types")).as(Seq("name", "typ")))
-      .distinct().collect()
-      .map(r => (r.getString(0), r.getString(1)))
-      .sortBy(identity).distinct
-      .groupBy(_._1).map { case (n, ps) => (n, ps.head._2) }
-      .toSeq.sortBy(_._1)
-    val schema = evolveSchema(snap.schema, observed)
-
-    // 6. Typed pivot of the (already small) surviving events — upserts carry
-    //    the full new tuple, deletes carry keys plus a marker — appended as
-    //    per-bucket DELTA files (merge-on-read). The write is O(batch),
-    //    never O(touched buckets): no current-state read, no anti-join, no
-    //    bucket rewrite. Bucket-grain copy-on-write rewrote every touched
-    //    bucket in full, which at realistic batch sizes (keys spread across
-    //    all buckets) meant rewriting the ENTIRE table per batch.
-    val pivotCols = schema.fields.map { f =>
-      if (keyCols.contains(f.name)) col(f.name)
-      else element_at(col("_row"), f.name).cast(f.dataType).as(f.name)
-      // deletes carry _row = null => data columns null, _kind marks them
-    }
-    val deltaRows = deduped.select((pivotCols.toSeq ++ Seq(
+    // 4. SINGLE PASS to storage: the surviving events are written directly
+    //    as per-bucket DELTA files in the raw self-describing encoding
+    //    (typed keys + _row/_types maps + _lsn/_seq/_kind). No persist —
+    //    caching the wide map payloads measurably cost more than the whole
+    //    remaining pipeline — and no pre-write typed pivot, which would
+    //    need the evolved schema and therefore a second full pass to
+    //    observe it first. Per-bucket stats, lineage, and schema evolution
+    //    are computed AFTER the write from the written deltas, which are
+    //    O(batch)-small; readers pivot delta maps through the snapshot
+    //    schema (LakeTable.mergedView).
+    val deltaRows = deduped.select((keyCols.map(col) ++ Seq(
+        col("_row"), col("_types"),
         col("lsn").as("_lsn"), col("seq").cast("int").as("_seq"),
         col("kind").as("_kind"), col("_bucket"))).toIndexedSeq: _*)
       .repartition(col("_bucket")) // one delta file per touched bucket
     val newId = snap.snapshotId + 1
     val deltaDir = table.newCommitDirName(newId, "delta")
     val writtenDeltas = table.writeBucketed(deltaRows, deltaDir)
-    var attemptDirs = List(deltaDir)
+    val attemptDirs = scala.collection.mutable.ListBuffer(deltaDir)
 
-    val deltasAfter = snap.bucketDeltas ++ writtenDeltas.map { case (b, fs) =>
-      b -> (snap.bucketDeltas.getOrElse(b, Nil) ++ fs)
-    }
+    try {
+      // Batch validation gate: the decode observe-metrics are complete (the
+      // write materialized the plan) but nothing is committed — a strict-
+      // mode malformed batch aborts here and the catch removes the attempt
+      // directory. This runs even when zero events survived the watermark
+      // gate: a batch malformed IN FULL must still fail, never no-op.
+      validate()
+      val inputEvents = obs.get.get("inputEvents")
+        .map(_.asInstanceOf[Long]).getOrElse(-1L)
 
-    // 7. Bounded read amplification: buckets whose delta chain reached
-    //    maxDeltasPerBucket are compacted back to a fresh base WITHIN this
-    //    commit (read base+deltas, keep-last, drop delete markers). Cost is
-    //    amortized: each bucket compacts once every maxDeltas batches.
-    val toCompact = deltasAfter.collect {
-      case (b, fs) if fs.size >= table.maxDeltasPerBucket => b
-    }.toSet
-    val (bucketFiles, bucketDeltas) =
-      if (toCompact.isEmpty) (snap.bucketFiles, deltasAfter)
-      else {
-        val baseFiles = toCompact.toSeq.sorted
-          .flatMap(b => snap.bucketFiles.getOrElse(b, Nil))
-        val deltaFiles = toCompact.toSeq.sorted
-          .flatMap(b => deltasAfter.getOrElse(b, Nil))
-        val mergedRows = table
-          .mergedView(schema, keyCols, snap.renameMap, baseFiles, deltaFiles)
-          .withColumn("_bucket", table.bucketExpr(keyCols, nBuckets))
-        val compactDir = table.newCommitDirName(newId, "compact")
-        attemptDirs ::= compactDir
-        val w = table.writeBucketed(mergedRows, compactDir)
-        val newBase = snap.bucketFiles ++
-          toCompact.map(b => b -> w.getOrElse(b, Nil)).toMap
-        (newBase.filter(_._2.nonEmpty), // a fully-deleted bucket vanishes
-          deltasAfter ++ toCompact.map(b => b -> Seq.empty[String]).toMap)
+      if (writtenDeltas.isEmpty) {
+        table.deleteDataDir(deltaDir)
+        return noopStats.copy(snapshotId = snap.snapshotId, inputEvents = inputEvents)
       }
-    val bucketWatermarks = snap.bucketWatermarks ++
-      perBucketMax.map { case (b, w) =>
-        b -> math.max(w, snap.bucketWatermarks.getOrElse(b, -1L))
-      }
-    val lineage = Map(
-      "inputEvents" -> inputEvents, "appliedKeys" -> appliedKeys,
-      "inserted" -> inserted, "updated" -> updated, "deleted" -> deleted,
-      "dedupDropped" -> (inputEvents - appliedKeys),
-      "minLsn" -> minLsn, "maxLsn" -> maxLsn,
-      "touchedBuckets" -> touched.size.toLong)
-    // Per-partition (bucket) lineage, accumulated across commits: applied-op
-    // counts summed, LSN bounds widened (north rule: per-partition lineage).
-    val batchBucketLineage = statRows.map { r =>
-      r.getInt(0) -> Map(
-        "keys" -> r.getLong(1), "inserted" -> r.getLong(2),
-        "updated" -> r.getLong(3), "deleted" -> r.getLong(4),
-        "minLsn" -> r.getLong(5), "maxLsn" -> r.getLong(6))
-    }.toMap
-    val bucketLineage = snap.bucketLineage ++ batchBucketLineage.map {
-      case (b, cur) =>
-        val prev = snap.bucketLineage.getOrElse(b, Map.empty[String, Long])
-        b -> Map(
-          "keys" -> (prev.getOrElse("keys", 0L) + cur("keys")),
-          "inserted" -> (prev.getOrElse("inserted", 0L) + cur("inserted")),
-          "updated" -> (prev.getOrElse("updated", 0L) + cur("updated")),
-          "deleted" -> (prev.getOrElse("deleted", 0L) + cur("deleted")),
-          "minLsn" -> math.min(prev.getOrElse("minLsn", Long.MaxValue), cur("minLsn")),
-          "maxLsn" -> math.max(prev.getOrElse("maxLsn", -1L), cur("maxLsn")))
-    }
-    val next = snap.copy(
-      schema = schema,
-      bucketFiles = bucketFiles,
-      bucketDeltas = bucketDeltas.filter(_._2.nonEmpty),
-      bucketWatermarks = bucketWatermarks,
-      bucketLineage = bucketLineage,
-      lsnHighWatermark = math.max(snap.lsnHighWatermark, maxLsn),
-      lineage = lineage)
-    // A lost fencing race (or any commit failure) must not leak the
-    // attempt's data files — they are referenced by no snapshot and would
-    // otherwise accumulate unbounded across conflict retries.
-    try table.commit(next, expectedSnapshotId = snap.snapshotId)
-    catch { case e: Throwable => attemptDirs.foreach(table.deleteDataDir); throw e }
 
-    MergeStats(committed = true, newId, inputEvents, appliedKeys,
-      inserted, updated, deleted, inputEvents - appliedKeys,
-      minLsn, maxLsn, touched.size)
+      // 5. Per-bucket lineage + observed schema, read back from the small
+      //    written deltas (one quick job each — no re-decode, no cache).
+      val deltas = table.spark.read.parquet(s"${table.root}/data/$deltaDir")
+      val statRows = deltas.groupBy(col("_bucket")).agg(
+        count(lit(1)).as("keys"),
+        sum(when(col("_kind") === "insert", 1L).otherwise(0L)).as("ins"),
+        sum(when(col("_kind") === "update", 1L).otherwise(0L)).as("upd"),
+        sum(when(col("_kind") === "delete", 1L).otherwise(0L)).as("del"),
+        min(col("_lsn")).as("minLsn"),
+        max(col("_lsn")).as("maxLsn")).collect()
+
+      val touched = statRows.map(_.getInt(0)).toSet
+      val appliedKeys = statRows.map(_.getLong(1)).sum
+      val inserted = statRows.map(_.getLong(2)).sum
+      val updated = statRows.map(_.getLong(3)).sum
+      val deleted = statRows.map(_.getLong(4)).sum
+      val minLsn = statRows.map(_.getLong(5)).min
+      val maxLsn = statRows.map(_.getLong(6)).max
+      val perBucketMax = statRows.map(r => r.getInt(0) -> r.getLong(6)).toMap
+
+      // 6. Schema evolution: additive columns observed in the batch extend
+      //    the table schema (Catalyst-driven schema merge).
+      val observed = deltas
+        .filter(col("_types").isNotNull)
+        .select(explode(col("_types")).as(Seq("name", "typ")))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .sortBy(identity).distinct
+        .groupBy(_._1).map { case (n, ps) => (n, ps.head._2) }
+        .toSeq.sortBy(_._1)
+      val schema = evolveSchema(snap.schema, observed)
+
+      val deltasAfter = snap.bucketDeltas ++ writtenDeltas.map { case (b, fs) =>
+        b -> (snap.bucketDeltas.getOrElse(b, Nil) ++ fs)
+      }
+
+      // 7. Bounded read amplification: buckets whose delta chain reached
+      //    maxDeltasPerBucket are compacted back to a fresh base WITHIN this
+      //    commit (read base+deltas, keep-last, drop delete markers). Cost
+      //    is amortized: each bucket compacts once every maxDeltas batches.
+      val toCompact = deltasAfter.collect {
+        case (b, fs) if fs.size >= table.maxDeltasPerBucket => b
+      }.toSet
+      val (bucketFiles, bucketDeltas) =
+        if (toCompact.isEmpty) (snap.bucketFiles, deltasAfter)
+        else {
+          val baseFiles = toCompact.toSeq.sorted
+            .flatMap(b => snap.bucketFiles.getOrElse(b, Nil))
+          val deltaFiles = toCompact.toSeq.sorted
+            .flatMap(b => deltasAfter.getOrElse(b, Nil))
+          val mergedRows = table
+            .mergedView(schema, keyCols, snap.renameMap, baseFiles, deltaFiles)
+            .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
+          val compactDir = table.newCommitDirName(newId, "compact")
+          attemptDirs += compactDir
+          val w = table.writeBucketed(mergedRows, compactDir)
+          val newBase = snap.bucketFiles ++
+            toCompact.map(b => b -> w.getOrElse(b, Nil)).toMap
+          (newBase.filter(_._2.nonEmpty), // a fully-deleted bucket vanishes
+            deltasAfter ++ toCompact.map(b => b -> Seq.empty[String]).toMap)
+        }
+      val bucketWatermarks = snap.bucketWatermarks ++
+        perBucketMax.map { case (b, w) =>
+          b -> math.max(w, snap.bucketWatermarks.getOrElse(b, -1L))
+        }
+      val lineage = Map(
+        "inputEvents" -> inputEvents, "appliedKeys" -> appliedKeys,
+        "inserted" -> inserted, "updated" -> updated, "deleted" -> deleted,
+        "dedupDropped" -> (inputEvents - appliedKeys),
+        "minLsn" -> minLsn, "maxLsn" -> maxLsn,
+        "touchedBuckets" -> touched.size.toLong)
+      // Per-partition (bucket) lineage, accumulated across commits: applied-
+      // op counts summed, LSN bounds widened (per-partition lineage).
+      val batchBucketLineage = statRows.map { r =>
+        r.getInt(0) -> Map(
+          "keys" -> r.getLong(1), "inserted" -> r.getLong(2),
+          "updated" -> r.getLong(3), "deleted" -> r.getLong(4),
+          "minLsn" -> r.getLong(5), "maxLsn" -> r.getLong(6))
+      }.toMap
+      val bucketLineage = snap.bucketLineage ++ batchBucketLineage.map {
+        case (b, cur) =>
+          val prev = snap.bucketLineage.getOrElse(b, Map.empty[String, Long])
+          b -> Map(
+            "keys" -> (prev.getOrElse("keys", 0L) + cur("keys")),
+            "inserted" -> (prev.getOrElse("inserted", 0L) + cur("inserted")),
+            "updated" -> (prev.getOrElse("updated", 0L) + cur("updated")),
+            "deleted" -> (prev.getOrElse("deleted", 0L) + cur("deleted")),
+            "minLsn" -> math.min(prev.getOrElse("minLsn", Long.MaxValue), cur("minLsn")),
+            "maxLsn" -> math.max(prev.getOrElse("maxLsn", -1L), cur("maxLsn")))
+      }
+      val next = snap.copy(
+        schema = schema,
+        bucketFiles = bucketFiles,
+        bucketDeltas = bucketDeltas.filter(_._2.nonEmpty),
+        bucketWatermarks = bucketWatermarks,
+        bucketLineage = bucketLineage,
+        lsnHighWatermark = math.max(snap.lsnHighWatermark, maxLsn),
+        lineage = lineage)
+      table.commit(next, expectedSnapshotId = snap.snapshotId)
+
+      MergeStats(committed = true, newId, inputEvents, appliedKeys,
+        inserted, updated, deleted, inputEvents - appliedKeys,
+        minLsn, maxLsn, touched.size)
+    } catch {
+      // A lost fencing race, failed validation, or any other failure must
+      // not leak the attempt's data files — they are referenced by no
+      // snapshot and would otherwise accumulate unbounded across retries.
+      case e: Throwable =>
+        attemptDirs.foreach(table.deleteDataDir)
+        throw e
+    }
   }
 
   /**

@@ -182,7 +182,7 @@ class LakeTable(val spark: SparkSession, val root: String,
       sel.partition(b => snap.bucketDeltas.getOrElse(b, Nil).nonEmpty)
     val cleanDf = readConformed(
       clean.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
-      snap.schema, snap.renameMap, withMergeCols = false)
+      snap.schema, snap.renameMap)
     if (withDeltas.isEmpty) cleanDf
     else {
       val merged = mergedView(snap.schema, snap.keyColumns, snap.renameMap,
@@ -202,11 +202,11 @@ class LakeTable(val spark: SparkSession, val root: String,
   def mergedView(schema: StructType, keyColumns: Seq[String],
                  renameMap: Map[String, String],
                  baseFiles: Seq[String], deltaFiles: Seq[String]): DataFrame = {
-    val base = readConformed(baseFiles, schema, renameMap, withMergeCols = false)
+    val base = readConformed(baseFiles, schema, renameMap)
       .withColumn("_lsn", lit(-1L))
       .withColumn("_seq", lit(-1).cast("int"))
       .withColumn("_kind", lit("insert"))
-    val deltas = readConformed(deltaFiles, schema, renameMap, withMergeCols = true)
+    val deltas = readDeltas(deltaFiles, schema, keyColumns)
     val all = base.unionByName(deltas)
     val dataCols = schema.fieldNames.filterNot(keyColumns.contains).toSeq
     val payload = struct((dataCols.map(col) :+ col("_kind")).toIndexedSeq: _*)
@@ -218,20 +218,33 @@ class LakeTable(val spark: SparkSession, val root: String,
         (if (keyColumns.contains(n)) col(n) else col(s"_w.$n")).as(n)).toIndexedSeq: _*)
   }
 
-  /** Read `files` and conform them to `schema` (mergeSchema across eras,
-    * rename coalescing, column order/casts); `withMergeCols` additionally
-    * carries the delta merge metadata (_lsn, _seq, _kind). */
-  private def readConformed(files: Seq[String], schema: StructType,
-                            renameMap: Map[String, String],
-                            withMergeCols: Boolean): DataFrame = {
-    val extras = if (withMergeCols) Seq("_lsn", "_seq", "_kind") else Nil
+  /** Read delta files (typed keys + self-describing _row/_types maps +
+    * _lsn/_seq/_kind) and pivot them through `schema`: a delta written
+    * before a column existed simply yields null for it, and delete markers
+    * carry _row = null — the read-time half of schema evolution. */
+  private def readDeltas(files: Seq[String], schema: StructType,
+                         keyColumns: Seq[String]): DataFrame = {
     if (files.isEmpty) {
-      val mergeFields =
-        if (withMergeCols) Seq(StructField("_lsn", LongType),
-          StructField("_seq", IntegerType), StructField("_kind", StringType))
-        else Nil
-      val full = StructType(schema.fields ++ mergeFields)
+      val full = StructType(schema.fields ++ Seq(StructField("_lsn", LongType),
+        StructField("_seq", IntegerType), StructField("_kind", StringType)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+    } else {
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$root/$f"): _*)
+      val cols = schema.fields.map { f =>
+        if (keyColumns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else element_at(col("_row"), f.name).cast(f.dataType).as(f.name)
+      } ++ Seq(col("_lsn"), col("_seq"), col("_kind"))
+      df.select(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** Read base files and conform them to `schema` (mergeSchema across eras,
+    * rename coalescing, column order/casts). */
+  private def readConformed(files: Seq[String], schema: StructType,
+                            renameMap: Map[String, String]): DataFrame = {
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       var df = spark.read.option("mergeSchema", "true")
         .parquet(files.map(f => s"$root/$f"): _*)
@@ -248,7 +261,7 @@ class LakeTable(val spark: SparkSession, val root: String,
       val cols = schema.fields.map { f =>
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
-      } ++ extras.map(col)
+      }
       df.select(cols.toIndexedSeq: _*)
     }
   }
