@@ -102,9 +102,10 @@ object ScaleBench {
       f"""# BENCH — CDC apply throughput & scaling (this round's measurements)
          |
          |Job: identical end-to-end CDC apply (read JSONL WAL segments ->
-         |native ParseWalLine decode -> key extraction + PK-change split -> keep-last
-         |dedup -> schema evolution -> typed pivot -> bucketed MERGE ->
-         |parquet write -> fenced snapshot commit) on the identical
+         |native ParseWalLine decode + observe-validation -> key extraction +
+         |PK-change split -> keep-last dedup -> per-bucket merge-on-read
+         |delta append (single full-size pass; amortized compaction) ->
+         |schema evolution -> fenced snapshot commit) on the identical
          |${results.head.events}-change-event input (seed 42), at two
          |parallelism levels per pair. Per BASELINE.md the north rule's
          |N->4N executor criterion is evidenced with local[N] vs local[4N]

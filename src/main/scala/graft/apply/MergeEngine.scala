@@ -267,7 +267,10 @@ object MergeEngine {
       }
 
       // 5. Per-bucket lineage + observed schema, read back from the small
-      //    written deltas (one quick job each — no re-decode, no cache).
+      //    written deltas in ONE quick job (no re-decode, no cache). The
+      //    distinct type-map JSONs double as the schema observation: a
+      //    batch carries only a handful of distinct column-set eras, so
+      //    collect_set stays tiny.
       val deltas = table.spark.read.parquet(s"${table.root}/data/$deltaDir")
       val statRows = deltas.groupBy(col("_bucket")).agg(
         count(lit(1)).as("keys"),
@@ -275,7 +278,8 @@ object MergeEngine {
         sum(when(col("_kind") === "update", 1L).otherwise(0L)).as("upd"),
         sum(when(col("_kind") === "delete", 1L).otherwise(0L)).as("del"),
         min(col("_lsn")).as("minLsn"),
-        max(col("_lsn")).as("maxLsn")).collect()
+        max(col("_lsn")).as("maxLsn"),
+        collect_set(to_json(col("_types"))).as("typeSets")).collect()
 
       val touched = statRows.map(_.getInt(0)).toSet
       val appliedKeys = statRows.map(_.getLong(1)).sum
@@ -288,11 +292,15 @@ object MergeEngine {
 
       // 6. Schema evolution: additive columns observed in the batch extend
       //    the table schema (Catalyst-driven schema merge).
-      val observed = deltas
-        .filter(col("_types").isNotNull)
-        .select(explode(col("_types")).as(Seq("name", "typ")))
-        .distinct().collect()
-        .map(r => (r.getString(0), r.getString(1)))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val observed = statRows
+        .flatMap(_.getSeq[String](7))
+        .distinct
+        .flatMap { js =>
+          val n = mapper.readTree(js)
+          import scala.jdk.CollectionConverters._
+          n.properties().asScala.map(e => (e.getKey, e.getValue.asText()))
+        }
         .sortBy(identity).distinct
         .groupBy(_._1).map { case (n, ps) => (n, ps.head._2) }
         .toSeq.sortBy(_._1)
