@@ -98,6 +98,15 @@ class PlanSpec extends SparkSpec {
     assertNoProductJoin("ann_ivf_topk")
   }
 
+  test("q_approx_agg: KMV top-k gets a map-side WindowGroupLimit (never a full per-group sort)") {
+    val p = plan("q_approx_agg")
+    // Spark's WindowGroupLimit keeps only the 64 smallest hashes per group
+    // BEFORE the shuffle — without it the distinct-hash sort is O(distinct
+    // keys) per group, which does not survive 10^10 rows
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
   test("dedup_exact: single hash aggregation with map-side combine") {
     val p = plan("dedup_exact")
     assert(p.contains("partial_"), p)
