@@ -26,7 +26,8 @@ object Bench {
   /** Full-output checksum sink: forces EVERY output column to be computed
     * (a bare count() lets Spark prune projection-only queries down to a
     * parquet row count, timing nothing). Map columns go through to_json
-    * (xxhash64 rejects maps); the sum is order-independent. */
+    * (xxhash64 rejects maps); bit_xor is order-independent and cannot
+    * overflow (ANSI mode makes sum throw on long overflow). */
   def checksum(df: DataFrame): Long = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
@@ -35,7 +36,7 @@ object Bench {
       }
     }
     val r = df.select(xxhash64(cols.toIndexedSeq: _*).as("h"))
-      .agg(sum(col("h"))).collect()(0)
+      .agg(bit_xor(col("h"))).collect()(0)
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
