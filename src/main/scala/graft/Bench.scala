@@ -17,10 +17,11 @@ object Bench {
 
   /** Headline subset: one per operator family, heaviest variants. */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q_join_revenue", "q_window_top_per_key",
+    "q1_agg", "q_join_revenue", "q_window_top_per_key", "q_approx_agg",
+    "q_asof_join", "q_event_sessions",
     "cdc_decode_roundtrip", "cdc_merge_final_state",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_cosine_topk", "dedup_embedding_cosine",
+    "ann_cosine_topk", "dedup_embedding_cosine", "dedup_embedding_lsh",
     "text_fingerprint", "text_quality_score", "multimodal_meta")
 
   /** Full-output checksum sink: forces EVERY output column to be computed
