@@ -62,10 +62,16 @@ object DedupOps {
   val ShingleCap = 50
 
   private def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > ShingleCap).select(col("g"))
-    sh.join(hot, Seq("g"), "left_anti")
+    // document frequency as a whole-partition window over g rather than a
+    // separate aggregate + anti-join: the window's hashpartitioning(g) is
+    // exactly what the downstream self-join on g requires, so Catalyst
+    // reuses ONE exchange (and one scan+shingling pass) for the cap and
+    // both join sides instead of re-deriving the inverted list three times
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    shingled(spark, dir)
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= ShingleCap)
+      .drop("df")
   }
 
   private val cappedShinglesSql: String =
