@@ -96,6 +96,38 @@ object SimilarityOps {
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /**
+   * Brute-force cosine top-k, ARRAY-NATIVE: the dot product is computed
+   * inside the row with `zip_with` + `aggregate` over the quantized vectors
+   * instead of exploding components into rows — the corpus side streams
+   * once and the (tiny) query side broadcasts, so there is NO shuffle and
+   * no |dims|x row blowup. Same integer metric as [[annTopK]], so the two
+   * variants are value-identical and share one oracle.
+   */
+  def annTopKArrays(spark: SparkSession, dir: String): DataFrame = {
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") * SCALE + 0.5).cast("long")).as("qv"))
+      .withColumn("n2",
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+    val queries = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("qa"), col("n2").as("na"))
+    val cands = q.select(col("vec_id").as("nid"), col("qv").as("qb"), col("n2").as("nb"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("cos2_bp", expr(metricExpr))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos2_bp").desc, col("nid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos2_bp"))
+      .orderBy("qid", "rnk")
+  }
+
+  /**
    * Random-hyperplane LSH bucketing: 8 deterministic integer hyperplanes
    * r_j(idx) = ((idx*31 + j*17) % 7) - 3; bucket bit j = [dot_j > 0].
    * Bucket-equal vectors are ANN candidates — candidate generation becomes
@@ -289,6 +321,8 @@ object SimilarityOps {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ann_cosine_topk" -> (annTopK _, annTopKSql),
+    // value-identical to ann_cosine_topk (same integer metric): one oracle
+    "ann_cosine_topk_arrays" -> (annTopKArrays _, annTopKSql),
     "ann_lsh_buckets" -> (annLshBuckets _, annLshBucketsSql),
     "ann_ivf_topk" -> (annIvfTopK _, annIvfTopKSql),
     "dedup_embedding_cosine" -> (embeddingNearDup _, embeddingNearDupSql),
