@@ -184,6 +184,47 @@ object DedupOps {
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
 
   /**
+   * The full two-stage near-dup pipeline — THE shape that survives 100 TB:
+   * banded-LSH candidate generation (hash-bounded equi-join, no all-pairs)
+   * followed by exact Jaccard verification computed ONLY on the candidate
+   * pairs (the tiny candidate set broadcasts against the shingle lists).
+   * Output: verified pairs with their exact similarity.
+   */
+  def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    val cands = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val sh = shingled(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("g"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("g"))
+    val pairGrams = broadcast(cands).join(a, "doc_a").join(b, Seq("doc_b", "g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairGrams
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard_bp", expr("(inter * 10000) div (na + nb - inter)"))
+      .filter(col("jaccard_bp") >= 2000)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val minhashVerifiedSql: String =
+    s"""WITH cands AS (${minhashLshSql.replace("ORDER BY doc_a, doc_b", "")}),
+       |sh AS ($shingledSql),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pg AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cands c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.g = a.g
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, (inter * 10000) // (sa.n + sb.n - inter) AS jaccard_bp
+       |FROM pg JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE (inter * 10000) // (sa.n + sb.n - inter) >= 2000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /**
    * SimHash: 16-bit locality-sensitive fingerprint — per bit, sum +1/-1
    * over distinct-token hashes; bit set iff the sum is positive.
    */
@@ -227,5 +268,6 @@ object DedupOps {
     "dedup_ngram_jaccard" -> (ngramJaccard _, ngramJaccardSql),
     "dedup_minhash_sig" -> (minhashSignature _, minhashSignatureSql),
     "dedup_minhash_lsh" -> (minhashLsh _, minhashLshSql),
+    "dedup_minhash_verified" -> (minhashVerified _, minhashVerifiedSql),
     "dedup_simhash" -> (simhash _, simhashSql))
 }
