@@ -112,4 +112,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("dedup_ngram_jaccard: the shingle inverted list is computed once and reused") {
+    val p = plan("dedup_ngram_jaccard")
+    // the window-expressed frequency cap shares its hashpartitioning(g)
+    // exchange with both self-join sides
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("dedup_minhash_verified: candidates broadcast, no product join") {
+    val p = assertNoProductJoin("dedup_minhash_verified")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ann_cosine_topk_arrays: broadcast query side, no explode blowup") {
+    val p = plan("ann_cosine_topk_arrays")
+    // a 10-row broadcast build side against the streaming corpus is the
+    // intended brute-force shape (BNLJ is fine here — the build side is
+    // constant-size; a CartesianProduct would shuffle both sides)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the dot product happens inside the row: no Generate/explode blowup
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("q_event_sessions / q_asof_join: one shuffle per key partitioning, no products") {
+    for (name <- Seq("q_event_sessions", "q_asof_join")) {
+      val p = assertNoProductJoin(name)
+      // all windows run on the same user_id partitioning: exactly one
+      // hash exchange (plus the final presentation sort)
+      val hashExchanges = p.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(hashExchanges <= 2, s"$name: $hashExchanges hash exchanges:\n$p")
+    }
+  }
+
+  test("q_event_tumbling: partial aggregation before the shuffle") {
+    val p = plan("q_event_tumbling")
+    assert(p.contains("partial_"), p)
+  }
 }
