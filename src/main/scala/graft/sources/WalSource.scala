@@ -216,7 +216,23 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
             val n = g.group(1).toInt
             val segs = wal.listSegments().map(_._1)
             if (n == 0) WalOffset("")
-            else if (n <= segs.size) WalOffset(segs(n - 1))
+            else if (n <= segs.size) {
+              // Positions are only trustworthy if the listing is still the
+              // original prefix: if retention/repair deleted any consumed
+              // segment before this first restart on name offsets, index
+              // n-1 would silently resolve to the WRONG segment (re-read or
+              // skip). Segment names embed their ordinal, so verify it.
+              val resolved = segs(n - 1)
+              val ordinal = "\\d+".r.findFirstIn(resolved).map(_.toLong)
+              if (!ordinal.contains((n - 1).toLong))
+                throw new IllegalArgumentException(
+                  s"cannot migrate legacy positional WAL offset $n: segment " +
+                    s"listing in $dir no longer starts at the first-ever " +
+                    s"segment (position ${n - 1} resolves to $resolved) — " +
+                    "a consumed segment was deleted; restart from a fresh " +
+                    "checkpoint or set the offset to the segment name")
+              WalOffset(resolved)
+            }
             else throw new IllegalArgumentException(
               s"legacy WAL offset $n exceeds ${segs.size} segments in $dir")
           case None => throw new IllegalArgumentException(s"bad WAL offset: $json")
@@ -231,8 +247,10 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
       .filter { case (n, _) => n > s && n <= e }
       .flatMap { case (n, size) =>
         // line-aligned byte-range splits: a split owns every line that
-        // STARTS inside it (the reader skips a leading partial line and
-        // finishes the line straddling its end)
+        // STARTS inside (start, end] — Hadoop LineRecordReader semantics:
+        // the reader skips a leading partial-or-whole first line when
+        // start > 0, reads through the line straddling its end, and claims
+        // a line beginning exactly at `end` (which the next split skips)
         val nSplits = math.max(1L, (size + splitBytes - 1) / splitBytes)
         (0L until nSplits).map { k =>
           val off = k * splitBytes
@@ -242,8 +260,26 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
       }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new WalReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Capture the SESSION Hadoop configuration on the driver and ship it to
+    // executors: a default `new Configuration()` built executor-side would
+    // silently drop every `spark.hadoop.*` session setting (s3a credentials,
+    // endpoints), leaving only classpath core-site.xml filesystems working.
+    val conf = SparkSession.getActiveSession
+      .map { s =>
+        val c = s.sessionState.newHadoopConf()
+        // newHadoopConf copies RUNTIME-set session entries verbatim (the
+        // `spark.hadoop.` prefix is only stripped for static SparkConf
+        // entries at session build) — strip it here so
+        // spark.conf.set("spark.hadoop.fs.s3a.access.key", ...) works too.
+        s.conf.getAll.foreach { case (k, v) =>
+          if (k.startsWith("spark.hadoop.")) c.set(k.stripPrefix("spark.hadoop."), v)
+        }
+        c
+      }
+      .getOrElse(new Configuration())
+    new WalReaderFactory(new org.apache.spark.util.SerializableConfiguration(conf))
+  }
 
   /** WAL release: once the engine durably logs `end` (exactly-once offset
     * log + idempotent sink), segments at or below it are never needed again.
@@ -263,28 +299,33 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
 case class WalInputPartition(path: String, start: Long, length: Long)
     extends InputPartition
 
-class WalReaderFactory extends PartitionReaderFactory {
+class WalReaderFactory(val conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WalInputPartition]
-    new WalPartitionReader(p.path, p.start, p.length)
+    new WalPartitionReader(p.path, p.start, p.length, conf.value)
   }
 }
 
 /**
  * Reads the lines of one byte range via the Hadoop FileSystem API
- * (filesystem-agnostic, executor-side). Range semantics are Hadoop
- * TextInputFormat's: if start > 0 the leading partial line belongs to the
- * previous split and is skipped; the line straddling the range end is read
- * to completion. Lines are emitted as raw UTF-8 bytes (no UTF-16 round
- * trip — the downstream native parser consumes UTF8String directly).
+ * (filesystem-agnostic, executor-side, with the driver's session Hadoop
+ * configuration shipped in through [[WalReaderFactory]]). Range semantics
+ * are Hadoop LineRecordReader's: if start > 0 the leading partial line
+ * belongs to the previous split and is skipped; a line may BEGIN at any
+ * pos <= end (including exactly at `end` — the next split unconditionally
+ * skips its first partial-or-whole line, so the line starting at a split
+ * boundary must be claimed by the split ENDING there, or it is lost); the
+ * line straddling the range end is read to completion. Lines are emitted as
+ * raw UTF-8 bytes (no UTF-16 round trip — the downstream native parser
+ * consumes UTF8String directly).
  */
-class WalPartitionReader(path: String, start: Long, length: Long)
+class WalPartitionReader(path: String, start: Long, length: Long,
+                         hadoopConf: Configuration)
     extends PartitionReader[InternalRow] {
   private val end = start + length
   private val hp = new HPath(path)
-  // executor-side: default Hadoop config (file:/hdfs:/s3a: from classpath
-  // core-site.xml); options needing session confs would use a broadcast
-  private val fs = hp.getFileSystem(new Configuration())
+  private val fs = hp.getFileSystem(hadoopConf)
   private val stream = fs.open(hp)
   if (start > 0) stream.seek(start)
   private val in = new java.io.BufferedInputStream(stream, 1 << 16)
@@ -306,7 +347,12 @@ class WalPartitionReader(path: String, start: Long, length: Long)
   }
 
   override def next(): Boolean = {
-    if (pos >= end) return false
+    // pos > end, NOT >=: a line starting exactly at `end` belongs to THIS
+    // split (the next split, whose skipToLineStart discards everything up to
+    // and including its first newline, will not read it). With >= the line
+    // at a boundary was read by NEITHER split — silent data loss whenever a
+    // line happened to end exactly at a splitBytes multiple.
+    if (pos > end) return false
     buf.reset()
     var b = in.read()
     if (b == -1) return false

@@ -78,6 +78,72 @@ class WalSourceSpec extends SparkSpec {
     assert(total2 === 50L && parts2 === 1)
   }
 
+  test("no line is lost or duplicated at ANY split boundary (boundary sweep)") {
+    // Regression: with the old `pos >= end` stop condition, a line STARTING
+    // exactly at a split boundary was read by neither split — the previous
+    // split stopped at pos == end, and the next split unconditionally skips
+    // through its first newline. 'ab\ncd\nef\n' with splitBytes=3 silently
+    // emitted only 'ab'.
+    val dir = tmpDir("wal")
+    val lines = Seq("ab", "cd", "ef", "", "ghij", "k")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/wal-000000000.jsonl"),
+      lines.mkString("", "\n", "\n"))
+    val fileSize = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$dir/wal-000000000.jsonl"))
+    for (splitBytes <- 1L to fileSize + 1) {
+      val ckpt = tmpDir("ckpt")
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      val q = spark.readStream.format("graft-wal")
+        .option("splitBytes", splitBytes.toString).load(dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= df.collect().map(_.getString(0)); ()
+        }
+        .start()
+      q.awaitTermination()
+      assert(got.sorted === lines.sorted,
+        s"splitBytes=$splitBytes lost or duplicated lines: $got")
+    }
+  }
+
+  test("session spark.hadoop.* confs reach the executor-side partition reader") {
+    spark.conf.set("spark.hadoop.graft.test.probe", "42")
+    try {
+      val stream = new graft.sources.WalMicroBatchStream(tmpDir("wal"))
+      val factory = stream.createReaderFactory()
+        .asInstanceOf[graft.sources.WalReaderFactory]
+      // executor delivery = java serialization round trip of the factory
+      val bytes = {
+        val bo = new java.io.ByteArrayOutputStream()
+        val oo = new java.io.ObjectOutputStream(bo)
+        oo.writeObject(factory); oo.close(); bo.toByteArray
+      }
+      val revived = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bytes)).readObject()
+        .asInstanceOf[graft.sources.WalReaderFactory]
+      assert(revived.conf.value.get("graft.test.probe") === "42")
+    } finally spark.conf.unset("spark.hadoop.graft.test.probe")
+  }
+
+  test("legacy positional offset migration fails loudly after segment deletion") {
+    val dir = tmpDir("wal");
+    ChangeStreamGen.writeSegments(spark, cfg, dir, 60L, txnsPerSegment = 20)
+    val stream = new graft.sources.WalMicroBatchStream(dir)
+    // intact listing: position 2 still means the second-ever segment
+    assert(stream.deserializeOffset("""{"segments":2}""").json()
+      .contains("wal-000000001.jsonl"))
+    // a consumed segment deleted before first restart on the new version:
+    // positions have shifted — migration must refuse, not silently remap
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/wal-000000000.jsonl"))
+    val e = intercept[IllegalArgumentException] {
+      stream.deserializeOffset("""{"segments":2}""")
+    }
+    assert(e.getMessage.contains("cannot migrate"))
+  }
+
   test("segment listing is ordered and ignores foreign/partial files") {
     val dir = tmpDir("wal")
     ChangeStreamGen.writeSegments(spark, cfg, dir, 90L, txnsPerSegment = 30)
