@@ -2,8 +2,9 @@ package graft.lake
 
 import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, FileAlreadyExistsException, StandardOpenOption}
+import java.nio.file.{Files, FileAlreadyExistsException, StandardOpenOption}
 import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
@@ -13,13 +14,18 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 /**
  * Minimal Iceberg-style table format, built natively (no Iceberg runtime in
  * this sandbox): immutable Parquet data files + JSON snapshot manifests +
- * atomic-rename commits with snapshot-id fencing.
+ * fenced single-winner commits.
  *
  * Layout:
  * {{{
  *   <root>/data/commit-<snapshotId>-<attempt>/_bucket=<k>/part-*.parquet
  *   <root>/meta/snapshot-<%012d>.json
  * }}}
+ *
+ * ALL metadata IO goes through the Hadoop FileSystem API resolved from the
+ * table root's scheme and the session Hadoop configuration, so the table can
+ * live on `file:`, `hdfs:`, or any configured store — the same deployment
+ * surface as the data files (which Spark reads/writes through the same API).
  *
  * Data is hash-bucketed by the primary key: bucket = pmod(xxhash64(key), n).
  * Writes are MERGE-ON-READ: a commit appends small per-bucket DELTA files
@@ -33,16 +39,28 @@ import com.fasterxml.jackson.databind.node.ObjectNode
  * the same commit, so read amplification stays bounded.
  *
  * Consistency: the current snapshot is the highest-numbered manifest. A
- * commit writes a fully-fsynced temp file, then publishes it with
- * Files.createLink (link(2)) — the one POSIX primitive that atomically FAILS
- * with EEXIST when the target exists (rename(2)/ATOMIC_MOVE silently
- * replaces, which would let two racing committers both "win"). The loser
- * gets [[CommitConflictException]] — that is the snapshot-id fencing (the
- * transactional analog of the reference's slot-busy single-writer lock wait,
- * PostgresConnector.java:164-215). Each snapshot also records per-bucket LSN
- * high watermarks; a replayed batch whose events are all <= watermark
- * becomes a byte-identical no-op, which upgrades the reference's
- * at-least-once LSN-ack protocol (SlotReaderCallback.java:70-85,
+ * commit writes a fully-synced temp file, then publishes it with the
+ * strongest atomic FAIL-IF-EXISTS primitive the root's filesystem offers:
+ *
+ *  - `file:` — Files.createLink (link(2)), the one POSIX primitive that
+ *    atomically fails with EEXIST when the target exists (rename(2) /
+ *    ATOMIC_MOVE silently replaces, which would let two racing committers
+ *    both "win"; Hadoop's RawLocalFileSystem.rename has the same flaw);
+ *  - HDFS-semantics stores — `FileSystem.rename(tmp, target)`, which per
+ *    the FileSystem contract atomically fails when the target exists (HDFS
+ *    implements this server-side in the NameNode);
+ *  - object stores — S3 has no atomic rename; a production deployment
+ *    fences with a conditional PUT (If-None-Match) through a store/client
+ *    that exposes it, or fronts commits with a lightweight lock service
+ *    (the approach Delta Lake takes on S3). The rename path here is the
+ *    seam: override [[LakeTable.publish]] for such a store.
+ *
+ * The loser gets [[CommitConflictException]] — that is the snapshot-id
+ * fencing (the transactional analog of the reference's slot-busy
+ * single-writer lock wait, PostgresConnector.java:164-215). Each snapshot
+ * also records per-bucket LSN high watermarks; a replayed batch whose events
+ * are all <= watermark becomes a byte-identical no-op, which upgrades the
+ * reference's at-least-once LSN-ack protocol (SlotReaderCallback.java:70-85,
  * README.md:112-117) to exactly-once table state.
  */
 final case class Snapshot(
@@ -64,7 +82,10 @@ final case class Snapshot(
     lineage: Map[String, Long],
     // per-partition lineage accumulated across commits:
     // bucket -> {keys, inserted, updated, deleted, minLsn, maxLsn}
-    bucketLineage: Map[Int, Map[String, Long]] = Map.empty) {
+    bucketLineage: Map[Int, Map[String, Long]] = Map.empty,
+    // data file path -> per-KEY-column min/max (as strings, compared via the
+    // key's declared type) — read-side file pruning inside a bucket
+    fileStats: Map[String, Map[String, (String, String)]] = Map.empty) {
   def allFiles: Seq[String] =
     (bucketFiles.values.flatten ++ bucketDeltas.values.flatten).toSeq.sorted
   /** Buckets holding any data (base or delta). */
@@ -75,34 +96,45 @@ class LakeTable(val spark: SparkSession, val root: String,
                 val maxDeltasPerBucket: Int = 8) {
   import LakeTable._
 
-  private def metaDir: Path = Paths.get(root, "meta")
-  private def dataDir: Path = Paths.get(root, "data")
+  private val rootPath = new HPath(root)
+  private[lake] val fs: FileSystem =
+    rootPath.getFileSystem(graft.util.HadoopConfs.session(spark))
+  private def metaDir: HPath = new HPath(rootPath, "meta")
+  private def dataDir: HPath = new HPath(rootPath, "data")
+  /** link(2) fencing only exists on a local filesystem. */
+  private val isLocalFs: Boolean = fs.getScheme == "file"
+  private def localFile(p: HPath): java.nio.file.Path =
+    java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
 
-  def exists: Boolean = Files.isDirectory(metaDir) && latestSnapshotId >= 0
+  private def listMetaNames(): Seq[String] =
+    if (!fs.exists(metaDir)) Nil
+    else fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
 
-  private def latestSnapshotId: Long = {
-    if (!Files.isDirectory(metaDir)) return -1L
-    Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
+  def exists: Boolean = latestSnapshotId >= 0
+
+  private def latestSnapshotId: Long =
+    listMetaNames()
       .collect { case SnapshotRe(n) => n.toLong }
       .foldLeft(-1L)(math.max)
-  }
 
   def currentSnapshot: Option[Snapshot] = latestSnapshotId match {
     case -1L => None
     case id => Some(readSnapshot(id))
   }
 
-  def readSnapshot(id: Long): Snapshot =
-    fromJson(Files.readString(metaDir.resolve(f"snapshot-$id%012d.json")))
+  def readSnapshot(id: Long): Snapshot = {
+    val in = fs.open(new HPath(metaDir, f"snapshot-$id%012d.json"))
+    try fromJson(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
+  }
 
   /** Create the table with an initial empty snapshot (idempotent — tolerates
     * "already exists" like the reference's slot creation,
     * PostgresConnector.java:80-97). */
   def create(schema: StructType, keyColumns: Seq[String], nBuckets: Int,
              renameMap: Map[String, String] = Map.empty): Snapshot = {
-    Files.createDirectories(metaDir)
-    Files.createDirectories(dataDir)
+    fs.mkdirs(metaDir)
+    fs.mkdirs(dataDir)
     currentSnapshot match {
       case Some(s) => s
       case None =>
@@ -125,25 +157,57 @@ class LakeTable(val spark: SparkSession, val root: String,
       throw new CommitConflictException(
         s"expected snapshot $expectedSnapshotId, found $latestSnapshotId")
     val stamped = next.copy(snapshotId = newId)
-    val target = metaDir.resolve(f"snapshot-$newId%012d.json")
-    val tmp = metaDir.resolve(f".snapshot-$newId%012d.json.tmp-${java.util.UUID.randomUUID()}")
-    writeDurable(tmp, toJson(stamped))
-    // link(2) atomically fails with EEXIST if a concurrent writer published
-    // first; rename(2) (Files.move ATOMIC_MOVE) would silently REPLACE the
-    // winner's snapshot on POSIX — no fencing at all. A zombie driver
-    // finishing a stale foreachBatch after failover must lose here.
-    try Files.createLink(target, tmp)
-    catch {
-      case _: FileAlreadyExistsException =>
-        throw new CommitConflictException(s"snapshot $newId already committed")
-    } finally Files.deleteIfExists(tmp)
-    fsyncDir(metaDir)
+    val target = new HPath(metaDir, f"snapshot-$newId%012d.json")
+    val tmp = new HPath(metaDir,
+      f".snapshot-$newId%012d.json.tmp-${java.util.UUID.randomUUID()}")
+    publish(tmp, target, toJson(stamped))
     stamped
   }
 
-  /** Write content and fsync it before publishing (a linked-in snapshot must
-    * never be visible with partial content after a crash). */
-  private def writeDurable(p: Path, content: String): Unit = {
+  /** Durably write `content` to `tmp`, then atomically claim `target` with
+    * fail-if-exists semantics (see class doc for the per-scheme strategy).
+    * A linked-in snapshot must never be visible with partial content after
+    * a crash, so the temp file is fully synced before publication. */
+  protected def publish(tmp: HPath, target: HPath, content: String): Unit = {
+    if (isLocalFs) {
+      val ltmp = localFile(tmp); val ltarget = localFile(target)
+      writeDurableLocal(ltmp, content)
+      // link(2) atomically fails with EEXIST if a concurrent writer
+      // published first; rename(2) (Files.move ATOMIC_MOVE, and Hadoop
+      // RawLocalFileSystem.rename) silently REPLACES the winner's snapshot
+      // on POSIX — no fencing at all. A zombie driver finishing a stale
+      // foreachBatch after failover must lose here.
+      try Files.createLink(ltarget, ltmp)
+      catch {
+        case _: FileAlreadyExistsException =>
+          throw new CommitConflictException(
+            s"snapshot ${target.getName} already committed")
+      } finally Files.deleteIfExists(ltmp)
+      fsyncDir(localFile(metaDir))
+    } else {
+      val out = fs.create(tmp, false)
+      try {
+        out.write(content.getBytes(StandardCharsets.UTF_8))
+        out.hsync() // flush through to durable storage where supported
+      } finally out.close()
+      // FileSystem.rename contract: atomic, FAILS when target exists (HDFS
+      // enforces this in the NameNode). Implementations signal the conflict
+      // either by returning false or by throwing FileAlreadyExistsException.
+      val renamed =
+        try fs.rename(tmp, target)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (!renamed) {
+        fs.delete(tmp, false)
+        if (fs.exists(target))
+          throw new CommitConflictException(
+            s"snapshot ${target.getName} already committed")
+        throw new java.io.IOException(s"rename $tmp -> $target failed")
+      }
+    }
+  }
+
+  /** Write content and fsync it before publishing (local-filesystem path). */
+  private def writeDurableLocal(p: java.nio.file.Path, content: String): Unit = {
     val ch = FileChannel.open(p, StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     try {
       ch.write(java.nio.ByteBuffer.wrap(content.getBytes(StandardCharsets.UTF_8)))
@@ -153,7 +217,7 @@ class LakeTable(val spark: SparkSession, val root: String,
 
   /** Make the new directory entry durable (best-effort: some filesystems
     * reject opening a directory for read). */
-  private def fsyncDir(dir: Path): Unit =
+  private def fsyncDir(dir: java.nio.file.Path): Unit =
     try {
       val ch = FileChannel.open(dir, StandardOpenOption.READ)
       try ch.force(true) finally ch.close()
@@ -270,37 +334,33 @@ class LakeTable(val spark: SparkSession, val root: String,
    * Retention maintenance: drop snapshots older than the newest `keepLast`
    * and delete data files referenced ONLY by the dropped ones (the analog
    * of Iceberg's expire_snapshots + orphan cleanup; bounds storage growth
-   * from bucket-grain copy-on-write while keeping `keepLast` snapshots
-   * time-travelable).
+   * while keeping `keepLast` snapshots time-travelable).
    *
    * @return (snapshots removed, data files deleted)
    */
   def expireSnapshots(keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val ids = {
-      if (!Files.isDirectory(metaDir)) return (0, 0)
-      Files.list(metaDir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case SnapshotRe(n) => n.toLong }
-        .toSeq.sorted
-    }
+    val ids = listMetaNames()
+      .collect { case SnapshotRe(n) => n.toLong }
+      .sorted
     if (ids.size <= keepLast) return (0, 0)
     val (expire, keep) = ids.splitAt(ids.size - keepLast)
     val keptFiles = keep.flatMap(id => readSnapshot(id).allFiles).toSet
     val deadFiles = expire.flatMap(id => readSnapshot(id).allFiles).toSet -- keptFiles
-    deadFiles.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
-    expire.foreach(id => Files.deleteIfExists(metaDir.resolve(f"snapshot-$id%012d.json")))
+    deadFiles.foreach(f => fs.delete(new HPath(rootPath, f), false))
+    expire.foreach(id =>
+      fs.delete(new HPath(metaDir, f"snapshot-$id%012d.json"), false))
     // sweep now-empty commit directories
-    if (Files.isDirectory(dataDir)) {
-      Files.list(dataDir).iterator().asScala.toSeq.foreach { commitDir =>
-        val subs = Files.walk(commitDir).iterator().asScala.toSeq.reverse
-        subs.foreach { p =>
-          if (Files.isDirectory(p) && !Files.list(p).iterator().hasNext)
-            Files.deleteIfExists(p)
-        }
-      }
-    }
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach(st => sweepEmptyDirs(st.getPath))
     (expire.size, deadFiles.size)
+  }
+
+  /** Depth-first removal of empty directories under (and including) `p`. */
+  private def sweepEmptyDirs(p: HPath): Unit = {
+    val children = fs.listStatus(p)
+    children.filter(_.isDirectory).foreach(c => sweepEmptyDirs(c.getPath))
+    if (fs.listStatus(p).isEmpty) fs.delete(p, false)
   }
 
   /** A fresh, collision-free data directory name for an attempted commit of
@@ -314,10 +374,8 @@ class LakeTable(val spark: SparkSession, val root: String,
     * the commit loses the fencing race or fails — otherwise orphaned files
     * would accumulate unbounded under concurrent-writer conflicts). */
   def deleteDataDir(dirName: String): Unit = {
-    val p = Paths.get(root, "data", dirName)
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    val p = new HPath(dataDir, dirName)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /**
@@ -329,20 +387,18 @@ class LakeTable(val spark: SparkSession, val root: String,
    * @return number of orphan directories removed
    */
   def removeOrphans(graceMs: Long = 60 * 60 * 1000L): Int = {
-    if (!Files.isDirectory(dataDir)) return 0
+    if (!fs.exists(dataDir)) return 0
     val liveDirs = {
-      val ids = Files.list(metaDir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case SnapshotRe(n) => n.toLong }.toSeq
+      val ids = listMetaNames().collect { case SnapshotRe(n) => n.toLong }
       ids.flatMap(id => readSnapshot(id).allFiles)
-        .map(f => Paths.get(f).getName(1).toString).toSet // data/<dir>/...
+        .map(f => f.split("/")(1)).toSet // data/<dir>/...
     }
     val cutoff = System.currentTimeMillis() - graceMs
-    val orphans = Files.list(dataDir).iterator().asScala.toSeq.filter { p =>
-      !liveDirs.contains(p.getFileName.toString) &&
-        Files.getLastModifiedTime(p).toMillis < cutoff
+    val orphans = fs.listStatus(dataDir).toSeq.filter { st =>
+      !liveDirs.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff
     }
-    orphans.foreach(p => deleteDataDir(p.getFileName.toString))
+    orphans.foreach(st => deleteDataDir(st.getPath.getName))
     orphans.size
   }
 
@@ -351,17 +407,17 @@ class LakeTable(val spark: SparkSession, val root: String,
   def writeBucketed(df: DataFrame, commitDir: String): Map[Int, Seq[String]] = {
     val outPath = s"$root/data/$commitDir"
     df.write.partitionBy("_bucket").mode("overwrite").parquet(outPath)
-    val base = Paths.get(outPath)
-    Files.list(base).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("_bucket="))
-      .map { p =>
-        val b = p.getFileName.toString.stripPrefix("_bucket=").toInt
-        val fs = Files.list(p).iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(n => n.endsWith(".parquet"))
+    val base = new HPath(dataDir, commitDir)
+    fs.listStatus(base).toSeq
+      .filter(_.getPath.getName.startsWith("_bucket="))
+      .map { st =>
+        val b = st.getPath.getName.stripPrefix("_bucket=").toInt
+        val names = fs.listStatus(st.getPath).toSeq
+          .map(_.getPath.getName)
+          .filter(_.endsWith(".parquet"))
           .map(n => s"data/$commitDir/_bucket=$b/$n")
-          .toSeq.sorted
-        b -> fs
+          .sorted
+        b -> names
       }.toMap
   }
 }
@@ -400,6 +456,13 @@ object LakeTable {
       val o = bl.putObject(b.toString)
       m.toSeq.sorted.foreach { case (k, v) => o.put(k, v) }
     }
+    val fsNode = n.putObject("fileStats")
+    s.fileStats.toSeq.sortBy(_._1).foreach { case (file, perCol) =>
+      val o = fsNode.putObject(file)
+      perCol.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        val a = o.putArray(c); a.add(lo); a.add(hi)
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
@@ -428,6 +491,11 @@ object LakeTable {
       lineage = objToMap("lineage").map { case (k, v) => k -> v.asLong() },
       bucketLineage = objToMap("bucketLineage").map { case (b, o) =>
         b.toInt -> o.fieldNames().asScala.map(k => k -> o.get(k).asLong()).toMap
+      },
+      fileStats = objToMap("fileStats").map { case (file, o) =>
+        file -> o.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
+        }.toMap
       })
   }
 }

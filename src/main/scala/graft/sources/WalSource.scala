@@ -93,11 +93,8 @@ trait WalProvider {
 
 class HadoopWalProvider(dir: String) extends WalProvider {
   private def fsAndPath(): (FileSystem, HPath) = {
-    val conf = SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
     val p = new HPath(dir)
-    (p.getFileSystem(conf), p)
+    (p.getFileSystem(graft.util.HadoopConfs.active()), p)
   }
 
   private def isSegment(n: String): Boolean =
@@ -265,20 +262,8 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
     // executors: a default `new Configuration()` built executor-side would
     // silently drop every `spark.hadoop.*` session setting (s3a credentials,
     // endpoints), leaving only classpath core-site.xml filesystems working.
-    val conf = SparkSession.getActiveSession
-      .map { s =>
-        val c = s.sessionState.newHadoopConf()
-        // newHadoopConf copies RUNTIME-set session entries verbatim (the
-        // `spark.hadoop.` prefix is only stripped for static SparkConf
-        // entries at session build) — strip it here so
-        // spark.conf.set("spark.hadoop.fs.s3a.access.key", ...) works too.
-        s.conf.getAll.foreach { case (k, v) =>
-          if (k.startsWith("spark.hadoop.")) c.set(k.stripPrefix("spark.hadoop."), v)
-        }
-        c
-      }
-      .getOrElse(new Configuration())
-    new WalReaderFactory(new org.apache.spark.util.SerializableConfiguration(conf))
+    new WalReaderFactory(
+      new org.apache.spark.util.SerializableConfiguration(graft.util.HadoopConfs.active()))
   }
 
   /** WAL release: once the engine durably logs `end` (exactly-once offset

@@ -15,8 +15,8 @@ class CommitFencingSpec extends SparkSpec {
 
   private val schema = StructType(Seq(StructField("id", IntegerType)))
 
-  private def freshTable(): LakeTable = {
-    val t = new LakeTable(spark, tmpDir("fence"))
+  private def freshTable(rootPrefix: String = ""): LakeTable = {
+    val t = new LakeTable(spark, rootPrefix + tmpDir("fence"))
     t.create(schema, Seq("id"), 2)
     t
   }
@@ -25,7 +25,10 @@ class CommitFencingSpec extends SparkSpec {
     val pool = Executors.newFixedThreadPool(2)
     try {
       for (round <- 0 until 30) {
-        val t = freshTable()
+        // half the rounds address the table root as an explicit file: URI —
+        // the metadata layer must behave identically when the root carries a
+        // scheme and is resolved through the Hadoop FileSystem API
+        val t = freshTable(if (round % 2 == 0) "" else "file:")
         val base = t.currentSnapshot.get
         val barrier = new CyclicBarrier(2)
         val done = new CountDownLatch(2)
