@@ -187,7 +187,10 @@ object DedupOps {
    * The full two-stage near-dup pipeline — THE shape that survives 100 TB:
    * banded-LSH candidate generation (hash-bounded equi-join, no all-pairs)
    * followed by exact Jaccard verification computed ONLY on the candidate
-   * pairs (the tiny candidate set broadcasts against the shingle lists).
+   * pairs. The candidate set's size is DATA-DEPENDENT (it grows with corpus
+   * size and duplication rate), so no broadcast hint is forced: AQE sizes
+   * the join at runtime — small candidate sets broadcast, large ones
+   * degrade gracefully to a shuffle join instead of OOMing the driver.
    * Output: verified pairs with their exact similarity.
    */
   def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
@@ -196,7 +199,7 @@ object DedupOps {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("g"))
     val b = sh.select(col("doc_id").as("doc_b"), col("g"))
-    val pairGrams = broadcast(cands).join(a, "doc_a").join(b, Seq("doc_b", "g"))
+    val pairGrams = cands.join(a, "doc_a").join(b, Seq("doc_b", "g"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairGrams

@@ -120,9 +120,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
-  test("dedup_minhash_verified: candidates broadcast, no product join") {
-    val p = assertNoProductJoin("dedup_minhash_verified")
-    assert(p.contains("BroadcastHashJoin"), p)
+  test("dedup_minhash_verified: blocking-key equi-joins only, no product join") {
+    // No forced broadcast: the candidate set is data-dependent and unbounded
+    // (a forced hint bypasses AQE's size check — driver OOM at 100 TB). The
+    // only required shape is no product join; AQE picks broadcast vs shuffle.
+    assertNoProductJoin("dedup_minhash_verified")
   }
 
   test("ann_cosine_topk_arrays: broadcast query side, no explode blowup") {
