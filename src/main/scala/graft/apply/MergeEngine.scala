@@ -266,35 +266,42 @@ object MergeEngine {
         return noopStats.copy(snapshotId = snap.snapshotId, inputEvents = inputEvents)
       }
 
-      // 5. Per-bucket lineage + observed schema, read back from the small
-      //    written deltas in ONE quick job (no re-decode, no cache). The
-      //    distinct type-map JSONs double as the schema observation: a
-      //    batch carries only a handful of distinct column-set eras, so
-      //    collect_set stays tiny.
-      val deltas = table.spark.read.parquet(s"${table.root}/data/$deltaDir")
-      val statRows = deltas.groupBy(col("_bucket")).agg(
-        count(lit(1)).as("keys"),
-        sum(when(col("_kind") === "insert", 1L).otherwise(0L)).as("ins"),
-        sum(when(col("_kind") === "update", 1L).otherwise(0L)).as("upd"),
-        sum(when(col("_kind") === "delete", 1L).otherwise(0L)).as("del"),
-        min(col("_lsn")).as("minLsn"),
-        max(col("_lsn")).as("maxLsn"),
-        collect_set(to_json(col("_types"))).as("typeSets")).collect()
+      // 5. Per-bucket lineage + observed schema + PER-FILE key min/max,
+      //    read back from the small written deltas in ONE quick job (no
+      //    re-decode, no cache). Grouping by (bucket, file) keeps the job
+      //    a single pass; bucket-grain numbers are re-aggregated driver-
+      //    side from the handful of per-file rows. The distinct type-map
+      //    JSONs double as the schema observation: a batch carries only a
+      //    handful of distinct column-set eras, so collect_set stays tiny.
+      val fileRows = fileStatsJob(table, deltaDir, keyCols, withTypes = true)
 
-      val touched = statRows.map(_.getInt(0)).toSet
-      val appliedKeys = statRows.map(_.getLong(1)).sum
-      val inserted = statRows.map(_.getLong(2)).sum
-      val updated = statRows.map(_.getLong(3)).sum
-      val deleted = statRows.map(_.getLong(4)).sum
-      val minLsn = statRows.map(_.getLong(5)).min
-      val maxLsn = statRows.map(_.getLong(6)).max
-      val perBucketMax = statRows.map(r => r.getInt(0) -> r.getLong(6)).toMap
+      val statRows = fileRows
+        .groupBy(_.getAs[Int]("_bucket")).map { case (b, rows) =>
+          (b,
+            rows.map(_.getAs[Long]("keys")).sum,
+            rows.map(_.getAs[Long]("ins")).sum,
+            rows.map(_.getAs[Long]("upd")).sum,
+            rows.map(_.getAs[Long]("del")).sum,
+            rows.map(_.getAs[Long]("minLsn")).min,
+            rows.map(_.getAs[Long]("maxLsn")).max,
+            rows.flatMap(_.getAs[scala.collection.Seq[String]]("typeSets")).distinct)
+        }.toSeq
+      val deltaFileStats = perFileKeyRanges(fileRows, deltaDir, keyCols)
+
+      val touched = statRows.map(_._1).toSet
+      val appliedKeys = statRows.map(_._2).sum
+      val inserted = statRows.map(_._3).sum
+      val updated = statRows.map(_._4).sum
+      val deleted = statRows.map(_._5).sum
+      val minLsn = statRows.map(_._6).min
+      val maxLsn = statRows.map(_._7).max
+      val perBucketMax = statRows.map(r => r._1 -> r._7).toMap
 
       // 6. Schema evolution: additive columns observed in the batch extend
       //    the table schema (Catalyst-driven schema merge).
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val observed = statRows
-        .flatMap(_.getSeq[String](7))
+        .flatMap(_._8)
         .distinct
         .flatMap { js =>
           val n = mapper.readTree(js)
@@ -317,23 +324,40 @@ object MergeEngine {
       val toCompact = deltasAfter.collect {
         case (b, fs) if fs.size >= table.maxDeltasPerBucket => b
       }.toSet
-      val (bucketFiles, bucketDeltas) =
-        if (toCompact.isEmpty) (snap.bucketFiles, deltasAfter)
+      val (bucketFiles, bucketDeltas, compactFileStats) =
+        if (toCompact.isEmpty)
+          (snap.bucketFiles, deltasAfter, Map.empty[String, Map[String, (String, String)]])
         else {
           val baseFiles = toCompact.toSeq.sorted
             .flatMap(b => snap.bucketFiles.getOrElse(b, Nil))
           val deltaFiles = toCompact.toSeq.sorted
             .flatMap(b => deltasAfter.getOrElse(b, Nil))
+          // one KEY-SORTED file per compacted bucket: without the
+          // repartition, the merge aggregation's hashpartitioning(keys)
+          // scatters every bucket across all shuffle partitions (P small
+          // files per bucket per compaction — read amplification), and the
+          // key sort gives parquet row-group stats + our per-file key
+          // ranges real pruning power instead of full-range overlap
           val mergedRows = table
             .mergedView(schema, keyCols, snap.renameMap, baseFiles, deltaFiles)
             .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
+            .repartition(col("_bucket"))
+            .sortWithinPartitions(keyCols.map(col): _*)
           val compactDir = table.newCommitDirName(newId, "compact")
           attemptDirs += compactDir
           val w = table.writeBucketed(mergedRows, compactDir)
           val newBase = snap.bucketFiles ++
             toCompact.map(b => b -> w.getOrElse(b, Nil)).toMap
+          // per-file key ranges for the fresh base files (small job over
+          // the just-written, footer-cached compaction output). A compaction
+          // whose every key was deleted writes NO parquet files (only a
+          // _SUCCESS marker) — there is nothing to read stats from.
+          val compactRows =
+            if (w.values.forall(_.isEmpty)) Array.empty[org.apache.spark.sql.Row]
+            else fileStatsJob(table, compactDir, keyCols, withTypes = false)
           (newBase.filter(_._2.nonEmpty), // a fully-deleted bucket vanishes
-            deltasAfter ++ toCompact.map(b => b -> Seq.empty[String]).toMap)
+            deltasAfter ++ toCompact.map(b => b -> Seq.empty[String]).toMap,
+            perFileKeyRanges(compactRows, compactDir, keyCols))
         }
       val bucketWatermarks = snap.bucketWatermarks ++
         perBucketMax.map { case (b, w) =>
@@ -348,10 +372,10 @@ object MergeEngine {
       // Per-partition (bucket) lineage, accumulated across commits: applied-
       // op counts summed, LSN bounds widened (per-partition lineage).
       val batchBucketLineage = statRows.map { r =>
-        r.getInt(0) -> Map(
-          "keys" -> r.getLong(1), "inserted" -> r.getLong(2),
-          "updated" -> r.getLong(3), "deleted" -> r.getLong(4),
-          "minLsn" -> r.getLong(5), "maxLsn" -> r.getLong(6))
+        r._1 -> Map(
+          "keys" -> r._2, "inserted" -> r._3,
+          "updated" -> r._4, "deleted" -> r._5,
+          "minLsn" -> r._6, "maxLsn" -> r._7)
       }.toMap
       val bucketLineage = snap.bucketLineage ++ batchBucketLineage.map {
         case (b, cur) =>
@@ -364,6 +388,14 @@ object MergeEngine {
             "minLsn" -> math.min(prev.getOrElse("minLsn", Long.MaxValue), cur("minLsn")),
             "maxLsn" -> math.max(prev.getOrElse("maxLsn", -1L), cur("maxLsn")))
       }
+      // per-file key min/max: carry forward stats for surviving files, add
+      // this batch's delta files and any compaction-fresh base files, drop
+      // entries for files no longer referenced (compacted-away deltas /
+      // replaced bases) so the manifest never grows stale entries
+      val liveFiles = (bucketFiles.values.flatten ++
+        bucketDeltas.values.flatten).toSet
+      val fileStats = (snap.fileStats ++ deltaFileStats ++ compactFileStats)
+        .filter { case (f, _) => liveFiles.contains(f) }
       val next = snap.copy(
         schema = schema,
         bucketFiles = bucketFiles,
@@ -371,7 +403,8 @@ object MergeEngine {
         bucketWatermarks = bucketWatermarks,
         bucketLineage = bucketLineage,
         lsnHighWatermark = math.max(snap.lsnHighWatermark, maxLsn),
-        lineage = lineage)
+        lineage = lineage,
+        fileStats = fileStats)
       table.commit(next, expectedSnapshotId = snap.snapshotId)
 
       MergeStats(committed = true, newId, inputEvents, appliedKeys,
@@ -386,6 +419,49 @@ object MergeEngine {
         throw e
     }
   }
+
+  /** One small job over a just-written commit directory: per (bucket, file)
+    * typed key min/max (stringified AFTER the typed aggregation, so numeric
+    * ordering is preserved), plus — for delta dirs — op counts, LSN bounds,
+    * and the distinct `_types` JSONs used for schema observation. Compaction
+    * output carries final data rows (no _kind/_lsn/_types), so those
+    * aggregations are skipped there. */
+  private def fileStatsJob(table: LakeTable, commitDir: String,
+                           keyCols: Seq[String],
+                           withTypes: Boolean): Array[org.apache.spark.sql.Row] = {
+    val df = table.spark.read.parquet(s"${table.root}/data/$commitDir")
+      .withColumn("_file", element_at(split(input_file_name(), "/"), -1))
+    val keyAggs = keyCols.flatMap(k => Seq(
+      min(col(k)).cast("string").as(s"__min_$k"),
+      max(col(k)).cast("string").as(s"__max_$k")))
+    val aggs =
+      if (withTypes) Seq(
+        count(lit(1)).as("keys"),
+        sum(when(col("_kind") === "insert", 1L).otherwise(0L)).as("ins"),
+        sum(when(col("_kind") === "update", 1L).otherwise(0L)).as("upd"),
+        sum(when(col("_kind") === "delete", 1L).otherwise(0L)).as("del"),
+        min(col("_lsn")).as("minLsn"),
+        max(col("_lsn")).as("maxLsn"),
+        collect_set(to_json(col("_types"))).as("typeSets")) ++ keyAggs
+      else keyAggs
+    df.groupBy(col("_bucket"), col("_file"))
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()
+  }
+
+  /** Per-file key column ranges keyed by table-relative path. */
+  private def perFileKeyRanges(rows: Array[org.apache.spark.sql.Row],
+                               commitDir: String, keyCols: Seq[String])
+      : Map[String, Map[String, (String, String)]] =
+    rows.map { r =>
+      val b = r.getAs[Int]("_bucket")
+      val f = r.getAs[String]("_file")
+      val rel = s"data/$commitDir/_bucket=$b/$f"
+      rel -> keyCols.flatMap { k =>
+        val lo = r.getAs[String](s"__min_$k")
+        val hi = r.getAs[String](s"__max_$k")
+        if (lo == null || hi == null) None else Some(k -> (lo, hi))
+      }.toMap
+    }.toMap
 
   /**
    * Idle fast-forward (the reference's O12, SlotReaderKinesisWriter.java:196-208):

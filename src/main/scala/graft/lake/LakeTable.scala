@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 
@@ -255,6 +255,73 @@ class LakeTable(val spark: SparkSession, val root: String,
       cleanDf.unionByName(merged)
     }
   }
+
+  /**
+   * Point lookup: prune by (1) the key's storage bucket (hash), then (2)
+   * the per-file key min/max ranges recorded in the snapshot, then filter
+   * residually. At 10^10 rows this turns "scan the table" into "scan the
+   * handful of files in one bucket whose recorded range covers the key".
+   */
+  def lookup(keyValues: Map[String, Any]): DataFrame = {
+    val snap = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    require(snap.keyColumns.toSet == keyValues.keySet,
+      s"lookup needs exactly the key columns ${snap.keyColumns.mkString(",")}")
+    val (baseFiles, deltaFiles) = planFiles(snap, keyValues)
+    val df =
+      if (deltaFiles.isEmpty) readConformed(baseFiles, snap.schema, snap.renameMap)
+      else mergedView(snap.schema, snap.keyColumns, snap.renameMap,
+        baseFiles, deltaFiles)
+    keyValues.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+  }
+
+  /** The files a point lookup must scan: the key's bucket, minus files
+    * whose recorded key range cannot contain the key (files with no stats
+    * recorded are conservatively kept). Exposed for plan assertions. */
+  def planFiles(snap: Snapshot,
+                keyValues: Map[String, Any]): (Seq[String], Seq[String]) = {
+    val b = bucketOf(snap, keyValues)
+    def keep(f: String): Boolean = snap.fileStats.get(f) match {
+      case None => true
+      case Some(ranges) => keyValues.forall { case (k, v) =>
+        ranges.get(k) match {
+          case None => true
+          case Some((lo, hi)) => rangeContains(snap.schema(k).dataType, lo, hi, v)
+        }
+      }
+    }
+    (snap.bucketFiles.getOrElse(b, Nil).filter(keep),
+      snap.bucketDeltas.getOrElse(b, Nil).filter(keep))
+  }
+
+  /** The storage bucket of a concrete key — computed through the SAME
+    * Catalyst expression used at write time, so driver-side pruning can
+    * never disagree with executor-side bucketing (a hand-rolled JVM
+    * re-implementation of xxhash64 would be a silent-divergence risk). */
+  def bucketOf(snap: Snapshot, keyValues: Map[String, Any]): Int = {
+    val keyLits = snap.keyColumns.map { k =>
+      lit(keyValues(k)).cast(snap.schema(k).dataType).as(k)
+    }
+    spark.range(1).select(keyLits: _*)
+      .select(bucketExpr(snap.keyColumns, snap.nBuckets).as("b"))
+      .head().getInt(0)
+  }
+
+  /** Typed containment test over stringified min/max stats. Types whose
+    * string form does not order like the value (timestamps, binaries, ...)
+    * conservatively return true — bucket pruning still applies. */
+  private def rangeContains(dt: DataType, lo: String, hi: String, v: Any): Boolean =
+    try dt match {
+      case ShortType | IntegerType | LongType =>
+        val x = v.toString.toLong; lo.toLong <= x && x <= hi.toLong
+      case FloatType | DoubleType =>
+        val x = v.toString.toDouble; lo.toDouble <= x && x <= hi.toDouble
+      case _: DecimalType =>
+        val x = BigDecimal(v.toString); BigDecimal(lo) <= x && x <= BigDecimal(hi)
+      case StringType =>
+        val s = v.toString; lo <= s && s <= hi
+      case _ => true
+    } catch { case _: NumberFormatException => true }
 
   /**
    * Merge-on-read view: current rows = base rows (which any delta on the
