@@ -328,21 +328,27 @@ object MergeEngine {
         if (toCompact.isEmpty)
           (snap.bucketFiles, deltasAfter, Map.empty[String, Map[String, (String, String)]])
         else {
-          val baseFiles = toCompact.toSeq.sorted
-            .flatMap(b => snap.bucketFiles.getOrElse(b, Nil))
-          val deltaFiles = toCompact.toSeq.sorted
-            .flatMap(b => deltasAfter.getOrElse(b, Nil))
-          // one KEY-SORTED file per compacted bucket: without the
-          // repartition, the merge aggregation's hashpartitioning(keys)
-          // scatters every bucket across all shuffle partitions (P small
-          // files per bucket per compaction — read amplification), and the
-          // key sort gives parquet row-group stats + our per-file key
-          // ranges real pruning power instead of full-range overlap
-          val mergedRows = table
-            .mergedView(schema, keyCols, snap.renameMap, baseFiles, deltaFiles)
-            .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
-            .repartition(col("_bucket"))
-            .sortWithinPartitions(keyCols.map(col): _*)
+          val compactBuckets = toCompact.toSeq.sorted
+          // Exchange-free compaction: the shuffle-free per-bucket merge
+          // already emits ONE partition per bucket with rows in key order,
+          // so partitionBy("_bucket") writes exactly one KEY-SORTED file
+          // per compacted bucket — no repartition, no extra sort. (The old
+          // shuffle formulation scattered each bucket across all shuffle
+          // partitions: P small files per bucket per compaction.) Past the
+          // plan-size guard, fall back to the shuffle merge + repartition.
+          val mergedRows =
+            if (compactBuckets.size <= table.maxLocalMergeBuckets)
+              table.mergedViewLocal(schema, keyCols, snap.renameMap,
+                compactBuckets.map(b => (snap.bucketFiles.getOrElse(b, Nil),
+                  deltasAfter.getOrElse(b, Nil))))
+                .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
+            else
+              table.mergedView(schema, keyCols, snap.renameMap,
+                compactBuckets.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
+                compactBuckets.flatMap(b => deltasAfter.getOrElse(b, Nil)))
+                .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
+                .repartition(col("_bucket"))
+                .sortWithinPartitions(keyCols.map(col): _*)
           val compactDir = table.newCommitDirName(newId, "compact")
           attemptDirs += compactDir
           val w = table.writeBucketed(mergedRows, compactDir)

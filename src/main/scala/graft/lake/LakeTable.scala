@@ -249,9 +249,14 @@ class LakeTable(val spark: SparkSession, val root: String,
       snap.schema, snap.renameMap)
     if (withDeltas.isEmpty) cleanDf
     else {
-      val merged = mergedView(snap.schema, snap.keyColumns, snap.renameMap,
-        withDeltas.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
-        withDeltas.flatMap(b => snap.bucketDeltas.getOrElse(b, Nil)))
+      val merged =
+        if (withDeltas.size <= maxLocalMergeBuckets)
+          mergedViewLocal(snap.schema, snap.keyColumns, snap.renameMap,
+            withDeltas.map(b => (snap.bucketFiles.getOrElse(b, Nil),
+              snap.bucketDeltas.getOrElse(b, Nil))))
+        else mergedView(snap.schema, snap.keyColumns, snap.renameMap,
+          withDeltas.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
+          withDeltas.flatMap(b => snap.bucketDeltas.getOrElse(b, Nil)))
       cleanDf.unionByName(merged)
     }
   }
@@ -323,12 +328,66 @@ class LakeTable(val spark: SparkSession, val root: String,
       case _ => true
     } catch { case _: NumberFormatException => true }
 
+  /** Plan-size guard for [[mergedViewLocal]]: each bucket contributes its
+    * own scan subtree, so past this many delta-carrying buckets the
+    * shuffle-based [[mergedView]] is the better trade (bounded plan size
+    * beats saving one exchange). */
+  val maxLocalMergeBuckets: Int = 256
+
+  /**
+   * SHUFFLE-FREE merge-on-read: the bucket layout already co-locates every
+   * version of a key inside one bucket's base+delta files, so the keep-last
+   * merge never needs a cluster-wide exchange — each bucket's files are
+   * read into ONE partition (coalesce, narrow), locally sorted by
+   * (key ASC, lsn DESC, seq DESC), and streamed through a keep-first-per-key
+   * dedup that drops delete markers. Output: one partition per bucket, rows
+   * key-sorted — which also lets compaction write one key-ordered file per
+   * bucket with no repartition.
+   *
+   * The per-bucket task serializes that bucket's read onto one core; that is
+   * the engine's unit of merge work by design (compaction already operates
+   * at bucket grain), and buckets are sized accordingly. Trade-off vs
+   * [[mergedView]]: no Exchange at all, but the dedup runs as a typed
+   * mapPartitions outside whole-stage codegen.
+   */
+  def mergedViewLocal(schema: StructType, keyColumns: Seq[String],
+                      renameMap: Map[String, String],
+                      bucketGroups: Seq[(Seq[String], Seq[String])]): DataFrame = {
+    val perBucket = bucketGroups.map { case (baseFiles, deltaFiles) =>
+      val base = readConformed(baseFiles, schema, renameMap)
+        .withColumn("_lsn", lit(-1L))
+        .withColumn("_seq", lit(-1).cast("int"))
+        .withColumn("_kind", lit("insert"))
+      base.unionByName(readDeltas(deltaFiles, schema, keyColumns)).coalesce(1)
+    }
+    val all = perBucket.reduce(_.unionByName(_))
+    val sorted = all.sortWithinPartitions(
+      (keyColumns.map(col) ++ Seq(col("_lsn").desc, col("_seq").desc)): _*)
+    val full = sorted.schema
+    val kIdx = keyColumns.map(full.fieldIndex)
+    val kindIdx = full.fieldIndex("_kind")
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(full)
+    val deduped = sorted.mapPartitions { it =>
+      var prev: Seq[Any] = null
+      it.flatMap { r =>
+        val k = kIdx.map(r.get)
+        if (prev != null && k == prev) None // older version of the same key
+        else {
+          prev = k
+          if (r.getString(kindIdx) == "delete") None else Some(r)
+        }
+      }
+    }
+    deduped.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /**
    * Merge-on-read view: current rows = base rows (which any delta on the
    * same key supersedes — deltas pass the bucket watermark gate, so they
    * are strictly newer) unioned with delta rows, keep-last per key by
-   * (lsn, seq), delete markers dropped. Used by [[read]] and by MERGE
-   * compaction.
+   * (lsn, seq), delete markers dropped. The shuffle-based formulation —
+   * [[mergedViewLocal]] is preferred below [[maxLocalMergeBuckets]].
    */
   def mergedView(schema: StructType, keyColumns: Seq[String],
                  renameMap: Map[String, String],

@@ -44,6 +44,29 @@ class MergeOnReadSpec extends SparkSpec {
       s1.bucketDeltas.values.map(_.size).sum)
   }
 
+  test("reading delta-carrying buckets is SHUFFLE-FREE (no Exchange in the plan)") {
+    val t = newTable(maxDeltas = 100)
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 100)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(100, 160)))
+    assert(t.currentSnapshot.get.bucketDeltas.values.exists(_.nonEmpty),
+      "fixture must have delta-carrying buckets")
+    val df = t.read()
+    df.collect() // settle AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // bucket layout co-locates all versions of a key, so the keep-last
+    // merge must not pay a cluster-wide shuffle at read time
+    assert(!plan.contains("Exchange"), s"merge read shuffled:\n$plan")
+    // and the local merge agrees with the shuffle-based formulation
+    val snap = t.currentSnapshot.get
+    val shuffled = t.mergedView(snap.schema, snap.keyColumns, snap.renameMap,
+      snap.dataBuckets.toSeq.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
+      snap.dataBuckets.toSeq.flatMap(b => snap.bucketDeltas.getOrElse(b, Nil)))
+      .select(col("repo"), col("path"), sha2(col("content"), 256)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(state(t) === shuffled)
+  }
+
   test("state parity: merge-on-read table == replay oracle across many batches") {
     val t = newTable(maxDeltas = 3) // force compactions along the way
     (0L until 200L by 40L).foreach { from =>
