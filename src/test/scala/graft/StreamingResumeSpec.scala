@@ -66,6 +66,44 @@ class StreamingResumeSpec extends SparkSpec {
     assert(t.currentSnapshot.get.snapshotId > snapAfterFirst)
   }
 
+  test("graft-lake sink: writeStream.format connector replaces foreachBatch") {
+    val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    ChangeStreamGen.writeSegments(spark, cfg, wal, 120L, txnsPerSegment = 40)
+    val root = tmpDir("repos")
+    new LakeTable(spark, root)
+      .create(Main.reposSchema, Seq("repo", "path"), 8, Main.reposRenameMap)
+
+    def runOnce(ck: String): Unit = {
+      val q = spark.readStream.format("graft-wal")
+        .option("maxSegmentsPerTrigger", "1").load(wal)
+        .writeStream.format("graft-lake")
+        .option("path", root)
+        .option("table", "repos")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce(ckpt)
+    val t = new LakeTable(spark, root)
+    assert(state(t) === expected(120L))
+    val snapAfterFirst = t.currentSnapshot.get.snapshotId
+
+    // exactly-once across checkpoint loss: replaying the whole WAL through
+    // a FRESH checkpoint must commit nothing (LSN watermark fencing)
+    runOnce(tmpDir("ckpt-lost"))
+    assert(t.currentSnapshot.get.snapshotId === snapAfterFirst)
+    assert(state(t) === expected(120L))
+
+    // resume: new tail segments through the ORIGINAL checkpoint
+    ChangeStreamGen.writeSegments(spark, cfg, wal, nTxns, txnsPerSegment = 40)
+    runOnce(ckpt)
+    assert(state(t) === expected(nTxns))
+    assert(t.currentSnapshot.get.lineage("minLsn") > 120L,
+      "resumed sink re-applied old LSNs")
+  }
+
   test("crash-replay simulation: fresh checkpoint over applied table is a no-op") {
     val wal = tmpDir("wal")
     ChangeStreamGen.writeSegments(spark, cfg, wal, 120L, txnsPerSegment = 40)
