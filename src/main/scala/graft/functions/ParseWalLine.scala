@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.DataType
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,12 +31,15 @@ import graft.model.Wal2Json
  *    engine's explicit strict validation then surfaces
  *    (ChangeDecoder.malformedLines).
  *
- * CodegenFallback: the expression does its work in one opaque eval call;
- * the surrounding plan stages remain codegen'd and the parse cost itself
- * dwarfs the interpreted-call overhead.
+ * Codegen: a real `doGenCode` (not CodegenFallback) — the generated code
+ * calls the static parser directly on the child's UTF8String local, so the
+ * expression stays INSIDE whole-stage codegen with no InternalRow
+ * materialization and no per-row virtual `eval` dispatch (CodegenFallback
+ * routes every row through `references[i].eval(INPUT_ROW)`, forcing the
+ * input row to be constructed just to re-extract the one string).
  */
 case class ParseWalLine(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = Wal2Json.walLineSchema
   override def nullable: Boolean = true
@@ -47,6 +50,12 @@ case class ParseWalLine(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     WalLineParser.parse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.WalLineParser$$.MODULE$$.parse($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
 }
 
 object ParseWalLine {
