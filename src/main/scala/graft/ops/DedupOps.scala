@@ -66,12 +66,32 @@ object DedupOps {
     // separate aggregate + anti-join: the window's hashpartitioning(g) is
     // exactly what the downstream self-join on g requires, so Catalyst
     // reuses ONE exchange (and one scan+shingling pass) for the cap and
-    // both join sides instead of re-deriving the inverted list three times
+    // both join sides instead of re-deriving the inverted list three times.
+    // Skew caveat: the hottest shingle's entire posting list streams
+    // through ONE task before the filter drops it — linear and spillable.
+    // Benchmarked against the two-pass aggregate+anti-join variant below
+    // under a manufactured every-doc hot shingle (see BENCH/BASELINE.md):
+    // the window variant stays faster until the hot posting list dwarfs
+    // the corpus, because the agg variant re-derives the shingling twice
+    // and pays two extra exchanges. Kept as the default; the agg variant
+    // is the escape hatch for corpora with 10^8-doc boilerplate.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
     shingled(spark, dir)
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= ShingleCap)
       .drop("df")
+  }
+
+  /** Two-pass cap: map-side-combining df aggregate, then an anti-join
+    * against the hot list. No single-task hot-shingle straggler (partial
+    * aggregation absorbs the hot posting list per map task), at the price
+    * of re-deriving the shingle list and two more exchanges. */
+  private[graft] def cappedShinglesAgg(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleCap)
+      .select(col("g"))
+    sh.join(hot, Seq("g"), "left_anti")
   }
 
   private val cappedShinglesSql: String =
@@ -84,8 +104,15 @@ object DedupOps {
    * shingle, candidate pairs scored |A∩B| / |A∪B| in basis points over the
    * capped shingle sets; pairs >= 2000 bp (0.2).
    */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = cappedShingles(spark, dir)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(cappedShingles(spark, dir))
+
+  /** Same pipeline over the two-pass (aggregate+anti-join) cap — the
+    * extreme-skew escape hatch; output-identical to [[ngramJaccard]]. */
+  private[graft] def ngramJaccardAggCap(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(cappedShinglesAgg(spark, dir))
+
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val pairs = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -33,6 +33,30 @@ class DedupCapSpec extends SparkSpec {
     assert((pairs.head.getLong(0), pairs.head.getLong(1)) === ((0L, 1L)))
   }
 
+  test("extreme skew: window cap and two-pass aggregate cap agree (5k-doc hot shingle)") {
+    // Benchmarked decision (see BENCH/BASELINE.md): the window-expressed cap
+    // beats the aggregate+anti-join variant even with an EVERY-doc hot
+    // shingle (150k docs: 2.9s vs 7.4s; 600k docs: 7.1s vs 10.5s best-of-3,
+    // local[8]) because it reuses one exchange and one shingling pass; the
+    // agg variant remains the escape hatch for 10^8-doc boilerplate. This
+    // test pins their OUTPUT parity under heavy skew so the hatch stays
+    // swappable.
+    val dir = tmpDir("docs3")
+    val hot = "common boiler plate header text"
+    val docs = (0 until 5000).map { i =>
+      val body =
+        if (i <= 1) s"alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        else s"unique$i w$i x$i y$i z$i a$i b$i c$i d$i e$i"
+      (i.toLong, s"$hot $body", 100L)
+    }
+    docs.toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val win = DedupOps.ngramJaccard(spark, dir).collect().map(_.toSeq).toSeq
+    val agg = DedupOps.ngramJaccardAggCap(spark, dir).collect().map(_.toSeq).toSeq
+    assert(win === agg)
+    assert(win.length === 1) // only the genuine near-dup pair survives
+  }
+
   test("capped join plan stays an equi-join (no cartesian/BNLJ)") {
     val dir = tmpDir("docs2")
     (0 until 10).map(i => (i.toLong, s"a b c d e f$i g$i", 15L))
