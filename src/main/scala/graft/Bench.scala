@@ -24,11 +24,15 @@ object Bench {
     "ann_cosine_topk", "dedup_embedding_cosine", "dedup_embedding_lsh",
     "text_fingerprint", "text_quality_score", "multimodal_meta")
 
-  /** Full-output checksum sink: forces EVERY output column to be computed
-    * (a bare count() lets Spark prune projection-only queries down to a
-    * parquet row count, timing nothing). Map columns go through to_json
-    * (xxhash64 rejects maps); bit_xor is order-independent and cannot
-    * overflow (ANSI mode makes sum throw on long overflow). */
+  /** Work-forcing TIMING sink (not a correctness checksum): forces EVERY
+    * output column to be computed (a bare count() lets Spark prune
+    * projection-only queries down to a parquet row count, timing nothing).
+    * Map columns go through to_json (xxhash64 rejects maps); bit_xor is
+    * order-independent and cannot overflow (ANSI mode makes sum throw on
+    * long overflow). Caveat that keeps this timing-only: xor cancels rows
+    * duplicated an even number of times, so equal values here do NOT prove
+    * equal outputs — correctness comparison is the DuckDB oracle's job
+    * (Verify + tools/compare_oracle.py), never this sink's. */
   def checksum(df: DataFrame): Long = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
@@ -64,12 +68,23 @@ object Bench {
     }
 
     // CDC apply throughput: WAL segments on disk -> decode -> MERGE -> lake.
-    val cdc = CdcBench.run(spark, nTxns = 300000L, txnsPerSegment = 5000L)
-    // Micro-batched replay of the same volume (6 x 10-segment triggers):
+    // This host has documented 5-10x noisy-neighbor variance, so a single
+    // cold rep made round-over-round comparison pure noise: run the batch
+    // apply and the streaming replay INTERLEAVED twice over the SAME
+    // pre-generated WAL and report the best rep of each (matching how
+    // ScaleBench samples).
+    val wal = CdcBench.prepareWal(spark, nTxns = 300000L, txnsPerSegment = 5000L)
+    // Micro-batched replay of the same volume (6 x 10-segment triggers) is
     // the realistic 10^10-event shape; merge-on-read keeps per-batch cost
     // O(batch) where bucket CoW paid O(table) per batch.
-    val cdcStream = CdcBench.runStreaming(spark, nTxns = 300000L,
-      txnsPerSegment = 5000L, segmentsPerTrigger = 10)
+    val reps = (1 to 2).map { _ =>
+      (CdcBench.run(spark, nTxns = 300000L, txnsPerSegment = 5000L,
+        walDirOverride = Some(wal)),
+        CdcBench.runStreaming(spark, nTxns = 300000L, txnsPerSegment = 5000L,
+          segmentsPerTrigger = 10, walDirOverride = Some(wal)))
+    }
+    val cdc = reps.map(_._1).minBy(_.seconds)
+    val cdcStream = reps.map(_._2).minBy(_.seconds)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
