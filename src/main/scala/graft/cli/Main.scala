@@ -55,7 +55,10 @@ object Main {
     "vacuum" -> Map(
       "table-root" -> (true, "lake table root directory"),
       "keep-last" -> (false, "snapshots to retain (default 5)"),
-      "orphan-grace-ms" -> (false, "also sweep unreferenced data dirs older than this"))
+      "orphan-grace-ms" -> (false, "also sweep unreferenced data dirs older than this")),
+    "lookup" -> Map(
+      "table-root" -> (true, "lake table root directory"),
+      "key" -> (true, "primary key as col=value[,col=value...] (all key columns)"))
   )
 
   def helpText: String = {
@@ -172,6 +175,26 @@ object Main {
         val orphans = kv.get("orphan-grace-ms")
           .map(g => t.removeOrphans(g.toLong)).getOrElse(0)
         println(s"""{"expired_snapshots":$snaps,"deleted_files":$files,"orphan_dirs":$orphans}""")
+
+      case "lookup" =>
+        // Point lookup through bucket + per-file key-range pruning: prints
+        // how few files the read actually had to touch, then the row(s).
+        val t = new LakeTable(spark, kv("table-root"))
+        val snap = t.currentSnapshot.getOrElse(
+          throw new IllegalArgumentException(s"no table at ${kv("table-root")}"))
+        val keyVals: Map[String, Any] = kv("key").split(",").map { pair =>
+          pair.split("=", 2) match {
+            case Array(k, v) => k -> (v: Any)
+            case _ => throw new IllegalArgumentException(
+              s"bad --key element '$pair' (want col=value)\n$helpText")
+          }
+        }.toMap
+        val (baseFiles, deltaFiles) = t.planFiles(snap, keyVals)
+        val totalFiles = snap.allFiles.size
+        println(s"""{"bucket":${t.bucketOf(snap, keyVals)},""" +
+          s""""scannedFiles":${baseFiles.size + deltaFiles.size},""" +
+          s""""tableFiles":$totalFiles}""")
+        t.lookup(keyVals).show(truncate = false)
     } finally spark.stop()
   }
 }
