@@ -255,6 +255,80 @@ object DedupOps {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /**
+   * Near-dup CLUSTER CANONICALIZATION — the step a training-data pipeline
+   * actually ships: verified near-dup pairs form an undirected graph;
+   * every document maps to the MINIMUM doc_id reachable in its connected
+   * component (the cluster's canonical representative), singletons map to
+   * themselves. Downstream "keep one per cluster" is then a single filter
+   * (doc_id == canonical_doc).
+   *
+   * Scale shape: iterative min-label propagation — each round is one
+   * shuffle join on doc_id + a map-side-combining min aggregation, and the
+   * round count is the component DIAMETER, which for near-dup clusters is
+   * tiny (dup clusters are dense cliques from the LSH band join). The
+   * label frontier is checkpointed each round to cut plan lineage. For
+   * adversarial long-chain graphs the known upgrade is large-star/
+   * small-star contraction (O(log n) rounds); not needed for dup graphs.
+   */
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashVerified(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint() // computed once; reused every round
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("canon", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("nbr_doc")).agg(min(col("canon")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("nbr_doc"), "left")
+        .select(col("doc_id"),
+          least(col("canon"), coalesce(col("nbr_min"), col("canon"))).as("canon"))
+        .localCheckpoint()
+      changed = updated.as("u")
+        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
+        .filter(col("u.canon") =!= col("l.canon")).count()
+      labels = updated
+      rounds += 1
+    }
+    docs(spark, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("canon", "c"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("c"), col("doc_id")).as("canonical_doc"))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("canonical_doc")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle: exact transitive closure via a recursive CTE (min
+    * reachable id == the fixpoint the label propagation converges to).
+    * Closure is O(component^2) rows — fine at oracle scale, which is why
+    * the Spark side uses propagation instead. */
+  val clusterCanonicalSql: String =
+    s"""WITH RECURSIVE vp AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    ${minhashVerifiedSql.replace("ORDER BY doc_a, doc_b", "")}) t),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM vp
+       |  UNION SELECT doc_b, doc_a FROM vp),
+       |reach AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |canon AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS canonical_doc
+       |  FROM reach GROUP BY u)
+       |SELECT d.doc_id AS doc_id,
+       |  COALESCE(c.canonical_doc, d.doc_id) AS canonical_doc,
+       |  CAST(d.doc_id = COALESCE(c.canonical_doc, d.doc_id) AS INT) AS is_canonical
+       |FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /**
    * SimHash: 16-bit locality-sensitive fingerprint — per bit, sum +1/-1
    * over distinct-token hashes; bit set iff the sum is positive.
    */
@@ -299,5 +373,6 @@ object DedupOps {
     "dedup_minhash_sig" -> (minhashSignature _, minhashSignatureSql),
     "dedup_minhash_lsh" -> (minhashLsh _, minhashLshSql),
     "dedup_minhash_verified" -> (minhashVerified _, minhashVerifiedSql),
+    "dedup_cluster_canonical" -> (clusterCanonical _, clusterCanonicalSql),
     "dedup_simhash" -> (simhash _, simhashSql))
 }

@@ -57,6 +57,26 @@ class DedupCapSpec extends SparkSpec {
     assert(win.length === 1) // only the genuine near-dup pair survives
   }
 
+  test("cluster canonicalization: chains collapse to min id, singletons keep themselves") {
+    val dir = tmpDir("docs4")
+    // a near-dup CHAIN: doc1 = doc0 with the last word changed, doc2 = doc1
+    // with the first word changed — every adjacent pair is highly similar;
+    // plus an unrelated singleton. All chain members must map to doc 0
+    // regardless of which pairs the LSH stage surfaces directly.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace(" mu", " nu")),
+      (2L, base.replace("alpha ", "omega ").replace(" mu", " nu")),
+      (3L, "totally different words that match nothing else at all here now"))
+      .map { case (id, t) => (id, t, 100L) }
+    docs.toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.clusterCanonical(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === Seq((0L, 0L, 1), (1L, 0L, 0), (2L, 0L, 0), (3L, 3L, 1)))
+  }
+
   test("capped join plan stays an equi-join (no cartesian/BNLJ)") {
     val dir = tmpDir("docs2")
     (0 until 10).map(i => (i.toLong, s"a b c d e f$i g$i", 15L))
