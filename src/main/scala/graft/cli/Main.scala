@@ -40,7 +40,11 @@ object Main {
       "table-root" -> (true, "lake table root directory"),
       "checkpoint" -> (true, "streaming checkpoint directory"),
       "buckets" -> (false, "primary-key hash buckets (default 32)"),
-      "relevant-tables" -> (false, "comma-separated table filter (default repos)"),
+      "table" -> (false, "wal2json table name to apply (default repos)"),
+      "schema" -> (false, "table schema as SQL DDL (default: the repos schema)"),
+      "keys" -> (false, "comma-separated primary-key columns (default repo,path)"),
+      "sink" -> (false, "foreachbatch|connector: drive the MERGE inline or through writeStream.format(\"graft-lake\") (default foreachbatch)"),
+      "relevant-tables" -> (false, "comma-separated table filter (default: the --table name)"),
       "max-segments-per-trigger" -> (false, "admission control: segments per micro-batch"),
       "retention" -> (false, "delete|retain consumed WAL segments (default retain)"),
       "split-bytes" -> (false, "byte-range split size for large segments (default 64MiB)"),
@@ -132,41 +136,92 @@ object Main {
 
       case "run" =>
         val root = kv("table-root")
+        val tableName = kv.getOrElse("table", "repos")
+        val schema = kv.get("schema").map(StructType.fromDDL).getOrElse(reposSchema)
+        val keys = kv.get("keys").map(_.split(",").toSeq).getOrElse(Seq("repo", "path"))
+        val renameMap = if (kv.contains("schema")) Map.empty[String, String]
+          else reposRenameMap
         val table = new LakeTable(spark, root,
           maxDeltasPerBucket = kv.getOrElse("max-deltas", "8").toInt)
-        val target = TableTarget("repos", table,
-          reposSchema, Seq("repo", "path"),
-          nBuckets = kv.getOrElse("buckets", "32").toInt, reposRenameMap)
+        val target = TableTarget(tableName, table, schema, keys,
+          nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap)
         val relevant = kv.get("relevant-tables")
-          .map(_.split(",").toSet).getOrElse(Set("repos"))
-        val pipe = new CdcPipeline(spark, kv("wal-dir"), kv("checkpoint"),
-          Seq(target), relevant,
-          metricsPath = Some(s"$root/_metrics/batches.jsonl"),
-          maxFilesPerTrigger = kv.get("max-segments-per-trigger").map(_.toInt),
-          strictDecode = kv.getOrElse("strict", "true").toBoolean,
-          walRetention = kv.get("retention").contains("delete"),
-          walSplitBytes = kv.get("split-bytes").map(_.toLong),
-          saltBuckets = kv.getOrElse("salt-buckets", "0").toInt)
+          .map(_.split(",").toSet).getOrElse(Set(tableName))
+        val metricsPath = s"$root/_metrics/batches.jsonl"
         val t0 = System.nanoTime()
-        kv.get("max-restarts").map(_.toInt) match {
-          case Some(budget) if budget > 0 => pipe.runSupervised(maxRestarts = budget)
-          case _ => pipe.runAvailable()
+        val (batches, applied) = kv.getOrElse("sink", "foreachbatch") match {
+          case "connector" =>
+            // the MERGE protocol as a named connector: graft-wal source ->
+            // graft-lake sink; table must pre-exist (create is idempotent)
+            table.create(schema, keys, target.nBuckets, renameMap)
+            // the metrics JSONL is append-only across runs: summarize only
+            // the lines THIS run appends
+            val preLines = {
+              val f = new java.io.File(metricsPath)
+              if (f.exists()) scala.io.Source.fromFile(f).getLines().size else 0
+            }
+            val reader = spark.readStream.format("graft-wal")
+            kv.get("max-segments-per-trigger")
+              .foreach(m => reader.option("maxSegmentsPerTrigger", m))
+            if (kv.get("retention").contains("delete"))
+              reader.option("retention", "delete")
+            kv.get("split-bytes").foreach(b => reader.option("splitBytes", b))
+            val q = reader.load(kv("wal-dir"))
+              .writeStream.format("graft-lake")
+              .option("path", root)
+              .option("table", tableName)
+              .option("metricsPath", metricsPath)
+              .option("strict", kv.getOrElse("strict", "true"))
+              .option("saltBuckets", kv.getOrElse("salt-buckets", "0"))
+              .option("checkpointLocation", kv("checkpoint"))
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            // per-batch lineage lives in the metrics JSONL the sink wrote
+            val lines = scala.io.Source.fromFile(metricsPath).getLines().toSeq
+              .drop(preLines)
+            val appliedRe = """"appliedKeys":(\d+)""".r
+            (lines.size,
+              lines.flatMap(l => appliedRe.findFirstMatchIn(l)
+                .map(_.group(1).toLong)).sum)
+          case _ =>
+            val pipe = new CdcPipeline(spark, kv("wal-dir"), kv("checkpoint"),
+              Seq(target), relevant,
+              metricsPath = Some(metricsPath),
+              maxFilesPerTrigger = kv.get("max-segments-per-trigger").map(_.toInt),
+              strictDecode = kv.getOrElse("strict", "true").toBoolean,
+              walRetention = kv.get("retention").contains("delete"),
+              walSplitBytes = kv.get("split-bytes").map(_.toLong),
+              saltBuckets = kv.getOrElse("salt-buckets", "0").toInt)
+            kv.get("max-restarts").map(_.toInt) match {
+              case Some(budget) if budget > 0 => pipe.runSupervised(maxRestarts = budget)
+              case _ => pipe.runAvailable()
+            }
+            (pipe.stats.size, pipe.stats.map(_._3.appliedKeys).sum)
         }
         val sec = (System.nanoTime() - t0) / 1e9
-        val applied = pipe.stats.map(_._3.appliedKeys).sum
-        val snap = target.table.currentSnapshot.get
-        println(s"""{"batches":${pipe.stats.size},"appliedKeys":$applied,""" +
+        val snap = table.currentSnapshot.get
+        println(s"""{"batches":$batches,"appliedKeys":$applied,""" +
           s""""highWatermark":${snap.lsnHighWatermark},"snapshotId":${snap.snapshotId},""" +
           s""""seconds":$sec}""")
 
       case "show" =>
         val t = new LakeTable(spark, kv("table-root"))
+        val snap = t.currentSnapshot.getOrElse(
+          throw new IllegalArgumentException(s"no table at ${kv("table-root")}"))
         val df = t.read(asOfSnapshot = kv.get("as-of").map(_.toLong))
         val n = df.count()
         println(s"rows=$n")
-        df.orderBy("repo", "path")
-          .select(col("repo"), col("path"), col("language"),
-            sha2(col("content"), 256).as("content_sha256"))
+        val keyCols = snap.keyColumns.map(col)
+        // repos-shaped tables get the compact sha256(content) rendering;
+        // any other schema prints its own columns, keys first
+        val projected =
+          if (df.columns.contains("content"))
+            df.select((keyCols ++ df.columns
+              .filterNot(c => snap.keyColumns.contains(c) || c == "content" || c == "commit")
+              .map(col) :+ sha2(col("content"), 256).as("content_sha256")): _*)
+          else df
+        projected.orderBy(keyCols: _*)
           .show(kv.getOrElse("limit", "10").toInt, truncate = false)
 
       case "vacuum" =>
