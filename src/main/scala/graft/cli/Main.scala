@@ -46,6 +46,7 @@ object Main {
       "sink" -> (false, "foreachbatch|connector: drive the MERGE inline or through writeStream.format(\"graft-lake\") (default foreachbatch)"),
       "relevant-tables" -> (false, "comma-separated table filter (default: the --table name)"),
       "max-segments-per-trigger" -> (false, "admission control: segments per micro-batch"),
+      "max-bytes-per-trigger" -> (false, "admission control: cumulative WAL bytes per micro-batch (>=1 segment always admitted)"),
       "retention" -> (false, "delete|retain consumed WAL segments (default retain)"),
       "split-bytes" -> (false, "byte-range split size for large segments (default 64MiB)"),
       "max-deltas" -> (false, "delta files per bucket before compaction (default 8)"),
@@ -163,6 +164,8 @@ object Main {
             val reader = spark.readStream.format("graft-wal")
             kv.get("max-segments-per-trigger")
               .foreach(m => reader.option("maxSegmentsPerTrigger", m))
+            kv.get("max-bytes-per-trigger")
+              .foreach(b => reader.option("maxBytesPerTrigger", b))
             if (kv.get("retention").contains("delete"))
               reader.option("retention", "delete")
             kv.get("split-bytes").foreach(b => reader.option("splitBytes", b))
@@ -192,7 +195,8 @@ object Main {
               strictDecode = kv.getOrElse("strict", "true").toBoolean,
               walRetention = kv.get("retention").contains("delete"),
               walSplitBytes = kv.get("split-bytes").map(_.toLong),
-              saltBuckets = kv.getOrElse("salt-buckets", "0").toInt)
+              saltBuckets = kv.getOrElse("salt-buckets", "0").toInt,
+              maxBytesPerTrigger = kv.get("max-bytes-per-trigger").map(_.toLong))
             kv.get("max-restarts").map(_.toInt) match {
               case Some(budget) if budget > 0 => pipe.runSupervised(maxRestarts = budget)
               case _ => pipe.runAvailable()

@@ -126,18 +126,20 @@ class WalTable(dir: String) extends Table with SupportsRead {
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxPerTrigger = Option(options.get("maxSegmentsPerTrigger")).map(_.toInt)
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
     val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
       .getOrElse(WalSource.DefaultSplitBytes)
     val retention = Option(options.get("retention")).contains("delete")
-    () => new WalScan(dir, maxPerTrigger, splitBytes, retention)
+    () => new WalScan(dir, maxPerTrigger, maxBytes, splitBytes, retention)
   }
 }
 
-class WalScan(dir: String, maxPerTrigger: Option[Int], splitBytes: Long,
-              retention: Boolean) extends Scan {
+class WalScan(dir: String, maxPerTrigger: Option[Int], maxBytes: Option[Long],
+              splitBytes: Long, retention: Boolean) extends Scan {
   override def readSchema(): StructType = WalSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new WalMicroBatchStream(dir, maxPerTrigger, splitBytes, retention)
+    new WalMicroBatchStream(dir, maxPerTrigger, splitBytes, retention,
+      maxBytesPerTrigger = maxBytes)
 }
 
 /** Offset = NAME of the last fully consumed segment ("" before any). Names
@@ -152,7 +154,10 @@ case class WalOffset(last: String) extends Offset {
 class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
                           splitBytes: Long = WalSource.DefaultSplitBytes,
                           retention: Boolean = false,
-                          provider: WalProvider = null)
+                          provider: WalProvider = null,
+                          // byte-based admission control: file-count limits
+                          // don't bound batch memory when segment sizes vary
+                          maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -179,7 +184,10 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(m => ReadLimit.maxFiles(m)).getOrElse(ReadLimit.allAvailable())
 
-  /** Rate-limited tail: at most maxFiles new segments per micro-batch. */
+  /** Rate-limited tail: at most maxFiles new segments AND (if configured)
+    * at most maxBytesPerTrigger cumulative bytes per micro-batch — always
+    * admitting at least one segment so the stream can't stall on a single
+    * oversized segment (its byte-range splits keep it parallel anyway). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[WalOffset].last
     // `start` is the end of the last fully COMMITTED batch (a new trigger
@@ -190,13 +198,24 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
     // the final batch's segments unpruned until the next run.
     prune(s)
     val target = availableNowTarget.getOrElse(lastName())
-    val pending = wal.listSegments().map(_._1)
-      .filter(n => n > s && n <= target)
-    val takeN = limit match {
+    val pending = wal.listSegments()
+      .filter { case (n, _) => n > s && n <= target }
+    val byFiles = limit match {
       case mf: ReadMaxFiles => math.min(pending.size, mf.maxFiles())
       case _ => pending.size
     }
-    if (takeN == 0) WalOffset(s) else WalOffset(pending(takeN - 1))
+    val takeN = maxBytesPerTrigger match {
+      case None => byFiles
+      case Some(budget) =>
+        var cum = 0L
+        var k = 0
+        while (k < byFiles && (k == 0 || cum + pending(k)._2 <= budget)) {
+          cum += pending(k)._2
+          k += 1
+        }
+        k
+    }
+    if (takeN == 0) WalOffset(s) else WalOffset(pending(takeN - 1)._1)
   }
 
   override def deserializeOffset(json: String): Offset = {

@@ -54,7 +54,10 @@ class CdcPipeline(
     walSplitBytes: Option[Long] = None,
     // > 0 forces the explicit two-phase (salted) keep-last dedup for
     // streams whose hot keys overflow map-side hash tables
-    saltBuckets: Int = 0) {
+    saltBuckets: Int = 0,
+    // byte-based admission control (bounds batch memory when segment
+    // sizes vary; at least one segment always admitted)
+    maxBytesPerTrigger: Option[Long] = None) {
 
   // Idempotent table creation (reference tolerates slot-already-exists,
   // PostgresConnector.java:90-97).
@@ -125,6 +128,7 @@ class CdcPipeline(
   def start(trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val reader = spark.readStream.format("graft-wal")
     maxFilesPerTrigger.foreach(m => reader.option("maxSegmentsPerTrigger", m))
+    maxBytesPerTrigger.foreach(b => reader.option("maxBytesPerTrigger", b))
     if (walRetention) reader.option("retention", "delete")
     walSplitBytes.foreach(b => reader.option("splitBytes", b))
     val lines = reader.load(walDir)

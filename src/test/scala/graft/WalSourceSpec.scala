@@ -144,6 +144,41 @@ class WalSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("cannot migrate"))
   }
 
+  test("maxBytesPerTrigger bounds batch bytes, always admits one segment") {
+    val dir = tmpDir("wal"); val ckpt = tmpDir("ckpt")
+    ChangeStreamGen.writeSegments(spark, cfg, dir, 60L, txnsPerSegment = 20)
+    val sizes = (0 to 2).map(i =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(f"$dir/wal-$i%09d.jsonl")))
+    // budget = exactly the first two segments: batch1 = segs 0+1, batch2 = seg 2
+    var batches = 0; var total = 0L
+    val q = spark.readStream.format("graft-wal")
+      .option("maxBytesPerTrigger", (sizes(0) + sizes(1)).toString).load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count(); if (n > 0) { batches += 1; total += n }; ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(total === 60L)
+    assert(batches === 2, s"expected 2 byte-bounded batches, got $batches")
+    // a budget smaller than ANY segment still admits one per batch (no stall)
+    val ckpt2 = tmpDir("ckpt")
+    var batches2 = 0; var total2 = 0L
+    val q2 = spark.readStream.format("graft-wal")
+      .option("maxBytesPerTrigger", "1").load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count(); if (n > 0) { batches2 += 1; total2 += n }; ()
+      }
+      .start()
+    q2.awaitTermination()
+    assert(total2 === 60L && batches2 === 3)
+  }
+
   test("segment listing is ordered and ignores foreign/partial files") {
     val dir = tmpDir("wal")
     ChangeStreamGen.writeSegments(spark, cfg, dir, 90L, txnsPerSegment = 30)
