@@ -21,6 +21,7 @@ object Bench {
     "q_asof_join", "q_event_sessions",
     "cdc_decode_roundtrip", "cdc_merge_final_state",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_cluster_canonical", "pipeline_corpus_clean",
     "ann_cosine_topk", "dedup_embedding_cosine", "dedup_embedding_lsh",
     "text_fingerprint", "text_quality_score", "multimodal_meta")
 
