@@ -63,7 +63,10 @@ object Main {
       "orphan-grace-ms" -> (false, "also sweep unreferenced data dirs older than this")),
     "lookup" -> Map(
       "table-root" -> (true, "lake table root directory"),
-      "key" -> (true, "primary key as col=value[,col=value...] (all key columns)"))
+      "key" -> (true, "primary key as col=value[,col=value...] (all key columns)")),
+    "snapshots" -> Map(
+      "table-root" -> (true, "lake table root directory"),
+      "limit" -> (false, "newest snapshots to list (default 20)"))
   )
 
   def helpText: String = {
@@ -254,6 +257,25 @@ object Main {
           s""""scannedFiles":${baseFiles.size + deltaFiles.size},""" +
           s""""tableFiles":$totalFiles}""")
         t.lookup(keyVals).show(truncate = false)
+
+      case "snapshots" =>
+        // operational history: one JSON line per retained snapshot, newest
+        // first — id, watermark, file/delta counts, batch lineage
+        val t = new LakeTable(spark, kv("table-root"))
+        val cur = t.currentSnapshot.getOrElse(
+          throw new IllegalArgumentException(s"no table at ${kv("table-root")}"))
+        val limit = kv.getOrElse("limit", "20").toInt
+        (cur.snapshotId to math.max(0L, cur.snapshotId - limit + 1) by -1L)
+          .flatMap(id => scala.util.Try(t.readSnapshot(id)).toOption)
+          .foreach { s =>
+            val lin = s.lineage.toSeq.sorted
+              .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+            println(s"""{"snapshotId":${s.snapshotId},""" +
+              s""""highWatermark":${s.lsnHighWatermark},""" +
+              s""""baseFiles":${s.bucketFiles.values.map(_.size).sum},""" +
+              s""""deltaFiles":${s.bucketDeltas.values.map(_.size).sum},""" +
+              s""""lineage":{$lin}}""")
+          }
     } finally spark.stop()
   }
 }

@@ -275,10 +275,15 @@ class LakeTable(val spark: SparkSession, val root: String,
     val (baseFiles, deltaFiles) = planFiles(snap, keyValues)
     val df =
       if (deltaFiles.isEmpty) readConformed(baseFiles, snap.schema, snap.renameMap)
-      else mergedView(snap.schema, snap.keyColumns, snap.renameMap,
-        baseFiles, deltaFiles)
+      else mergedViewLocal(snap.schema, snap.keyColumns, snap.renameMap,
+        Seq((baseFiles, deltaFiles))) // one bucket => zero-shuffle merge
     keyValues.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
   }
+
+  /** Register the table (and optionally a historical snapshot) as a temp
+    * view so plain `spark.sql` can query it. */
+  def createOrReplaceView(name: String, asOfSnapshot: Option[Long] = None): Unit =
+    read(asOfSnapshot = asOfSnapshot).createOrReplaceTempView(name)
 
   /** The files a point lookup must scan: the key's bucket, minus files
     * whose recorded key range cannot contain the key (files with no stats

@@ -57,6 +57,25 @@ class LakeFeatureSpec extends SparkSpec {
     assert(snap.lineage("dedupDropped") === s2.dedupDropped)
   }
 
+  test("createOrReplaceView exposes the table (and time travel) to plain SQL") {
+    val t = newTable()
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 100)))
+    val snap1 = t.currentSnapshot.get.snapshotId
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(100, 200)))
+    t.createOrReplaceView("repos_now")
+    t.createOrReplaceView("repos_then", asOfSnapshot = Some(snap1))
+    val nowN = spark.sql("SELECT count(*) FROM repos_now").head().getLong(0)
+    val thenN = spark.sql("SELECT count(*) FROM repos_then").head().getLong(0)
+    assert(nowN === t.read().count())
+    assert(thenN === t.read(asOfSnapshot = Some(snap1)).count())
+    // joins across eras work like any other SQL view
+    val changed = spark.sql(
+      """SELECT count(*) FROM repos_now n JOIN repos_then o
+        |ON n.repo = o.repo AND n.path = o.path
+        |WHERE n.content <> o.content""".stripMargin).head().getLong(0)
+    assert(changed > 0)
+  }
+
   test("time travel: historical snapshots stay readable and immutable") {
     val t = newTable()
     MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 100)))

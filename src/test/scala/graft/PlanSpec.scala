@@ -149,6 +149,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cluster_canonical / pipeline_corpus_clean: no product joins anywhere") {
+    // both are join-heavy compositions (label propagation rounds; the
+    // 3-stage corpus pipeline) — every join must stay key-blocked
+    assertNoProductJoin("dedup_cluster_canonical")
+    assertNoProductJoin("pipeline_corpus_clean")
+  }
+
   test("q_event_tumbling: partial aggregation before the shuffle") {
     val p = plan("q_event_tumbling")
     assert(p.contains("partial_"), p)
