@@ -93,7 +93,12 @@ final case class Snapshot(
 }
 
 class LakeTable(val spark: SparkSession, val root: String,
-                val maxDeltasPerBucket: Int = 8) {
+                val maxDeltasPerBucket: Int = 8,
+                // plan-size guard for the shuffle-free per-bucket merge:
+                // past this many delta-carrying buckets in one read, fall
+                // back to the shuffle merge (each bucket contributes its own
+                // scan subtree, so unbounded union bloats planning time)
+                val maxLocalMergeBuckets: Int = 256) {
   import LakeTable._
 
   private val rootPath = new HPath(root)
@@ -332,12 +337,6 @@ class LakeTable(val spark: SparkSession, val root: String,
         val s = v.toString; lo <= s && s <= hi
       case _ => true
     } catch { case _: NumberFormatException => true }
-
-  /** Plan-size guard for [[mergedViewLocal]]: each bucket contributes its
-    * own scan subtree, so past this many delta-carrying buckets the
-    * shuffle-based [[mergedView]] is the better trade (bounded plan size
-    * beats saving one exchange). */
-  val maxLocalMergeBuckets: Int = 256
 
   /**
    * SHUFFLE-FREE merge-on-read: the bucket layout already co-locates every

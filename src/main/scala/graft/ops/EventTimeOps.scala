@@ -122,8 +122,50 @@ object EventTimeOps {
       |SELECT event_id, user_id, tus AS purchase_us, asof_click_id
       |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
+  /**
+   * RANGE (interval) JOIN, composed scale-first: error events open 10-minute
+   * incident windows [t0, t0+10min); count ALL events falling inside each
+   * window. A naive theta-join (e.ts >= t0 AND e.ts < t1) has no equality
+   * key, so Catalyst would execute it as a cross product — instead the time
+   * axis is BUCKETIZED at the window length: each incident explodes into
+   * the <= 2 ten-minute buckets it overlaps (interval length == bucket
+   * width), each event owns exactly ONE bucket, and the join becomes a
+   * bucket equi-join + residual range filter. No pair blowup, no duplicate
+   * (incident, event) pairs (the event's bucket is unique), shuffle keyed
+   * by time bucket — the standard web-scale interval-join shape.
+   */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("ts"),
+        (unix_micros(col("ts").cast("timestamp")) / TenMinUs).cast("long").as("b"))
+    val incidents = events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t0us"))
+      .withColumn("t1us", col("t0us") + TenMinUs)
+      .withColumn("b", explode(sequence(
+        (col("t0us") / TenMinUs).cast("long"),
+        ((col("t1us") - 1) / TenMinUs).cast("long"))))
+    incidents.join(ev, "b")
+      .filter(unix_micros(col("ts").cast("timestamp")) >= col("t0us") &&
+        unix_micros(col("ts").cast("timestamp")) < col("t1us"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("incident_id")
+  }
+
+  /** Oracle: the direct theta range join (fine at oracle scale). */
+  val rangeJoinSql: String =
+    """WITH inc AS (
+      |  SELECT event_id AS incident_id, ts AS t0, ts + INTERVAL 10 MINUTE AS t1
+      |  FROM events WHERE event_type = 'error')
+      |SELECT i.incident_id, count(*) AS n_events
+      |FROM inc i JOIN events e ON e.ts >= i.t0 AND e.ts < i.t1
+      |GROUP BY 1 ORDER BY incident_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_event_tumbling" -> (tumbling _, tumblingSql),
     "q_event_sessions" -> (sessions _, sessionsSql),
-    "q_asof_join" -> (asofJoin _, asofJoinSql))
+    "q_asof_join" -> (asofJoin _, asofJoinSql),
+    "q_range_join" -> (rangeJoin _, rangeJoinSql))
 }

@@ -67,6 +67,26 @@ class MergeOnReadSpec extends SparkSpec {
     assert(state(t) === shuffled)
   }
 
+  test("past the plan-size guard the shuffle fallback returns the identical state") {
+    // two tables over the same root data shape: one forced onto the
+    // shuffle-merge fallback (threshold 1 < delta-carrying buckets), one on
+    // the default local merge — byte-identical reads
+    val root = tmpDir("repos")
+    val local = new LakeTable(spark, root)
+    local.create(Main.reposSchema, Seq("repo", "path"), 4, Main.reposRenameMap)
+    MergeEngine.applyBatch(local, ChangeDecoder.decode(lines(0, 120)))
+    val fallback = new LakeTable(spark, root, maxLocalMergeBuckets = 1)
+    assert(local.currentSnapshot.get.bucketDeltas.count(_._2.nonEmpty) > 1)
+    val a = state(local)
+    val b = fallback.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(a === b)
+    // and the fallback plan really is the shuffle formulation
+    val p = fallback.read().queryExecution.executedPlan.toString
+    assert(p.contains("Exchange"), "fallback should shuffle")
+  }
+
   test("state parity: merge-on-read table == replay oracle across many batches") {
     val t = newTable(maxDeltas = 3) // force compactions along the way
     (0L until 200L by 40L).foreach { from =>

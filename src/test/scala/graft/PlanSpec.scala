@@ -156,6 +156,11 @@ class PlanSpec extends SparkSpec {
     assertNoProductJoin("pipeline_corpus_clean")
   }
 
+  test("q_range_join: bucketized equi-join, never a theta cross product") {
+    val p = assertNoProductJoin("q_range_join")
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
+
   test("q_event_tumbling: partial aggregation before the shuffle") {
     val p = plan("q_event_tumbling")
     assert(p.contains("partial_"), p)

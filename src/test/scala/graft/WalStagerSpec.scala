@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.{WalSource, WalStager}
+
+/**
+ * The live-staging half of the WalProvider contract: a stager feeding
+ * segments while the graft-wal source consumes them — atomic publish
+ * (no partial segments ever visible), dense monotone naming, restart
+ * resume, single-writer collision detection.
+ */
+class WalStagerSpec extends SparkSpec {
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def consume(dir: String, ckpt: String): Seq[String] = {
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("graft-wal").load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(_.getString(0)); ()
+      }
+      .start()
+    q.awaitTermination()
+    got.toSeq
+  }
+
+  test("staged lines reach the consumer exactly once; partials stay invisible") {
+    val dir = tmpDir("stage"); val ckpt = tmpDir("ckpt")
+    val stager = new WalStager(dir, conf)
+    (1 to 5).foreach(i => stager.append(s"line-$i"))
+    // nothing published yet: the tailer must see an empty WAL
+    assert(WalSource.listSegments(dir).isEmpty)
+    assert(consume(dir, ckpt).isEmpty)
+    assert(stager.roll() === Some("wal-000000000.jsonl"))
+    assert(consume(dir, ckpt) === (1 to 5).map(i => s"line-$i"))
+    // keep streaming while the consumer tails incrementally
+    (6 to 8).foreach(i => stager.append(s"line-$i"))
+    stager.roll()
+    (9 to 9).foreach(i => stager.append(s"line-$i"))
+    stager.close()
+    assert(consume(dir, ckpt) === (6 to 9).map(i => s"line-$i"))
+    assert(consume(dir, ckpt).isEmpty) // exactly once
+  }
+
+  test("auto-roll at rollBytes, dense names, restart resumes numbering") {
+    val dir = tmpDir("stage")
+    val stager = new WalStager(dir, conf, rollBytes = 20L)
+    (1 to 6).foreach(i => stager.append(s"0123456789-$i")) // ~13B each => 2/segment
+    stager.close()
+    val names = WalSource.listSegments(dir)
+    assert(names === names.sorted && names.size === 3)
+    assert(names.head === "wal-000000000.jsonl")
+    // restart: a new stager continues AFTER the highest published name
+    val resumed = new WalStager(dir, conf)
+    resumed.append("after-restart")
+    assert(resumed.roll() === Some("wal-000000003.jsonl"))
+    resumed.close()
+  }
+
+  test("a colliding publish fails loudly (single-writer)") {
+    val dir = tmpDir("stage")
+    val a = new WalStager(dir, conf)
+    val b = new WalStager(dir, conf) // both believe the next name is 0
+    a.append("from-a"); a.roll()
+    b.append("from-b")
+    intercept[IllegalStateException] { b.roll() }
+    // the winner's segment survives untouched
+    assert(WalSource.listSegments(dir) === Seq("wal-000000000.jsonl"))
+  }
+
+  test("end-to-end: staged WAL drives the CDC pipeline to the oracle state") {
+    import graft.gen.{ChangeStreamGen, GenConfig}
+    import graft.lake.LakeTable
+    import graft.cli.Main
+    val cfg = GenConfig(seed = 77L, nRepos = 8, pathsPerRepo = 3, maxChangesPerTxn = 2)
+    val dir = tmpDir("stage"); val ckpt = tmpDir("ckpt")
+    val stager = new WalStager(dir, conf)
+    // "live" feed: render txn lines one by one, roll every 25
+    (0L until 100L).foreach { id =>
+      stager.append(ChangeStreamGen.renderLine(cfg, ChangeStreamGen.txn(cfg, id)))
+      if ((id + 1) % 25 == 0) stager.roll()
+    }
+    stager.close()
+    val table = new LakeTable(spark, tmpDir("repos"))
+    table.create(Main.reposSchema, Seq("repo", "path"), 4, Main.reposRenameMap)
+    val pipe = new graft.streaming.CdcPipeline(spark, dir, ckpt,
+      Seq(graft.streaming.TableTarget("repos", table, Main.reposSchema,
+        Seq("repo", "path"), 4, Main.reposRenameMap)), Set("repos"))
+    pipe.runAvailable()
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exp = ChangeStreamGen.expectedFinalState(cfg, 100L)
+      .map { case (k, ch) => k -> sha(ch.content) }
+    val got = table.read()
+      .select(org.apache.spark.sql.functions.col("repo"),
+        org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.sha2(
+          org.apache.spark.sql.functions.col("content"), 256)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got === exp)
+  }
+}
