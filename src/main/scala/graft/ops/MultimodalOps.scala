@@ -88,6 +88,37 @@ object MultimodalOps {
       |  CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /**
+   * Frame sampling: for each media row, the deterministic subset of frame
+   * indices a decoder would extract — stride chosen so at most ~8 frames
+   * are sampled regardless of media length (stride = ceil(n_frames/8)).
+   * This is the pre-decode planning half of a video pipeline: the exploded
+   * (doc_id, frame_idx) rows are exactly the work-list handed to the batch
+   * decoder, and the arithmetic is engine-exact. One row explodes into at
+   * most 8 — bounded fan-out, shuffle-free until the output sort.
+   */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaMeta(spark, dir)
+      .filter(col("media_type") =!= "image") // images have no frame axis
+      .withColumn("stride", expr("(n_frames + 7) div 8"))
+      .select(col("doc_id"), col("media_type"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, col("stride")))
+          .as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
+  val frameSampleSql: String =
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, media_type, n_frames,
+      |  unnest(range(0, n_frames, (n_frames + 7) // 8)) AS frame_idx
+      |FROM meta WHERE media_type <> 'image'
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "multimodal_meta" -> (mediaMeta _, mediaMetaSql))
+    "multimodal_meta" -> (mediaMeta _, mediaMetaSql),
+    "multimodal_frame_sample" -> (frameSample _, frameSampleSql))
 }

@@ -156,6 +156,13 @@ class PlanSpec extends SparkSpec {
     assertNoProductJoin("pipeline_corpus_clean")
   }
 
+  test("mix_stratified: rank-per-group gets a map-side WindowGroupLimit") {
+    // top-K per language must forward at most K rows per group per map
+    // task BEFORE the shuffle — never sort 10^10 rows per group
+    val p = plan("mix_stratified")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_range_join: bucketized equi-join, never a theta cross product") {
     val p = assertNoProductJoin("q_range_join")
     assert(p.contains("partial_count") || p.contains("partial_"), p)
