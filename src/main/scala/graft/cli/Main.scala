@@ -66,7 +66,9 @@ object Main {
       "key" -> (true, "primary key as col=value[,col=value...] (all key columns)")),
     "snapshots" -> Map(
       "table-root" -> (true, "lake table root directory"),
-      "limit" -> (false, "newest snapshots to list (default 20)"))
+      "limit" -> (false, "newest snapshots to list (default 20)")),
+    "verify-wal" -> Map(
+      "wal-dir" -> (true, "WAL segment directory to audit"))
   )
 
   def helpText: String = {
@@ -257,6 +259,27 @@ object Main {
           s""""scannedFiles":${baseFiles.size + deltaFiles.size},""" +
           s""""tableFiles":$totalFiles}""")
         t.lookup(keyVals).show(truncate = false)
+
+      case "verify-wal" =>
+        // pre-flight audit for the repair workflow: which segments would a
+        // strict run reject, with counts and a truncated sample per segment
+        val segs = graft.sources.WalSource.listSegments(kv("wal-dir"))
+        if (segs.isEmpty) { println("""{"segments":0,"malformed":0}"""); }
+        else {
+          val lines = spark.read.text(
+            segs.map(n => s"${kv("wal-dir")}/$n"): _*)
+            .withColumn("_file",
+              element_at(split(input_file_name(), "/"), -1))
+          val bad = graft.decode.ChangeDecoder.malformedBySegment(lines).collect()
+          bad.foreach { r =>
+            val sample = r.getString(2).replace("\\", "\\\\").replace("\"", "\\\"")
+            println(s"""{"segment":"${r.getString(0)}","malformed":${r.getLong(1)},""" +
+              s""""sample":"$sample"}""")
+          }
+          println(s"""{"segments":${segs.size},""" +
+            s""""badSegments":${bad.length},""" +
+            s""""malformed":${bad.map(_.getLong(1)).sum}}""")
+        }
 
       case "snapshots" =>
         // operational history: one JSON line per retained snapshot, newest

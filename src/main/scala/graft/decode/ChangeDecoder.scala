@@ -210,11 +210,21 @@ object ChangeDecoder {
         e.isNull || e.getField("lsn").isNull || e.getField("xid").isNull ||
           e.getField("change").isNull)) === 0
     lines
-      .select(col("value"), parseExpr.as("m"),
-        from_json(col("value"),
-          org.apache.spark.sql.types.ArrayType(Wal2Json.walLineSchema)).as("arr"))
+      .withColumn("m", parseExpr)
+      .withColumn("arr", from_json(col("value"),
+        org.apache.spark.sql.types.ArrayType(Wal2Json.walLineSchema)))
       .filter(when(startsWithBracket(col("value")), !aggOk).otherwise(singleBad))
   }
+
+  /** Per-segment malformed-line audit — the report an operator repairs
+    * from before re-running a strict pipeline (`lines` must carry a
+    * `_file` column identifying the segment). */
+  def malformedBySegment(lines: DataFrame): DataFrame =
+    malformedDf(lines, nativeParser = true)
+      .groupBy(col("_file"))
+      .agg(count(lit(1)).as("malformed"),
+        min(substring(col("value"), 1, 120)).as("sample"))
+      .orderBy("_file")
 
   /**
    * Primary-key columns of a change event, as a map usable for keying:
