@@ -253,9 +253,9 @@ object Main {
               s"bad --key element '$pair' (want col=value)\n$helpText")
           }
         }.toMap
-        val (baseFiles, deltaFiles) = t.planFiles(snap, keyVals)
+        val (bucket, baseFiles, deltaFiles) = t.planFiles(snap, keyVals)
         val totalFiles = snap.allFiles.size
-        println(s"""{"bucket":${t.bucketOf(snap, keyVals)},""" +
+        println(s"""{"bucket":$bucket,""" +
           s""""scannedFiles":${baseFiles.size + deltaFiles.size},""" +
           s""""tableFiles":$totalFiles}""")
         t.lookup(keyVals).show(truncate = false)

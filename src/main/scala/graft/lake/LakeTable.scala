@@ -277,7 +277,7 @@ class LakeTable(val spark: SparkSession, val root: String,
       throw new IllegalStateException(s"no snapshot at $root"))
     require(snap.keyColumns.toSet == keyValues.keySet,
       s"lookup needs exactly the key columns ${snap.keyColumns.mkString(",")}")
-    val (baseFiles, deltaFiles) = planFiles(snap, keyValues)
+    val (_, baseFiles, deltaFiles) = planFiles(snap, keyValues)
     val df =
       if (deltaFiles.isEmpty) readConformed(baseFiles, snap.schema, snap.renameMap)
       else mergedViewLocal(snap.schema, snap.keyColumns, snap.renameMap,
@@ -292,9 +292,10 @@ class LakeTable(val spark: SparkSession, val root: String,
 
   /** The files a point lookup must scan: the key's bucket, minus files
     * whose recorded key range cannot contain the key (files with no stats
-    * recorded are conservatively kept). Exposed for plan assertions. */
+    * recorded are conservatively kept). Exposed for plan assertions.
+    * @return (bucket, base files, delta files) */
   def planFiles(snap: Snapshot,
-                keyValues: Map[String, Any]): (Seq[String], Seq[String]) = {
+                keyValues: Map[String, Any]): (Int, Seq[String], Seq[String]) = {
     val b = bucketOf(snap, keyValues)
     def keep(f: String): Boolean = snap.fileStats.get(f) match {
       case None => true
@@ -305,7 +306,8 @@ class LakeTable(val spark: SparkSession, val root: String,
         }
       }
     }
-    (snap.bucketFiles.getOrElse(b, Nil).filter(keep),
+    (b,
+      snap.bucketFiles.getOrElse(b, Nil).filter(keep),
       snap.bucketDeltas.getOrElse(b, Nil).filter(keep))
   }
 
@@ -334,7 +336,15 @@ class LakeTable(val spark: SparkSession, val root: String,
       case _: DecimalType =>
         val x = BigDecimal(v.toString); BigDecimal(lo) <= x && x <= BigDecimal(hi)
       case StringType =>
-        val s = v.toString; lo <= s && s <= hi
+        // Spark's min/max ordered the stats by UTF8String = UNSIGNED UTF-8
+        // BYTE order; Java String <=> compares UTF-16 code units, which
+        // DISAGREES outside the BMP (a surrogate pair sorts below U+E000+
+        // in UTF-16 but above in UTF-8) — comparing in the wrong order
+        // would wrongly prune a file that contains the key. Compare in the
+        // same byte space the stats were computed in.
+        val vb = v.toString.getBytes(StandardCharsets.UTF_8)
+        java.util.Arrays.compareUnsigned(lo.getBytes(StandardCharsets.UTF_8), vb) <= 0 &&
+          java.util.Arrays.compareUnsigned(vb, hi.getBytes(StandardCharsets.UTF_8)) <= 0
       case _ => true
     } catch { case _: NumberFormatException => true }
 

@@ -42,7 +42,7 @@ class FileStatsSpec extends SparkSpec {
     assert(snap.fileStats.size === 3, "every delta file has recorded stats")
 
     // the lookup plan must keep exactly ONE file — the one covering id=15
-    val (baseFiles, deltaFiles) = t.planFiles(snap, Map("id" -> 15))
+    val (_, baseFiles, deltaFiles) = t.planFiles(snap, Map("id" -> 15))
     assert(baseFiles.isEmpty)
     assert(deltaFiles.size === 1, s"expected 1 pruned delta file, got $deltaFiles")
     assert(snap.fileStats(deltaFiles.head)("id") === (("11", "20")))
@@ -51,7 +51,7 @@ class FileStatsSpec extends SparkSpec {
     val rows = t.lookup(Map("id" -> 15)).collect()
     assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((15, "b15")))
     // a key outside every range scans nothing and returns nothing
-    val (b2, d2) = t.planFiles(snap, Map("id" -> 999))
+    val (_, b2, d2) = t.planFiles(snap, Map("id" -> 999))
     assert(b2.isEmpty && d2.isEmpty)
     assert(t.lookup(Map("id" -> 999)).isEmpty)
   }
@@ -71,7 +71,7 @@ class FileStatsSpec extends SparkSpec {
     // stats must survive commits: only live files carry entries
     assert(snap.fileStats.keySet === snap.allFiles.toSet)
 
-    val (baseFiles, deltaFiles) = t.planFiles(snap, Map("id" -> 7))
+    val (_, baseFiles, deltaFiles) = t.planFiles(snap, Map("id" -> 7))
     assert(baseFiles.size === 1 && deltaFiles.isEmpty)
     val rows = t.lookup(Map("id" -> 7)).collect()
     assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((7, "b7")))
@@ -89,8 +89,27 @@ class FileStatsSpec extends SparkSpec {
         "data/c1/f2" -> Map("k" -> (("mango", "pear")))))
         // f3 has no stats -> always kept
     val t = new LakeTable(spark, tmpDir("stats3"))
-    val (bases, _) = t.planFiles(snap, Map("k" -> "banana"))
+    val (_, bases, _) = t.planFiles(snap, Map("k" -> "banana"))
     assert(bases === Seq("data/c1/f1", "data/c1/f3"))
+  }
+
+  test("string pruning compares in UTF-8 byte order, not UTF-16 code units") {
+    // Spark computed the stats over UTF8String (unsigned UTF-8 byte order).
+    // U+E000 (private use, UTF-8 EE 80 80) sorts BELOW U+1F600 (emoji,
+    // UTF-8 F0 9F 98 80) in byte order, but its UTF-16 code unit 0xE000
+    // sorts ABOVE the emoji's lead surrogate 0xD83D — a Java String
+    // comparison would wrongly prune the file that contains the key.
+    val sch = StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType)))
+    val snap = graft.lake.Snapshot(0L, sch, Seq("k"), 1,
+      bucketFiles = Map(0 -> Seq("data/c1/f1")),
+      bucketWatermarks = Map.empty, bucketDeltas = Map.empty,
+      lsnHighWatermark = -1L, renameMap = Map.empty, lineage = Map.empty,
+      fileStats = Map("data/c1/f1" -> Map("k" -> (("a", "😀")))))
+    val t = new LakeTable(spark, tmpDir("stats4"))
+    val (_, kept, _) = t.planFiles(snap, Map("k" -> "\uE000"))
+    assert(kept === Seq("data/c1/f1"),
+      "U+E000 is inside [a, U+1F600] in the byte order the stats were written in")
   }
 
   test("fileStats round-trips through the snapshot JSON") {
