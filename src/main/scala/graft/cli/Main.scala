@@ -68,7 +68,30 @@ object Main {
       "table-root" -> (true, "lake table root directory"),
       "limit" -> (false, "newest snapshots to list (default 20)")),
     "verify-wal" -> Map(
-      "wal-dir" -> (true, "WAL segment directory to audit"))
+      "wal-dir" -> (true, "WAL segment directory to audit")),
+    "stage" -> Map(
+      "wal-dir" -> (true, "staging directory to publish WAL segments into"),
+      "txns" -> (true, "synthetic-server transactions to stream (no live database in this sandbox; a real endpoint plugs in behind ReplicationConnector)"),
+      "host" -> (false, "server host (default localhost)"),
+      "port" -> (false, "server port (default 5432)"),
+      "database" -> (false, "database name (default graft)"),
+      "user" -> (false, "replication user (default replicator)"),
+      "password" -> (false, "password (default empty)"),
+      "sslmode" -> (false, "disable|allow|prefer|require|verify-ca|verify-full (default disable)"),
+      "ssl-root-cert" -> (false, "CA certificate path (required by verify-ca/verify-full)"),
+      "ssl-cert" -> (false, "client certificate path (requires --ssl-key)"),
+      "ssl-key" -> (false, "client key path (requires --ssl-cert)"),
+      "ssl-password" -> (false, "client key passphrase (requires --ssl-key)"),
+      "slot" -> (false, "replication slot name (default graft_slot)"),
+      "plugin" -> (false, "logical decoding output plugin (default wal2json)"),
+      "include-xids" -> (false, "true|false plugin option (default true)"),
+      "status-interval-s" -> (false, "standby status-update cadence (default 20)"),
+      "idle-slot-interval-s" -> (false, "idle fast-forward threshold (default 300)"),
+      "slot-busy-retries" -> (false, "openStream retries while the slot is held (default 30)"),
+      "slot-busy-sleep-s" -> (false, "sleep between slot-busy retries (default 30)"),
+      "roll-bytes" -> (false, "segment bytes before auto-publish (default 64MiB)"),
+      "flush-txns" -> (false, "publish+ack cadence in txns (default 10000)"),
+      "seed" -> (false, "synthetic stream seed (default 42)"))
   )
 
   def helpText: String = {
@@ -124,9 +147,51 @@ object Main {
     s
   }
 
+  /** The live-ingest loop (reference's readSlotWriteToKinesis run mode):
+    * connector -> staging segments + LSN acks. Runs WITHOUT a Spark session
+    * — like the reference's connector, the consume half is plain JVM; Spark
+    * enters when `run` tails the staged segments. */
+  private def runStage(kv: Map[String, String]): Unit = {
+    import graft.sources.replication._
+    val conn = ConnectionConfig(
+      host = kv.getOrElse("host", "localhost"),
+      database = kv.getOrElse("database", "graft"),
+      username = kv.getOrElse("user", "replicator"),
+      password = kv.getOrElse("password", ""),
+      port = kv.getOrElse("port", "5432").toInt,
+      sslMode = kv.getOrElse("sslmode", "disable"),
+      sslRootCert = kv.get("ssl-root-cert"),
+      sslCert = kv.get("ssl-cert"),
+      sslKey = kv.get("ssl-key"),
+      sslPassword = kv.get("ssl-password")).validate()
+    val slot = SlotConfig(
+      slotName = kv.getOrElse("slot", "graft_slot"),
+      outputPlugin = kv.getOrElse("plugin", "wal2json"),
+      includeXids = kv.getOrElse("include-xids", "true").toBoolean,
+      statusIntervalMs = kv.getOrElse("status-interval-s", "20").toLong * 1000,
+      idleSlotIntervalMs = kv.getOrElse("idle-slot-interval-s", "300").toLong * 1000,
+      slotBusyRetryLimit = kv.getOrElse("slot-busy-retries", "30").toInt,
+      slotBusyRetrySleepMs = kv.getOrElse("slot-busy-sleep-s", "30").toLong * 1000)
+      .validate()
+    val nTxns = kv("txns").toLong
+    val server = new SyntheticReplicationServer(
+      GenConfig(seed = kv.getOrElse("seed", "42").toLong), nTxns)
+    val ingest = new ReplicationIngest(server.connect(conn, slot),
+      kv("wal-dir"), new org.apache.hadoop.conf.Configuration(), slot,
+      rollBytes = kv.getOrElse("roll-bytes", (64L * 1024 * 1024).toString).toLong,
+      flushChunks = kv.getOrElse("flush-txns", "10000").toLong)
+    ingest.start()
+    val stats = ingest.pump()
+    ingest.close()
+    println(s"""{"staged_txns":${stats.chunks},"segments":${stats.segments},""" +
+      s""""ackedLsn":${stats.ackedLsn},"slot":"${slot.slotName}",""" +
+      s""""dir":"${kv("wal-dir")}"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val (cmd, kv) = parseArgs(args)
     if (cmd == "help") { println(helpText); return } // short-circuit: no session
+    if (cmd == "stage") { runStage(kv); return } // plain JVM: no session either
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = session(cpus)
     try cmd match {

@@ -225,6 +225,12 @@ object CdcPipeline {
           return FailureKind.DataError
         case _: graft.lake.CommitConflictException =>
           return FailureKind.Contention
+        // live-replication analogs: slot held by another consumer is the
+        // reference's 55006 (patient), recovery mode its 57P03 (transient)
+        case _: graft.sources.replication.SlotBusyException =>
+          return FailureKind.Contention
+        case _: graft.sources.replication.RecoveryModeException =>
+          return FailureKind.Transient
         case _ => ()
       }
       c = if (c.getCause eq c) null else c.getCause
