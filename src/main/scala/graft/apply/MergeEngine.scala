@@ -411,7 +411,8 @@ object MergeEngine {
         lsnHighWatermark = math.max(snap.lsnHighWatermark, maxLsn),
         lineage = lineage,
         fileStats = fileStats)
-      table.commit(next, expectedSnapshotId = snap.snapshotId)
+      table.commit(next, expectedSnapshotId = snap.snapshotId,
+        prev = Some(snap)) // lets manifest mode diff-reuse untouched buckets
 
       MergeStats(committed = true, newId, inputEvents, appliedKeys,
         inserted, updated, deleted, inputEvents - appliedKeys,
@@ -477,6 +478,7 @@ object MergeEngine {
   def fastForward(table: LakeTable, toLsn: Long): Snapshot = {
     val snap = table.currentSnapshot.get
     if (toLsn <= snap.lsnHighWatermark) snap
-    else table.commit(snap.copy(lsnHighWatermark = toLsn), snap.snapshotId)
+    else table.commit(snap.copy(lsnHighWatermark = toLsn), snap.snapshotId,
+      prev = Some(snap))
   }
 }

@@ -50,6 +50,7 @@ object Main {
       "retention" -> (false, "delete|retain consumed WAL segments (default retain)"),
       "split-bytes" -> (false, "byte-range split size for large segments (default 64MiB)"),
       "max-deltas" -> (false, "delta files per bucket before compaction (default 8)"),
+      "manifest-threshold" -> (false, "live files before the snapshot spills to per-bucket manifests (default 4096)"),
       "salt-buckets" -> (false, "two-phase salted dedup for hot keys (default off)"),
       "strict" -> (false, "true|false: abort batches with malformed lines (default true)"),
       "max-restarts" -> (false, "supervision budget for data errors/flakes (default 0 = unsupervised)")),
@@ -213,7 +214,8 @@ object Main {
         val renameMap = if (kv.contains("schema")) Map.empty[String, String]
           else reposRenameMap
         val table = new LakeTable(spark, root,
-          maxDeltasPerBucket = kv.getOrElse("max-deltas", "8").toInt)
+          maxDeltasPerBucket = kv.getOrElse("max-deltas", "8").toInt,
+          manifestThresholdFiles = kv.getOrElse("manifest-threshold", "4096").toInt)
         val target = TableTarget(tableName, table, schema, keys,
           nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap)
         val relevant = kv.get("relevant-tables")

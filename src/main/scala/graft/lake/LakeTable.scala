@@ -85,12 +85,40 @@ final case class Snapshot(
     bucketLineage: Map[Int, Map[String, Long]] = Map.empty,
     // data file path -> per-KEY-column min/max (as strings, compared via the
     // key's declared type) — read-side file pruning inside a bucket
-    fileStats: Map[String, Map[String, (String, String)]] = Map.empty) {
+    fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
+    // When the snapshot was stored in DISTRIBUTED-MANIFEST form: bucket ->
+    // relative path of the immutable per-bucket manifest file holding that
+    // bucket's files/deltas/watermark/lineage/stats. Empty for inline
+    // snapshots. The in-memory Snapshot is always fully resolved either way;
+    // these pointers exist so a commit can REUSE untouched buckets'
+    // manifests instead of rewriting O(files) metadata every batch.
+    bucketManifests: Map[Int, String] = Map.empty) {
   def allFiles: Seq[String] =
     (bucketFiles.values.flatten ++ bucketDeltas.values.flatten).toSeq.sorted
   /** Buckets holding any data (base or delta). */
   def dataBuckets: Set[Int] = bucketFiles.keySet ++ bucketDeltas.keySet
+  /** Every bucket with any per-bucket state to persist. */
+  def manifestBuckets: Set[Int] =
+    dataBuckets ++ bucketWatermarks.keySet ++ bucketLineage.keySet
+  /** The per-bucket slice a manifest stores — manifests are reused across
+    * commits exactly when this value is unchanged. */
+  def bucketSlice(b: Int): BucketManifest = {
+    val files = bucketFiles.getOrElse(b, Nil)
+    val deltas = bucketDeltas.getOrElse(b, Nil)
+    val inBucket = (files ++ deltas).toSet
+    BucketManifest(files, deltas,
+      bucketWatermarks.get(b), bucketLineage.getOrElse(b, Map.empty),
+      fileStats.view.filterKeys(inBucket).toMap)
+  }
 }
+
+/** One bucket's persisted metadata slice (see [[Snapshot.bucketSlice]]). */
+final case class BucketManifest(
+    files: Seq[String],
+    deltas: Seq[String],
+    watermark: Option[Long],
+    lineage: Map[String, Long],
+    fileStats: Map[String, Map[String, (String, String)]])
 
 class LakeTable(val spark: SparkSession, val root: String,
                 val maxDeltasPerBucket: Int = 8,
@@ -98,7 +126,16 @@ class LakeTable(val spark: SparkSession, val root: String,
                 // past this many delta-carrying buckets in one read, fall
                 // back to the shuffle merge (each bucket contributes its own
                 // scan subtree, so unbounded union bloats planning time)
-                val maxLocalMergeBuckets: Int = 256) {
+                val maxLocalMergeBuckets: Int = 256,
+                // Above this many live files the snapshot spills to
+                // DISTRIBUTED per-bucket manifests: the root stays O(buckets)
+                // and a commit rewrites only the buckets it touched —
+                // without this, one driver-side JSON grows O(files) and is
+                // fully rewritten every batch, which cannot survive 10^10
+                // rows. Below the threshold the single inline JSON is both
+                // simpler and faster (one metadata read instead of
+                // O(buckets)).
+                val manifestThresholdFiles: Int = 4096) {
   import LakeTable._
 
   private val rootPath = new HPath(root)
@@ -129,7 +166,14 @@ class LakeTable(val spark: SparkSession, val root: String,
 
   def readSnapshot(id: Long): Snapshot = {
     val in = fs.open(new HPath(metaDir, f"snapshot-$id%012d.json"))
-    try fromJson(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+    fromJson(json, readMetaFile)
+  }
+
+  private def readMetaFile(rel: String): String = {
+    val in = fs.open(new HPath(rootPath, rel))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
   }
 
@@ -155,18 +199,68 @@ class LakeTable(val spark: SparkSession, val root: String,
    * Atomically publish `next` as snapshot expected+1. Throws
    * [[CommitConflictException]] if another writer advanced the table —
    * caller re-reads and retries (optimistic concurrency).
+   *
+   * Past [[manifestThresholdFiles]] live files the snapshot is stored in
+   * distributed form: one immutable per-bucket manifest file for each
+   * bucket whose slice CHANGED this commit (unchanged buckets reuse the
+   * previous snapshot's manifest by pointer), plus an O(buckets) root.
+   * Manifests are written before the fenced root publish; a losing racer
+   * deletes the manifests it wrote. `prev` (the snapshot the caller built
+   * `next` from) avoids re-reading it for the reuse diff.
    */
-  def commit(next: Snapshot, expectedSnapshotId: Long): Snapshot = {
+  def commit(next: Snapshot, expectedSnapshotId: Long,
+             prev: Option[Snapshot] = None): Snapshot = {
     val newId = expectedSnapshotId + 1
     if (latestSnapshotId != expectedSnapshotId)
       throw new CommitConflictException(
         s"expected snapshot $expectedSnapshotId, found $latestSnapshotId")
-    val stamped = next.copy(snapshotId = newId)
     val target = new HPath(metaDir, f"snapshot-$newId%012d.json")
     val tmp = new HPath(metaDir,
       f".snapshot-$newId%012d.json.tmp-${java.util.UUID.randomUUID()}")
-    publish(tmp, target, toJson(stamped))
-    stamped
+    if (next.allFiles.size <= manifestThresholdFiles) {
+      val stamped = next.copy(snapshotId = newId, bucketManifests = Map.empty)
+      publish(tmp, target, toJson(stamped))
+      stamped
+    } else {
+      val stamped0 = next.copy(snapshotId = newId)
+      val prevSnap = prev.filter(_.snapshotId == expectedSnapshotId)
+        .orElse(if (expectedSnapshotId >= 0) Some(readSnapshot(expectedSnapshotId))
+                else None)
+      val written = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      val pointers = stamped0.manifestBuckets.toSeq.sorted.map { b =>
+        val slice = stamped0.bucketSlice(b)
+        val reused = prevSnap.flatMap(p =>
+          p.bucketManifests.get(b).filter(_ => p.bucketSlice(b) == slice))
+        b -> reused.getOrElse {
+          val rel = f"meta/manifests/manifest-$newId%012d-b$b-" +
+            s"${java.util.UUID.randomUUID().toString.take(8)}.json"
+          val p = new HPath(rootPath, rel)
+          written += p
+          writeMetaFile(p, manifestToJson(slice))
+          rel
+        }
+      }.toMap
+      val stamped = stamped0.copy(bucketManifests = pointers)
+      try publish(tmp, target, toRootJson(stamped))
+      catch {
+        case e: CommitConflictException =>
+          written.foreach(p => fs.delete(p, false)) // loser's manifests
+          throw e
+      }
+      stamped
+    }
+  }
+
+  /** Durably write an immutable metadata file (manifests): unique name, so
+    * no fencing — but it must be fully on disk before the root snapshot
+    * that references it can publish. */
+  private def writeMetaFile(p: HPath, content: String): Unit = {
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false)
+    try {
+      out.write(content.getBytes(StandardCharsets.UTF_8))
+      out.hsync()
+    } finally out.close()
   }
 
   /** Durably write `content` to `tmp`, then atomically claim `target` with
@@ -273,8 +367,7 @@ class LakeTable(val spark: SparkSession, val root: String,
    * handful of files in one bucket whose recorded range covers the key".
    */
   def lookup(keyValues: Map[String, Any]): DataFrame = {
-    val snap = currentSnapshot.getOrElse(
-      throw new IllegalStateException(s"no snapshot at $root"))
+    val snap = snapshotForKey(keyValues)
     require(snap.keyColumns.toSet == keyValues.keySet,
       s"lookup needs exactly the key columns ${snap.keyColumns.mkString(",")}")
     val (_, baseFiles, deltaFiles) = planFiles(snap, keyValues)
@@ -283,6 +376,34 @@ class LakeTable(val spark: SparkSession, val root: String,
       else mergedViewLocal(snap.schema, snap.keyColumns, snap.renameMap,
         Seq((baseFiles, deltaFiles))) // one bucket => zero-shuffle merge
     keyValues.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+  }
+
+  /** Metadata-LIGHT snapshot resolve for a point lookup: on a distributed
+    * snapshot, read the root plus ONLY the key's bucket manifest — O(1)
+    * metadata IO per lookup instead of O(buckets). The returned snapshot is
+    * partial (that one bucket resolved), which is exactly what
+    * [[planFiles]] touches for this key. Inline snapshots resolve fully. */
+  def snapshotForKey(keyValues: Map[String, Any]): Snapshot = {
+    val id = latestSnapshotId
+    if (id < 0) throw new IllegalStateException(s"no snapshot at $root")
+    val json = readMetaFile(f"meta/snapshot-$id%012d.json")
+    LakeTable.parseRootOnly(json) match {
+      case (_, None) => fromJson(json) // inline form: one document anyway
+      case (base, Some(pointers)) =>
+        val b = bucketOf(base, keyValues)
+        pointers.get(b) match {
+          case None => base.copy(bucketManifests = pointers) // empty bucket
+          case Some(rel) =>
+            val m = manifestFromJson(readMetaFile(rel))
+            base.copy(
+              bucketFiles = if (m.files.nonEmpty) Map(b -> m.files) else Map.empty,
+              bucketDeltas = if (m.deltas.nonEmpty) Map(b -> m.deltas) else Map.empty,
+              bucketWatermarks = m.watermark.map(b -> _).toMap,
+              bucketLineage = if (m.lineage.nonEmpty) Map(b -> m.lineage) else Map.empty,
+              fileStats = m.fileStats,
+              bucketManifests = pointers)
+        }
+    }
   }
 
   /** Register the table (and optionally a historical snapshot) as a temp
@@ -485,9 +606,15 @@ class LakeTable(val spark: SparkSession, val root: String,
       .sorted
     if (ids.size <= keepLast) return (0, 0)
     val (expire, keep) = ids.splitAt(ids.size - keepLast)
-    val keptFiles = keep.flatMap(id => readSnapshot(id).allFiles).toSet
-    val deadFiles = expire.flatMap(id => readSnapshot(id).allFiles).toSet -- keptFiles
+    val keptSnaps = keep.map(readSnapshot)
+    val expSnaps = expire.map(readSnapshot)
+    val keptFiles = keptSnaps.flatMap(_.allFiles).toSet
+    val deadFiles = expSnaps.flatMap(_.allFiles).toSet -- keptFiles
     deadFiles.foreach(f => fs.delete(new HPath(rootPath, f), false))
+    // manifests referenced only by expired snapshots die with them
+    val keptManifests = keptSnaps.flatMap(_.bucketManifests.values).toSet
+    (expSnaps.flatMap(_.bucketManifests.values).toSet -- keptManifests)
+      .foreach(m => fs.delete(new HPath(rootPath, m), false))
     expire.foreach(id =>
       fs.delete(new HPath(metaDir, f"snapshot-$id%012d.json"), false))
     // sweep now-empty commit directories
@@ -527,19 +654,37 @@ class LakeTable(val spark: SparkSession, val root: String,
    * @return number of orphan directories removed
    */
   def removeOrphans(graceMs: Long = 60 * 60 * 1000L): Int = {
-    if (!fs.exists(dataDir)) return 0
-    val liveDirs = {
-      val ids = listMetaNames().collect { case SnapshotRe(n) => n.toLong }
-      ids.flatMap(id => readSnapshot(id).allFiles)
-        .map(f => f.split("/")(1)).toSet // data/<dir>/...
-    }
     val cutoff = System.currentTimeMillis() - graceMs
-    val orphans = fs.listStatus(dataDir).toSeq.filter { st =>
-      !liveDirs.contains(st.getPath.getName) &&
-        st.getModificationTime < cutoff
-    }
-    orphans.foreach(st => deleteDataDir(st.getPath.getName))
-    orphans.size
+    val snaps = listMetaNames().collect { case SnapshotRe(n) => n.toLong }
+      .map(readSnapshot)
+    val dirOrphans =
+      if (!fs.exists(dataDir)) 0
+      else {
+        val liveDirs = snaps.flatMap(_.allFiles)
+          .map(f => f.split("/")(1)).toSet // data/<dir>/...
+        val orphans = fs.listStatus(dataDir).toSeq.filter { st =>
+          !liveDirs.contains(st.getPath.getName) &&
+            st.getModificationTime < cutoff
+        }
+        orphans.foreach(st => deleteDataDir(st.getPath.getName))
+        orphans.size
+      }
+    // manifests referenced by NO snapshot (commit-race losers that crashed
+    // before cleanup, crashed attempts): same grace period protects a
+    // writer that has staged manifests but not yet published its root
+    val manifestsDir = new HPath(metaDir, "manifests")
+    val manifestOrphans =
+      if (!fs.exists(manifestsDir)) 0
+      else {
+        val live = snaps.flatMap(_.bucketManifests.values)
+          .map(_.split("/").last).toSet
+        val orphans = fs.listStatus(manifestsDir).toSeq.filter { st =>
+          !live.contains(st.getPath.getName) && st.getModificationTime < cutoff
+        }
+        orphans.foreach(st => fs.delete(st.getPath, false))
+        orphans.size
+      }
+    dirOrphans + manifestOrphans
   }
 
   /** Write `df` (which must carry an integer `_bucket` column) as the data
@@ -568,15 +713,62 @@ object LakeTable {
   private val SnapshotRe = "snapshot-(\\d+)\\.json".r
   private val mapper = new ObjectMapper()
 
-  def toJson(s: Snapshot): String = {
+  private type JsonNode = com.fasterxml.jackson.databind.JsonNode
+
+  private def objToMap(n: ObjectNode, field: String): Map[String, JsonNode] =
+    Option(n.get(field)).map { o =>
+      o.fieldNames().asScala.map(k => k -> o.get(k)).toMap
+    }.getOrElse(Map.empty)
+
+  private def putStrSeq(n: ObjectNode, field: String, v: Seq[String]): Unit = {
+    val arr = n.putArray(field); v.foreach(arr.add)
+  }
+  private def strSeq(v: JsonNode): Seq[String] =
+    v.elements().asScala.map(_.asText()).toSeq
+
+  private def putFileStats(n: ObjectNode, field: String,
+      stats: Map[String, Map[String, (String, String)]]): Unit = {
+    val fsNode = n.putObject(field)
+    stats.toSeq.sortBy(_._1).foreach { case (file, perCol) =>
+      val o = fsNode.putObject(file)
+      perCol.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        val a = o.putArray(c); a.add(lo); a.add(hi)
+      }
+    }
+  }
+  private def fileStatsOf(n: ObjectNode, field: String)
+      : Map[String, Map[String, (String, String)]] =
+    objToMap(n, field).map { case (file, o) =>
+      file -> o.properties().asScala.map { e =>
+        e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
+      }.toMap
+    }
+
+  private def putLongMap(n: ObjectNode, field: String, m: Map[String, Long]): Unit = {
+    val o = n.putObject(field)
+    m.toSeq.sorted.foreach { case (k, v) => o.put(k, v) }
+  }
+
+  /** Root fields shared by the inline and distributed snapshot forms. */
+  private def rootNode(s: Snapshot): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("snapshotId", s.snapshotId)
     n.put("schemaJson", s.schema.json)
-    val keys = n.putArray("keyColumns"); s.keyColumns.foreach(keys.add)
+    putStrSeq(n, "keyColumns", s.keyColumns)
     n.put("nBuckets", s.nBuckets)
+    n.put("lsnHighWatermark", s.lsnHighWatermark)
+    val rm = n.putObject("renameMap")
+    s.renameMap.toSeq.sorted.foreach { case (o, nn) => rm.put(o, nn) }
+    putLongMap(n, "lineage", s.lineage)
+    n
+  }
+
+  /** Inline snapshot JSON: everything in one document (small tables). */
+  def toJson(s: Snapshot): String = {
+    val n = rootNode(s)
     val bf = n.putObject("bucketFiles")
     s.bucketFiles.toSeq.sortBy(_._1).foreach { case (b, fs) =>
-      val arr = bf.putArray(b.toString); fs.foreach(arr.add)
+      putStrSeq(bf, b.toString, fs)
     }
     val bw = n.putObject("bucketWatermarks")
     s.bucketWatermarks.toSeq.sortBy(_._1).foreach { case (b, w) =>
@@ -584,58 +776,106 @@ object LakeTable {
     }
     val bd = n.putObject("bucketDeltas")
     s.bucketDeltas.toSeq.sortBy(_._1).foreach { case (b, fs) =>
-      val arr = bd.putArray(b.toString); fs.foreach(arr.add)
+      putStrSeq(bd, b.toString, fs)
     }
-    n.put("lsnHighWatermark", s.lsnHighWatermark)
-    val rm = n.putObject("renameMap")
-    s.renameMap.toSeq.sorted.foreach { case (o, nn) => rm.put(o, nn) }
-    val li = n.putObject("lineage")
-    s.lineage.toSeq.sorted.foreach { case (k, v) => li.put(k, v) }
     val bl = n.putObject("bucketLineage")
     s.bucketLineage.toSeq.sortBy(_._1).foreach { case (b, m) =>
-      val o = bl.putObject(b.toString)
-      m.toSeq.sorted.foreach { case (k, v) => o.put(k, v) }
+      putLongMap(bl, b.toString, m)
     }
-    val fsNode = n.putObject("fileStats")
-    s.fileStats.toSeq.sortBy(_._1).foreach { case (file, perCol) =>
-      val o = fsNode.putObject(file)
-      perCol.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
-        val a = o.putArray(c); a.add(lo); a.add(hi)
-      }
+    putFileStats(n, "fileStats", s.fileStats)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  /** Distributed snapshot root: O(buckets) pointers instead of O(files)
+    * inline maps; per-bucket state lives in the pointed-to manifests. */
+  def toRootJson(s: Snapshot): String = {
+    require(s.bucketManifests.keySet == s.manifestBuckets,
+      "every bucket with state needs a manifest pointer")
+    val n = rootNode(s)
+    val bm = n.putObject("bucketManifests")
+    s.bucketManifests.toSeq.sortBy(_._1).foreach { case (b, p) =>
+      bm.put(b.toString, p)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
-  def fromJson(json: String): Snapshot = {
+  def manifestToJson(m: BucketManifest): String = {
+    val n = mapper.createObjectNode()
+    putStrSeq(n, "files", m.files)
+    putStrSeq(n, "deltas", m.deltas)
+    m.watermark.foreach(n.put("watermark", _))
+    putLongMap(n, "lineage", m.lineage)
+    putFileStats(n, "fileStats", m.fileStats)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  def manifestFromJson(json: String): BucketManifest = {
     val n = mapper.readTree(json).asInstanceOf[ObjectNode]
-    def objToMap(field: String): Map[String, com.fasterxml.jackson.databind.JsonNode] =
-      Option(n.get(field)).map { o =>
-        o.fieldNames().asScala.map(k => k -> o.get(k)).toMap
-      }.getOrElse(Map.empty)
-    Snapshot(
+    BucketManifest(
+      files = strSeq(n.get("files")),
+      deltas = strSeq(n.get("deltas")),
+      watermark = Option(n.get("watermark")).map(_.asLong()),
+      lineage = objToMap(n, "lineage").map { case (k, v) => k -> v.asLong() },
+      fileStats = fileStatsOf(n, "fileStats"))
+  }
+
+  /** Parse ONLY the root document: the root-level fields plus, when the
+    * snapshot is in distributed form, the bucket-manifest pointer map
+    * (None = inline form; the caller has the full document already). */
+  def parseRootOnly(json: String): (Snapshot, Option[Map[Int, String]]) = {
+    val n = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val base = Snapshot(
       snapshotId = n.get("snapshotId").asLong(),
       schema = DataType.fromJson(n.get("schemaJson").asText()).asInstanceOf[StructType],
-      keyColumns = n.get("keyColumns").elements().asScala.map(_.asText()).toSeq,
+      keyColumns = strSeq(n.get("keyColumns")),
       nBuckets = n.get("nBuckets").asInt(),
-      bucketFiles = objToMap("bucketFiles").map { case (k, v) =>
-        k.toInt -> v.elements().asScala.map(_.asText()).toSeq
+      bucketFiles = Map.empty,
+      bucketWatermarks = Map.empty,
+      lsnHighWatermark = n.get("lsnHighWatermark").asLong(),
+      renameMap = objToMap(n, "renameMap").map { case (k, v) => k -> v.asText() },
+      lineage = objToMap(n, "lineage").map { case (k, v) => k -> v.asLong() })
+    val pointers =
+      if (!n.has("bucketManifests")) None
+      else Some(objToMap(n, "bucketManifests")
+        .map { case (b, v) => b.toInt -> v.asText() })
+    (base, pointers)
+  }
+
+  /** Parse either snapshot form; the distributed form resolves its bucket
+    * manifests through `loadMeta` (relative path -> file content). */
+  def fromJson(json: String,
+               loadMeta: String => String = rel =>
+                 throw new IllegalStateException(
+                   s"snapshot references manifest $rel but no loader was given"))
+      : Snapshot = {
+    val n = mapper.readTree(json).asInstanceOf[ObjectNode]
+    val (base, pointersOpt) = parseRootOnly(json)
+    pointersOpt match {
+      case Some(pointers) =>
+        val slices = pointers.map { case (b, rel) =>
+          b -> manifestFromJson(loadMeta(rel))
+        }
+        base.copy(
+          bucketFiles = slices.collect { case (b, m) if m.files.nonEmpty => b -> m.files },
+          bucketDeltas = slices.collect { case (b, m) if m.deltas.nonEmpty => b -> m.deltas },
+          bucketWatermarks = slices.collect { case (b, m) if m.watermark.isDefined => b -> m.watermark.get },
+          bucketLineage = slices.collect { case (b, m) if m.lineage.nonEmpty => b -> m.lineage },
+          fileStats = slices.values.flatMap(_.fileStats).toMap,
+          bucketManifests = pointers)
+      case None => base.copy(
+      bucketFiles = objToMap(n, "bucketFiles").map { case (k, v) =>
+        k.toInt -> strSeq(v)
       },
-      bucketWatermarks = objToMap("bucketWatermarks").map { case (k, v) =>
+      bucketWatermarks = objToMap(n, "bucketWatermarks").map { case (k, v) =>
         k.toInt -> v.asLong()
       },
-      bucketDeltas = objToMap("bucketDeltas").map { case (k, v) =>
-        k.toInt -> v.elements().asScala.map(_.asText()).toSeq
+      bucketDeltas = objToMap(n, "bucketDeltas").map { case (k, v) =>
+        k.toInt -> strSeq(v)
       },
-      lsnHighWatermark = n.get("lsnHighWatermark").asLong(),
-      renameMap = objToMap("renameMap").map { case (k, v) => k -> v.asText() },
-      lineage = objToMap("lineage").map { case (k, v) => k -> v.asLong() },
-      bucketLineage = objToMap("bucketLineage").map { case (b, o) =>
+      bucketLineage = objToMap(n, "bucketLineage").map { case (b, o) =>
         b.toInt -> o.fieldNames().asScala.map(k => k -> o.get(k).asLong()).toMap
       },
-      fileStats = objToMap("fileStats").map { case (file, o) =>
-        file -> o.properties().asScala.map { e =>
-          e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
-        }.toMap
-      })
+      fileStats = fileStatsOf(n, "fileStats"))
+    }
   }
 }

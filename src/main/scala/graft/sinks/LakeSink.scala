@@ -39,6 +39,9 @@ import graft.streaming.{CdcPipeline, TableTarget}
  *   - `strict` (default true): abort the batch on any malformed WAL line
  *   - `saltBuckets` (default 0): explicit two-phase salted dedup for
  *     hot-key streams
+ *   - `maxDeltas` (default 8): delta files per bucket before compaction
+ *   - `manifestThreshold` (default 4096): live files before snapshots
+ *     spill to distributed per-bucket manifests
  */
 class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
@@ -51,7 +54,10 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-lake sink requires option 'path'"))
     val tableName = parameters.getOrElse("table",
       throw new IllegalArgumentException("graft-lake sink requires option 'table'"))
-    val table = new LakeTable(sqlContext.sparkSession, root)
+    val table = new LakeTable(sqlContext.sparkSession, root,
+      maxDeltasPerBucket = parameters.get("maxDeltas").map(_.toInt).getOrElse(8),
+      manifestThresholdFiles =
+        parameters.get("manifestThreshold").map(_.toInt).getOrElse(4096))
     val snap = table.currentSnapshot.getOrElse(throw new IllegalArgumentException(
       s"graft-lake sink: no table at $root — create it first (LakeTable.create)"))
     new LakeSink(table, tableName, snap.keyColumns, snap.nBuckets,
