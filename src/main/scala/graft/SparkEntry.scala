@@ -17,7 +17,7 @@ object SparkEntry {
   private val registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
     CdcQueries.all ++ RelationalQueries.all ++ EventTimeOps.all ++
       DedupOps.all ++ SimilarityOps.all ++ TextOps.all ++ MultimodalOps.all ++
-      PipelineOps.all ++ SamplingOps.all
+      PipelineOps.all ++ SamplingOps.all ++ ScrubOps.all
 
   /** Flagship: the full CDC engine end-to-end at sf-tiny — generate a
     * deterministic wal2json change stream, stream-apply it with LSN-ordered
