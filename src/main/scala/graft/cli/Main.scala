@@ -70,6 +70,11 @@ object Main {
       "limit" -> (false, "newest snapshots to list (default 20)")),
     "verify-wal" -> Map(
       "wal-dir" -> (true, "WAL segment directory to audit")),
+    "sql" -> Map(
+      "table-root" -> (true, "lake table root directory"),
+      "query" -> (true, "SQL over the view `t` (the table's merged current state)"),
+      "as-of" -> (false, "historical snapshot id (time travel)"),
+      "limit" -> (false, "rows to print (default 20)")),
     "stage" -> Map(
       "wal-dir" -> (true, "staging directory to publish WAL segments into"),
       "txns" -> (true, "synthetic-server transactions to stream (no live database in this sandbox; a real endpoint plugs in behind ReplicationConnector)"),
@@ -326,6 +331,14 @@ object Main {
           s""""scannedFiles":${baseFiles.size + deltaFiles.size},""" +
           s""""tableFiles":$totalFiles}""")
         t.lookup(keyVals).show(truncate = false)
+
+      case "sql" =>
+        // ad-hoc analytics over the merged table state: register the
+        // merge-on-read view under `t`, let Catalyst plan the rest
+        val t = new LakeTable(spark, kv("table-root"))
+        t.createOrReplaceView("t", kv.get("as-of").map(_.toLong))
+        spark.sql(kv("query"))
+          .show(kv.getOrElse("limit", "20").toInt, truncate = false)
 
       case "verify-wal" =>
         // pre-flight audit for the repair workflow: which segments would a

@@ -172,4 +172,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_event_tumbling")
     assert(p.contains("partial_"), p)
   }
+
+  test("text_pii_scrub: a single linear scan — no shuffle except output order") {
+    val p = plan("text_pii_scrub")
+    assert(!p.contains("Join"), p)
+    // the only exchange is the final orderBy's range partitioning
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-ordering exchange in a linear scrub:\n$p")
+  }
+
+  test("dedup_url_canonical: one hash aggregation, map-side combine, no join") {
+    val p = plan("dedup_url_canonical")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"$hashExchanges hash exchanges:\n$p")
+  }
 }

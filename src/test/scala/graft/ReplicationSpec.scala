@@ -223,6 +223,68 @@ class ReplicationSpec extends SparkSpec {
     assert(server.confirmedFlushLsn("graft_slot") === 10L)
   }
 
+  test("live concurrent staging: ingest publishes while the pipeline consumes with retention") {
+    val server = new SyntheticReplicationServer(genCfg, nTxns)
+    val walDir = tmpDir("repl-live")
+
+    // Gate the connector so delivery happens in waves — the ingest thread
+    // stays live across the whole consume run instead of draining up front.
+    val real = server.connect(conn, slotCfg)
+    val gate = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gated = new ReplicationConnector {
+      private var reads = 0L
+      def createSlotIfAbsent(): Boolean = real.createSlotIfAbsent()
+      def openStream(): Unit = real.openStream()
+      def currentLsn(): Long = real.currentLsn()
+      def readPending(): Option[WalChunk] =
+        if (reads >= gate.get()) None
+        else { reads += 1; real.readPending() }
+      def ack(lsn: Long): Unit = real.ack(lsn)
+      def close(): Unit = real.close()
+    }
+    val ingest = new ReplicationIngest(gated, walDir, hconf, slotCfg,
+      flushChunks = 25L)
+    ingest.start()
+    val stagingDone = new java.util.concurrent.CountDownLatch(1)
+    val stagerThread = new Thread(() => {
+      try {
+        while (gate.get() < nTxns) {
+          gate.addAndGet(50L)
+          ingest.pump()
+          Thread.sleep(20L)
+        }
+        ingest.pump()
+        ingest.close()
+      } finally stagingDone.countDown()
+    })
+    stagerThread.start()
+
+    // Consumer: repeated AvailableNow drains against the SAME checkpoint,
+    // with consumed-WAL deletion racing the live stager.
+    val t = new LakeTable(spark, tmpDir("repl-live-table"))
+    t.create(Main.reposSchema, Seq("repo", "path"), nBuckets = 8, Main.reposRenameMap)
+    val pipe = new CdcPipeline(spark, walDir, tmpDir("repl-live-ckpt"),
+      Seq(TableTarget("repos", t, Main.reposSchema, Seq("repo", "path"), 8,
+        Main.reposRenameMap)), Set("repos"), walRetention = true)
+    var rounds = 0
+    val deadline = System.currentTimeMillis() + 120000L
+    while (t.currentSnapshot.get.lsnHighWatermark < nTxns &&
+           System.currentTimeMillis() < deadline) {
+      pipe.runAvailable()
+      rounds += 1
+    }
+    assert(stagingDone.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    pipe.runAvailable() // sweep any tail published after the last drain
+
+    assert(t.currentSnapshot.get.lsnHighWatermark === nTxns)
+    assert(rounds > 1, "consumption must have interleaved with staging")
+    assert(server.confirmedFlushLsn("graft_slot") === nTxns)
+    val state = t.read().select(col("repo"), col("path"), col("commit"),
+      sha2(col("content"), 256).as("sha")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getString(3))).toMap
+    assert(state === expected)
+  }
+
   test("createSlotIfAbsent is idempotent (42710 analog)") {
     val server = new SyntheticReplicationServer(genCfg, 5L)
     val c = server.connect(conn, slotCfg)
