@@ -91,6 +91,28 @@ class HadoopLakeSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet === got)
   }
 
+  test("distributed manifests work end-to-end on a non-local filesystem scheme") {
+    registerScheme()
+    val root = s"graftfs:${tmpDir("hlake3")}"
+    val t = new LakeTable(spark, root, maxDeltasPerBucket = 100,
+      manifestThresholdFiles = 0)
+    t.create(schema, Seq("id"), nBuckets = 4)
+    apply(t, (1 to 12).map(i => ins(i, i, s"a$i", i)))
+    val s1 = t.currentSnapshot.get
+    assert(s1.bucketManifests.nonEmpty, "distributed form on graftfs:")
+    // untouched buckets reuse pointers across a single-bucket commit
+    apply(t, Seq(ins(50, 1, "updated", 9)))
+    val s2 = t.currentSnapshot.get
+    assert(s2.bucketManifests.count { case (b, p) =>
+      !s1.bucketManifests.get(b).contains(p) } === 1)
+    // reads, lazy lookup, expiry + manifest GC — all through the Hadoop FS
+    assert(t.read().count() === 12)
+    assert(t.lookup(Map("id" -> 1)).collect().map(_.getString(1)).toSeq === Seq("updated"))
+    t.expireSnapshots(keepLast = 1)
+    assert(t.read().count() === 12)
+    assert(t.removeOrphans(graceMs = 0L) === 0, "nothing unreferenced leaks")
+  }
+
   test("snapshot JSON written through Hadoop FS is byte-complete and re-readable") {
     registerScheme()
     val root = s"graftfs:${tmpDir("hlake2")}"
