@@ -146,9 +146,32 @@ object TextOps {
        |  FROM documents)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /**
+   * Vocabulary building: global token frequencies, top-50 with a
+   * deterministic (count DESC, token ASC) tie-break. The corpus-wide
+   * explode + count is two-phase (map-side combine absorbs the token
+   * skew — 'the' collapses to one row per task before the shuffle) and
+   * the top-k is a TakeOrdered, never a global sort.
+   */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  val vocabTopKSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_token_count" -> (tokenCount _, tokenCountSql),
     "text_quality_score" -> (qualityScore _, qualityScoreSql),
     "text_lang_id" -> (langId _, langIdSql),
-    "text_fingerprint" -> (fingerprint _, fingerprintSql))
+    "text_fingerprint" -> (fingerprint _, fingerprintSql),
+    "text_vocab_topk" -> (vocabTopK _, vocabTopKSql))
 }

@@ -173,6 +173,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("text_vocab_topk: map-side combine absorbs token skew; top-k is TakeOrdered") {
+    val p = plan("text_vocab_topk")
+    assert(p.contains("partial_count"), p) // 'the' collapses before the shuffle
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort
+  }
+
   test("text_pii_scrub: a single linear scan — no shuffle except output order") {
     val p = plan("text_pii_scrub")
     assert(!p.contains("Join"), p)
