@@ -48,6 +48,10 @@ class WalStager(dir: String, conf: Configuration,
   private var out: FSDataOutputStream = _
   private var bytesInSegment: Long = 0L
   private var closed = false
+  private var published = 0L
+
+  /** Segments THIS stager has published (explicit rolls AND auto-rolls). */
+  def publishedSegments: Long = synchronized(published)
 
   /** Append one WAL line (without newline) to the open segment; auto-rolls
     * when the segment reaches `rollBytes`. Not visible to readers until
@@ -83,6 +87,7 @@ class WalStager(dir: String, conf: Configuration,
         s"segment $name already exists — another stager is writing $dir")
     }
     nextIndex += 1
+    published += 1
     out = null; tmpPath = null; bytesInSegment = 0L
     Some(name)
   }

@@ -44,7 +44,6 @@ final class ReplicationIngest(
   private var ackedLsn = -1L
   private var chunksSinceRoll = 0L
   private var lastFlushMs = nowMs()
-  private var segments = 0L
   private var chunks = 0L
 
   /** Create the slot if absent (idempotent, O1) and open the stream,
@@ -68,7 +67,7 @@ final class ReplicationIngest(
     * every appended line is durable (auto-rolled prefixes included), so the
     * ack position is simply the last appended LSN. */
   private def publishAndAck(): Unit = {
-    if (stager.roll().isDefined) segments += 1
+    stager.roll()
     if (lastAppendedLsn > ackedLsn) {
       connector.ack(lastAppendedLsn)
       ackedLsn = lastAppendedLsn
@@ -100,7 +99,9 @@ final class ReplicationIngest(
       if (lsn > ackedLsn) { connector.ack(lsn); ackedLsn = lsn }
       lastFlushMs = nowMs()
     }
-    IngestStats(chunks, segments, ackedLsn)
+    // segment count comes from the stager so AUTO-rolls (rollBytes hit
+    // inside append) are included, not just explicit publish-cadence rolls
+    IngestStats(chunks, stager.publishedSegments, ackedLsn)
   }
 
   /** Publish any tail and release the slot. */

@@ -285,6 +285,21 @@ class ReplicationSpec extends SparkSpec {
     assert(state === expected)
   }
 
+  test("segment stats count auto-rolls (rollBytes) as well as cadence rolls") {
+    val server = new SyntheticReplicationServer(genCfg, 100L)
+    val walDir = tmpDir("repl-autoroll")
+    // tiny rollBytes => many auto-rolls between the (huge) flush cadences
+    val ingest = new ReplicationIngest(server.connect(conn, slotCfg), walDir,
+      hconf, slotCfg, rollBytes = 4096L, flushChunks = 1000000L)
+    ingest.start()
+    val stats = ingest.pump()
+    ingest.close()
+    val onDisk = WalSource.listSegments(walDir).size
+    assert(onDisk > 5, s"expected many auto-rolled segments, got $onDisk")
+    assert(stats.segments === onDisk,
+      "IngestStats.segments must include auto-rolled segments")
+  }
+
   test("createSlotIfAbsent is idempotent (42710 analog)") {
     val server = new SyntheticReplicationServer(genCfg, 5L)
     val c = server.connect(conn, slotCfg)
