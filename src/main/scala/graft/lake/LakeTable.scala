@@ -390,6 +390,10 @@ class LakeTable(val spark: SparkSession, val root: String,
     LakeTable.parseRootOnly(json) match {
       case (_, None) => fromJson(json) // inline form: one document anyway
       case (base, Some(pointers)) =>
+        // validate BEFORE bucketOf touches the map — a missing key column
+        // must produce the informative error, not a NoSuchElementException
+        require(base.keyColumns.toSet == keyValues.keySet,
+          s"lookup needs exactly the key columns ${base.keyColumns.mkString(",")}")
         val b = bucketOf(base, keyValues)
         pointers.get(b) match {
           case None => base.copy(bucketManifests = pointers) // empty bucket
@@ -610,13 +614,19 @@ class LakeTable(val spark: SparkSession, val root: String,
     val expSnaps = expire.map(readSnapshot)
     val keptFiles = keptSnaps.flatMap(_.allFiles).toSet
     val deadFiles = expSnaps.flatMap(_.allFiles).toSet -- keptFiles
-    deadFiles.foreach(f => fs.delete(new HPath(rootPath, f), false))
-    // manifests referenced only by expired snapshots die with them
     val keptManifests = keptSnaps.flatMap(_.bucketManifests.values).toSet
-    (expSnaps.flatMap(_.bucketManifests.values).toSet -- keptManifests)
-      .foreach(m => fs.delete(new HPath(rootPath, m), false))
+    val deadManifests =
+      expSnaps.flatMap(_.bucketManifests.values).toSet -- keptManifests
+    // ORDER MATTERS for crash-resumability: drop the expired snapshot
+    // JSONs FIRST — after that, the dead data files and manifests are mere
+    // orphans (recomputable, sweepable) — whereas deleting a snapshot's
+    // manifests before its root would leave a listed snapshot that
+    // readSnapshot can never resolve again, wedging every later
+    // maintenance pass on the same FileNotFound.
     expire.foreach(id =>
       fs.delete(new HPath(metaDir, f"snapshot-$id%012d.json"), false))
+    deadFiles.foreach(f => fs.delete(new HPath(rootPath, f), false))
+    deadManifests.foreach(m => fs.delete(new HPath(rootPath, m), false))
     // sweep now-empty commit directories
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach(st => sweepEmptyDirs(st.getPath))

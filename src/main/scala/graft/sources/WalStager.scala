@@ -1,6 +1,8 @@
 package graft.sources
 
+import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, FileAlreadyExistsException, StandardOpenOption}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path => HPath}
 
@@ -16,14 +18,24 @@ import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path => HPath}
  * Guarantees, matching what [[WalMicroBatchStream]] assumes:
  *  - a reader can NEVER observe a partial segment: lines buffer into a
  *    hidden temp file (dot-prefixed — the source's segment filter ignores
- *    it), are synced, and the file is atomically renamed to its final name
- *    only at roll;
- *  - names are dense, zero-padded, strictly increasing (`wal-%09d.jsonl`),
- *    assigned at publish time; a restarted stager resumes AFTER the highest
- *    name already present, so resumed staging never collides with or
- *    reorders history;
+ *    it), are made durable, and the file is atomically published under its
+ *    final name only at roll;
+ *  - a published segment is DURABLE before [[roll]] returns — on `file:`
+ *    the content is fsynced and the publish is link(2) + directory fsync
+ *    (rename(2) both silently replaces an existing target and is not
+ *    durable; see CLAUDE.md lesson 10) — so an ingest loop may ack the
+ *    upstream replication slot the moment roll() returns;
+ *  - names are strictly increasing and NEVER reused, even after
+ *    `retention=delete` has emptied the directory: the next index is
+ *    recorded durably in a hidden high-water file BEFORE each publish
+ *    (listing-only numbering would restart at 0 once retention removed
+ *    everything, publishing names below the consumer's offset — silently
+ *    skipped and then pruned: permanent loss of already-acked WAL). A
+ *    crash between the record and the publish leaves a harmless gap in
+ *    the numbering (the source orders by NAME, not density);
  *  - single-writer: a colliding publish (two stagers racing on one
- *    directory) fails loudly instead of silently interleaving.
+ *    directory) fails loudly instead of silently interleaving — fail-if-
+ *    exists link(2) on `file:`, the FileSystem.rename contract elsewhere.
  *
  * All IO is Hadoop FS, so staging targets `file:`, `hdfs:`, or any
  * configured store directly.
@@ -34,14 +46,38 @@ class WalStager(dir: String, conf: Configuration,
   private val dirPath = new HPath(dir)
   private val fs: FileSystem = dirPath.getFileSystem(conf)
   fs.mkdirs(dirPath)
+  private val isLocalFs: Boolean = fs.getScheme == "file"
+  private def localFile(p: HPath): java.nio.file.Path =
+    java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+
+  /** Durable record of the next index to publish (survives retention
+    * emptying the listing). */
+  private val highWaterPath = new HPath(dirPath, ".wal-stager.next")
 
   private var nextIndex: Long = {
     val re = "wal-(\\d+)\\.jsonl".r
-    val existing =
+    val names =
       if (!fs.exists(dirPath)) Nil
       else fs.listStatus(dirPath).toSeq.map(_.getPath.getName)
-        .collect { case re(n) => n.toLong }
-    existing.foldLeft(-1L)(math.max) + 1
+    // sweep temp files a crashed previous stager left behind (single-writer
+    // by contract; a LIVE second stager is illegal and collides loudly)
+    names.filter(_.startsWith(".wal-staging.tmp-"))
+      .foreach(n => fs.delete(new HPath(dirPath, n), false))
+    val listed = names.collect { case re(n) => n.toLong }
+      .foldLeft(-1L)(math.max) + 1
+    val recorded =
+      try {
+        if (!fs.exists(highWaterPath)) 0L
+        else {
+          val in = fs.open(highWaterPath)
+          val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
+          finally in.close()
+          txt.toLongOption.getOrElse(0L)
+        }
+      } catch { // torn write (incl. ChecksumException): fall back to listing
+        case _: java.io.IOException => 0L
+      }
+    math.max(listed, recorded)
   }
 
   private var tmpPath: HPath = _
@@ -71,26 +107,74 @@ class WalStager(dir: String, conf: Configuration,
   }
 
   /** Publish the buffered lines as the next segment (no-op when empty).
-    * @return the published segment name, if any */
+    * The segment is durable when this returns. @return the name, if any */
   def roll(): Option[String] = synchronized {
     if (out == null) return None
-    out.hsync() // durable before it can become visible
+    out.hsync() // durable on stores with a real Syncable implementation
     out.close()
+    // Record the claimed index BEFORE the segment becomes visible: a crash
+    // in between leaves a gap, never a reused name.
+    recordHighWater(nextIndex + 1)
     val name = f"wal-$nextIndex%09d.jsonl"
     val target = new HPath(dirPath, name)
-    val renamed =
-      try fs.rename(tmpPath, target)
-      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-    if (!renamed) {
-      fs.delete(tmpPath, false)
-      throw new IllegalStateException(
-        s"segment $name already exists — another stager is writing $dir")
+    if (isLocalFs) {
+      // ChecksumFileSystem's local output stream is not Syncable — hsync
+      // degraded to a flush — so force the content to disk for real, then
+      // publish with the one POSIX primitive that is atomic AND fails on
+      // an existing target, then make the directory entry durable.
+      val ltmp = localFile(tmpPath)
+      val ch = FileChannel.open(ltmp, StandardOpenOption.WRITE)
+      try ch.force(true) finally ch.close()
+      try Files.createLink(localFile(target), ltmp)
+      catch {
+        case _: FileAlreadyExistsException =>
+          fs.delete(tmpPath, false)
+          out = null; tmpPath = null
+          throw new IllegalStateException(
+            s"segment $name already exists — another stager is writing $dir")
+      }
+      fs.delete(tmpPath, false) // also removes the .crc sibling
+      fsyncDir(localFile(dirPath))
+    } else {
+      // FileSystem.rename contract: atomic, fails when the target exists
+      // (HDFS enforces this in the NameNode).
+      val renamed =
+        try fs.rename(tmpPath, target)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      if (!renamed) {
+        fs.delete(tmpPath, false)
+        out = null; tmpPath = null
+        throw new IllegalStateException(
+          s"segment $name already exists — another stager is writing $dir")
+      }
     }
     nextIndex += 1
     published += 1
     out = null; tmpPath = null; bytesInSegment = 0L
     Some(name)
   }
+
+  /** Persist the next publishable index. Overwrite-in-place is fine: the
+    * reader tolerates torn content by falling back to the listing, and a
+    * stale value only costs a gap, never a reuse (max with the listing). */
+  private def recordHighWater(next: Long): Unit = {
+    val o = fs.create(highWaterPath, true)
+    try {
+      o.write(next.toString.getBytes(StandardCharsets.UTF_8))
+      o.hsync()
+    } finally o.close()
+    if (isLocalFs) {
+      val ch = FileChannel.open(localFile(highWaterPath), StandardOpenOption.WRITE)
+      try ch.force(true) finally ch.close()
+    }
+  }
+
+  /** Make a new directory entry durable (best-effort where unsupported). */
+  private def fsyncDir(d: java.nio.file.Path): Unit =
+    try {
+      val ch = FileChannel.open(d, StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Exception => () }
 
   /** Roll any buffered lines and stop accepting appends. */
   def close(): Unit = synchronized {

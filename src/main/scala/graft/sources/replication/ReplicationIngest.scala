@@ -76,9 +76,14 @@ final class ReplicationIngest(
   }
 
   /** Drain everything currently pending on the stream, publishing +
-    * acking every `flushChunks` chunks and once at the end; when the
-    * stream is idle past [[SlotConfig.idleSlotIntervalMs]], fast-forward
-    * the ack to the server's current LSN. @return stats for this pump */
+    * acking every `flushChunks` chunks — or every
+    * [[SlotConfig.statusIntervalMs]] of wall time during a long drain,
+    * whichever comes first (the reference's standby-status cadence: the
+    * server sees progress at a bounded interval even when the stream is
+    * firehosing; transport-level keepalive on a quiet socket is the
+    * connector binding's own job) — and once at the end; when the stream
+    * is idle past [[SlotConfig.idleSlotIntervalMs]], fast-forward the ack
+    * to the server's current LSN. @return stats for this pump */
   def pump(): IngestStats = {
     var pending = connector.readPending()
     while (pending.isDefined) {
@@ -86,7 +91,8 @@ final class ReplicationIngest(
       stager.append(c.line)
       lastAppendedLsn = c.lsn
       chunks += 1; chunksSinceRoll += 1
-      if (chunksSinceRoll >= flushChunks) {
+      if (chunksSinceRoll >= flushChunks ||
+          nowMs() - lastFlushMs > slot.statusIntervalMs) {
         publishAndAck(); chunksSinceRoll = 0
       }
       pending = connector.readPending()

@@ -153,6 +153,9 @@ class ManifestSpec extends SparkSpec {
           java.nio.file.Paths.get(t.root, rel), "NOT JSON")
     }
     assert(t.lookup(Map("id" -> 7)).collect().map(_.getString(1)).toSeq === Seq("a7"))
+    // a wrong key set gets the informative error BEFORE any bucket math
+    val e = intercept[IllegalArgumentException] { t.lookup(Map("bogus" -> 7)) }
+    assert(e.getMessage.contains("lookup needs exactly the key columns"))
     // whereas the full resolve must now fail (sanity: corruption is real)
     intercept[Exception] { t.currentSnapshot.get }
   }

@@ -300,6 +300,23 @@ class ReplicationSpec extends SparkSpec {
       "IngestStats.segments must include auto-rolled segments")
   }
 
+  test("status interval bounds ack latency during a long drain") {
+    val server = new SyntheticReplicationServer(genCfg, 100L)
+    var now = 0L
+    val ingest = new ReplicationIngest(server.connect(conn, slotCfg),
+      tmpDir("repl-status"), hconf,
+      slotCfg.copy(statusIntervalMs = 1000L),
+      flushChunks = 1000000L, // cadence alone would never publish mid-drain
+      nowMs = () => { now += 150L; now }) // wall time advances as chunks flow
+    ingest.start()
+    val stats = ingest.pump()
+    ingest.close()
+    // without the time-based bound this drain would publish exactly once
+    assert(stats.segments > 3,
+      s"statusIntervalMs must force periodic publishes, got ${stats.segments}")
+    assert(server.confirmedFlushLsn("graft_slot") === 100L)
+  }
+
   test("createSlotIfAbsent is idempotent (42710 analog)") {
     val server = new SyntheticReplicationServer(genCfg, 5L)
     val c = server.connect(conn, slotCfg)

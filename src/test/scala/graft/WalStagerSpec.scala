@@ -71,6 +71,39 @@ class WalStagerSpec extends SparkSpec {
     assert(WalSource.listSegments(dir) === Seq("wal-000000000.jsonl"))
   }
 
+  test("numbering survives retention emptying the directory (no name reuse)") {
+    val dir = tmpDir("stage")
+    val a = new WalStager(dir, conf)
+    (1 to 3).foreach { i => a.append(s"x$i"); a.roll() }
+    a.close()
+    // retention releases everything the consumer acked: the dir is empty
+    WalSource.listSegments(dir).foreach(n =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(dir, n)))
+    assert(WalSource.listSegments(dir).isEmpty)
+    // a restarted stager must NOT restart at wal-000000000 — that name is
+    // below the consumer's offset and would be silently skipped + pruned
+    val b = new WalStager(dir, conf)
+    b.append("after-retention")
+    assert(b.roll() === Some("wal-000000003.jsonl"))
+    b.close()
+  }
+
+  test("a crashed stager's hidden temp files are swept on restart") {
+    val dir = tmpDir("stage")
+    val a = new WalStager(dir, conf)
+    a.append("never-rolled") // crash: temp exists, nothing published
+    val tmps = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val before = scala.jdk.CollectionConverters.IteratorHasAsScala(tmps).asScala
+      .count(_.getFileName.toString.startsWith(".wal-staging.tmp-"))
+    assert(before === 1)
+    val b = new WalStager(dir, conf) // restart sweeps the orphaned temp
+    val after = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    assert(scala.jdk.CollectionConverters.IteratorHasAsScala(after).asScala
+      .count(_.getFileName.toString.startsWith(".wal-staging.tmp-")) === 0)
+    b.append("fresh"); assert(b.roll() === Some("wal-000000000.jsonl"))
+    b.close()
+  }
+
   test("end-to-end: staged WAL drives the CDC pipeline to the oracle state") {
     import graft.gen.{ChangeStreamGen, GenConfig}
     import graft.lake.LakeTable
