@@ -186,12 +186,16 @@ object Main {
       kv("wal-dir"), new org.apache.hadoop.conf.Configuration(), slot,
       rollBytes = kv.getOrElse("roll-bytes", (64L * 1024 * 1024).toString).toLong,
       flushChunks = kv.getOrElse("flush-txns", "10000").toLong)
-    ingest.start()
-    val stats = ingest.pump()
-    ingest.close()
-    println(s"""{"staged_txns":${stats.chunks},"segments":${stats.segments},""" +
-      s""""ackedLsn":${stats.ackedLsn},"slot":"${slot.slotName}",""" +
-      s""""dir":"${kv("wal-dir")}"}""")
+    try {
+      ingest.start()
+      val stats = ingest.pump()
+      println(s"""{"staged_txns":${stats.chunks},"segments":${stats.segments},""" +
+        s""""ackedLsn":${stats.ackedLsn},"slot":"${slot.slotName}",""" +
+        s""""dir":"${kv("wal-dir")}"}""")
+    } finally { // release the slot even when the pump fails; a broken
+      // stream's close error must not mask the original failure
+      try ingest.close() catch { case _: Exception => () }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -225,7 +229,19 @@ object Main {
           nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap)
         val relevant = kv.get("relevant-tables")
           .map(_.split(",").toSet).getOrElse(Set(tableName))
-        val metricsPath = s"$root/_metrics/batches.jsonl"
+        // the lineage JSONL is appended with local file IO: only derive it
+        // from the table root when that root IS a local path (a scheme'd
+        // root would otherwise create a literal './hdfs:' directory)
+        val rootScheme = Option(new java.net.URI(root).getScheme)
+        val metricsPath = rootScheme match {
+          case None => Some(s"$root/_metrics/batches.jsonl")
+          case Some("file") =>
+            Some(s"${new java.net.URI(root).getPath}/_metrics/batches.jsonl")
+          case Some(s) =>
+            System.err.println(
+              s"note: lineage JSONL skipped — $s: table root has no local metrics dir")
+            None
+        }
         val t0 = System.nanoTime()
         val (batches, applied) = kv.getOrElse("sink", "foreachbatch") match {
           case "connector" =>
@@ -234,32 +250,52 @@ object Main {
             table.create(schema, keys, target.nBuckets, renameMap)
             // the metrics JSONL is append-only across runs: summarize only
             // the lines THIS run appends
-            val preLines = {
-              val f = new java.io.File(metricsPath)
-              if (f.exists()) scala.io.Source.fromFile(f).getLines().size else 0
+            def metricsLines(): Seq[String] = metricsPath.toSeq.flatMap { p =>
+              val f = new java.io.File(p)
+              if (f.exists()) scala.io.Source.fromFile(f).getLines().toSeq else Nil
             }
-            val reader = spark.readStream.format("graft-wal")
-            kv.get("max-segments-per-trigger")
-              .foreach(m => reader.option("maxSegmentsPerTrigger", m))
-            kv.get("max-bytes-per-trigger")
-              .foreach(b => reader.option("maxBytesPerTrigger", b))
-            if (kv.get("retention").contains("delete"))
-              reader.option("retention", "delete")
-            kv.get("split-bytes").foreach(b => reader.option("splitBytes", b))
-            val q = reader.load(kv("wal-dir"))
-              .writeStream.format("graft-lake")
-              .option("path", root)
-              .option("table", tableName)
-              .option("metricsPath", metricsPath)
-              .option("strict", kv.getOrElse("strict", "true"))
-              .option("saltBuckets", kv.getOrElse("salt-buckets", "0"))
-              .option("checkpointLocation", kv("checkpoint"))
-              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-              .start()
-            q.awaitTermination()
+            val preLines = metricsLines().size
+            def runQuery(): Unit = {
+              val reader = spark.readStream.format("graft-wal")
+              kv.get("max-segments-per-trigger")
+                .foreach(m => reader.option("maxSegmentsPerTrigger", m))
+              kv.get("max-bytes-per-trigger")
+                .foreach(b => reader.option("maxBytesPerTrigger", b))
+              if (kv.get("retention").contains("delete"))
+                reader.option("retention", "delete")
+              kv.get("split-bytes").foreach(b => reader.option("splitBytes", b))
+              val writer = reader.load(kv("wal-dir"))
+                .writeStream.format("graft-lake")
+                .option("path", root)
+                .option("table", tableName)
+                .option("strict", kv.getOrElse("strict", "true"))
+                .option("saltBuckets", kv.getOrElse("salt-buckets", "0"))
+                .option("maxDeltas", kv.getOrElse("max-deltas", "8"))
+                .option("manifestThreshold", kv.getOrElse("manifest-threshold", "4096"))
+                .option("checkpointLocation", kv("checkpoint"))
+                .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              metricsPath.foreach(writer.option("metricsPath", _))
+              writer.start().awaitTermination()
+            }
+            // connector-mode supervision: same restart semantics as the
+            // foreachbatch path — exactly-once fencing makes replays no-ops
+            kv.get("max-restarts").map(_.toInt).filter(_ > 0) match {
+              case Some(budget) =>
+                var restarts = 0
+                var done = false
+                while (!done) {
+                  try { runQuery(); done = true }
+                  catch {
+                    case e: Exception =>
+                      restarts += 1
+                      if (restarts > budget) throw e
+                      Thread.sleep(1000L)
+                  }
+                }
+              case None => runQuery()
+            }
             // per-batch lineage lives in the metrics JSONL the sink wrote
-            val lines = scala.io.Source.fromFile(metricsPath).getLines().toSeq
-              .drop(preLines)
+            val lines = metricsLines().drop(preLines)
             val appliedRe = """"appliedKeys":(\d+)""".r
             (lines.size,
               lines.flatMap(l => appliedRe.findFirstMatchIn(l)
@@ -267,7 +303,7 @@ object Main {
           case _ =>
             val pipe = new CdcPipeline(spark, kv("wal-dir"), kv("checkpoint"),
               Seq(target), relevant,
-              metricsPath = Some(metricsPath),
+              metricsPath = metricsPath,
               maxFilesPerTrigger = kv.get("max-segments-per-trigger").map(_.toInt),
               strictDecode = kv.getOrElse("strict", "true").toBoolean,
               walRetention = kv.get("retention").contains("delete"),
@@ -352,7 +388,15 @@ object Main {
               element_at(split(input_file_name(), "/"), -1))
           val bad = graft.decode.ChangeDecoder.malformedBySegment(lines).collect()
           bad.foreach { r =>
-            val sample = r.getString(2).replace("\\", "\\\\").replace("\"", "\\\"")
+            // full JSON string escaping: the sample IS garbage by
+            // definition, so control bytes (tabs, truncated binary) are
+            // expected — raw, they'd break the audit output's JSON
+            val sample = r.getString(2).flatMap {
+              case '\\' => "\\\\"
+              case '"' => "\\\""
+              case c if c < ' ' => f"\\u${c.toInt}%04x"
+              case c => c.toString
+            }
             println(s"""{"segment":"${r.getString(0)}","malformed":${r.getLong(1)},""" +
               s""""sample":"$sample"}""")
           }

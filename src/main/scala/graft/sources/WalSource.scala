@@ -219,40 +219,57 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
   }
 
   override def deserializeOffset(json: String): Offset = {
-    val nameRe = """"last"\s*:\s*"([^"]*)"""".r
-    nameRe.findFirstMatchIn(json) match {
-      case Some(g) => WalOffset(g.group(1))
-      case None =>
-        // migrate a pre-name-offset checkpoint: {"segments":N} meant "the
-        // first N segments of the listing" — valid only while nothing was
-        // ever deleted, which held under the old source (no retention).
-        val legacy = """"segments"\s*:\s*(\d+)""".r
-        legacy.findFirstMatchIn(json) match {
-          case Some(g) =>
-            val n = g.group(1).toInt
-            val segs = wal.listSegments().map(_._1)
-            if (n == 0) WalOffset("")
-            else if (n <= segs.size) {
-              // Positions are only trustworthy if the listing is still the
-              // original prefix: if retention/repair deleted any consumed
-              // segment before this first restart on name offsets, index
-              // n-1 would silently resolve to the WRONG segment (re-read or
-              // skip). Segment names embed their ordinal, so verify it.
-              val resolved = segs(n - 1)
-              val ordinal = "\\d+".r.findFirstIn(resolved).map(_.toLong)
-              if (!ordinal.contains((n - 1).toLong))
-                throw new IllegalArgumentException(
-                  s"cannot migrate legacy positional WAL offset $n: segment " +
-                    s"listing in $dir no longer starts at the first-ever " +
-                    s"segment (position ${n - 1} resolves to $resolved) — " +
-                    "a consumed segment was deleted; restart from a fresh " +
-                    "checkpoint or set the offset to the segment name")
-              WalOffset(resolved)
-            }
-            else throw new IllegalArgumentException(
-              s"legacy WAL offset $n exceeds ${segs.size} segments in $dir")
-          case None => throw new IllegalArgumentException(s"bad WAL offset: $json")
+    // Hand-parse the escaped string value so names round-trip exactly as
+    // WalOffset.json() wrote them: a provider's segment names may legally
+    // contain '"' or '\' (only HadoopWalProvider's wal-*.jsonl convention
+    // forbids them), and a regex on [^"]* would truncate at the escape.
+    val marker = "\"last\""
+    val at = json.indexOf(marker)
+    if (at >= 0) {
+      val open = json.indexOf('"', json.indexOf(':', at + marker.length) + 1)
+      val sb = new StringBuilder
+      var i = open + 1
+      var closed = false
+      while (!closed && i < json.length) {
+        json.charAt(i) match {
+          case '\\' if i + 1 < json.length =>
+            sb.append(json.charAt(i + 1)); i += 2
+          case '"' => closed = true
+          case c => sb.append(c); i += 1
         }
+      }
+      WalOffset(sb.toString)
+    } else {
+      // migrate a pre-name-offset checkpoint: {"segments":N} meant "the
+      // first N segments of the listing" — valid only while nothing was
+      // ever deleted, which held under the old source (no retention).
+      val legacy = """"segments"\s*:\s*(\d+)""".r
+      legacy.findFirstMatchIn(json) match {
+        case Some(g) =>
+          val n = g.group(1).toInt
+          val segs = wal.listSegments().map(_._1)
+          if (n == 0) WalOffset("")
+          else if (n <= segs.size) {
+            // Positions are only trustworthy if the listing is still the
+            // original prefix: if retention/repair deleted any consumed
+            // segment before this first restart on name offsets, index
+            // n-1 would silently resolve to the WRONG segment (re-read or
+            // skip). Segment names embed their ordinal, so verify it.
+            val resolved = segs(n - 1)
+            val ordinal = "\\d+".r.findFirstIn(resolved).map(_.toLong)
+            if (!ordinal.contains((n - 1).toLong))
+              throw new IllegalArgumentException(
+                s"cannot migrate legacy positional WAL offset $n: segment " +
+                  s"listing in $dir no longer starts at the first-ever " +
+                  s"segment (position ${n - 1} resolves to $resolved) — " +
+                  "a consumed segment was deleted; restart from a fresh " +
+                  "checkpoint or set the offset to the segment name")
+            WalOffset(resolved)
+          }
+          else throw new IllegalArgumentException(
+            s"legacy WAL offset $n exceeds ${segs.size} segments in $dir")
+        case None => throw new IllegalArgumentException(s"bad WAL offset: $json")
+      }
     }
   }
 

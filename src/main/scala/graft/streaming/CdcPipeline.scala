@@ -69,7 +69,10 @@ class CdcPipeline(
 
   private def emitMetrics(batchId: Long, tableName: String,
                           s: MergeEngine.MergeStats): Unit = {
-    batchStats = (batchId, tableName, s) :: batchStats
+    // bounded: a continuous query (graft-lake sink on a ProcessingTime
+    // trigger) runs micro-batches indefinitely — unbounded prepend would
+    // grow driver memory with uptime. The durable record is the JSONL.
+    batchStats = ((batchId, tableName, s) :: batchStats).take(10000)
     metricsPath.foreach { p =>
       val line = s"""{"batchId":$batchId,"table":"$tableName","committed":${s.committed},""" +
         s""""snapshotId":${s.snapshotId},"appliedKeys":${s.appliedKeys},""" +

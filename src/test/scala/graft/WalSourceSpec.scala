@@ -128,6 +128,18 @@ class WalSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.hadoop.graft.test.probe")
   }
 
+  test("offsets round-trip segment names containing quotes and backslashes") {
+    // only HadoopWalProvider's wal-*.jsonl convention forbids these; the
+    // WalProvider seam allows any name, so the checkpoint codec must not
+    // truncate at an escape
+    val stream = new graft.sources.WalMicroBatchStream(tmpDir("wal"))
+    for (weird <- Seq("""seg-"quoted".jsonl""", """seg-\back\slash.jsonl""",
+                      """"\""""", "plain-wal-000000007.jsonl")) {
+      val off = graft.sources.WalOffset(weird)
+      assert(stream.deserializeOffset(off.json()) === off, off.json())
+    }
+  }
+
   test("legacy positional offset migration fails loudly after segment deletion") {
     val dir = tmpDir("wal");
     ChangeStreamGen.writeSegments(spark, cfg, dir, 60L, txnsPerSegment = 20)
