@@ -24,7 +24,7 @@ class TortureSpec extends SparkSpec {
       .select(col("repo"), col("path"), sha2(col("content"), 256)).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
 
-  test("retention + splits + rate limit + evolution + poison-heal => oracle parity") {
+  private def torture(manifestThreshold: Int): Unit = {
     val cfg = GenConfig(seed = 67L, nRepos = 12, pathsPerRepo = 4,
       maxChangesPerTxn = 3, addColumnAtLsn = 90L, renameAtLsn = 150L)
     val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
@@ -35,7 +35,8 @@ class TortureSpec extends SparkSpec {
     val good = Files.readString(seg)
     Files.writeString(seg, good + "{\"not\": \"wal2json\"}\n")
 
-    val table = new LakeTable(spark, tmpDir("repos"), maxDeltasPerBucket = 2)
+    val table = new LakeTable(spark, tmpDir("repos"), maxDeltasPerBucket = 2,
+      manifestThresholdFiles = manifestThreshold)
     val pipe = new CdcPipeline(spark, wal, ckpt,
       Seq(TableTarget("repos", table, Main.reposSchema, Seq("repo", "path"),
         4, Main.reposRenameMap)),
@@ -70,5 +71,17 @@ class TortureSpec extends SparkSpec {
     pipe2.runAvailable()
     assert(table.currentSnapshot.get.snapshotId === snap.snapshotId)
     assert(state(table) === exp)
+    // in distributed-manifest mode every round of the torture committed
+    // through per-bucket manifests
+    if (manifestThreshold == 0)
+      assert(table.currentSnapshot.get.bucketManifests.nonEmpty)
+  }
+
+  test("retention + splits + rate limit + evolution + poison-heal => oracle parity") {
+    torture(manifestThreshold = 4096) // inline snapshots (default shape)
+  }
+
+  test("the same torture with distributed per-bucket manifests") {
+    torture(manifestThreshold = 0)
   }
 }
