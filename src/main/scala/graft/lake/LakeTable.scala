@@ -135,7 +135,13 @@ class LakeTable(val spark: SparkSession, val root: String,
                 // rows. Below the threshold the single inline JSON is both
                 // simpler and faster (one metadata read instead of
                 // O(buckets)).
-                val manifestThresholdFiles: Int = 4096) {
+                val manifestThresholdFiles: Int = 4096,
+                // Parquet codec for data files. Measured (CodecBench,
+                // 300k-txn delta payload, interleaved): zstd writes within
+                // noise of snappy/lz4, reads fastest, and is ~39% smaller —
+                // at the target scale the table's storage and read IO
+                // dominate the one-time write cost.
+                val compressionCodec: String = "zstd") {
   import LakeTable._
 
   private val rootPath = new HPath(root)
@@ -701,7 +707,8 @@ class LakeTable(val spark: SparkSession, val root: String,
     * files of an attempted commit; returns bucket -> new relative file paths. */
   def writeBucketed(df: DataFrame, commitDir: String): Map[Int, Seq[String]] = {
     val outPath = s"$root/data/$commitDir"
-    df.write.partitionBy("_bucket").mode("overwrite").parquet(outPath)
+    df.write.partitionBy("_bucket").option("compression", compressionCodec)
+      .mode("overwrite").parquet(outPath)
     val base = new HPath(dataDir, commitDir)
     fs.listStatus(base).toSeq
       .filter(_.getPath.getName.startsWith("_bucket="))
