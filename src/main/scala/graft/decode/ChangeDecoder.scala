@@ -39,7 +39,10 @@ object ChangeDecoder {
    * @param strict         fail (like the reference) vs drop on malformed lines
    */
   private def startsWithBracket(c: Column): Column =
-    substring(ltrim(c), 1, 1) === "["
+    // ltrim alone strips only spaces: a tab/CR-prefixed aggregate line
+    // would be misrouted to the single-line parser and rejected, though
+    // both parsers themselves accept any JSON whitespace
+    substring(ltrim(c, " \t\r\n"), 1, 1) === "["
 
   /** Decoded events plus a (blocking) malformed-line counter fed by
     * `observe` metrics in the SAME plan — available after the decoded
@@ -99,25 +102,37 @@ object ChangeDecoder {
     // SlotMessageRecordProcessor.java:73-82): a line starting with '[' is
     // an aggregated batch of wal lines — exploded into its elements first.
     val aggType = org.apache.spark.sql.types.ArrayType(Wal2Json.walLineSchema)
-    val singles = lines.filter(!startsWithBracket(col("value")))
-    var aggregated0 = lines.filter(startsWithBracket(col("value")))
-      .select(col("value"), explode(array(from_json(col("value"), aggType))).as("arr"))
-    obsAgg.foreach(o => aggregated0 =
-      aggregated0.observe(o, count(when(col("arr").isNull, 1)).as("nBad")))
+    // ONE scan of the input: a filter-split into singles/aggregates would
+    // read and line-split every WAL segment twice (union of two filters
+    // over the same source is two scans — Spark has no scan dedup for
+    // DataFrame-composed plans). Instead each line is tagged and the
+    // aggregate parse is materialized ONCE behind a Generate barrier
+    // (`when` is lazy per row, so single lines never run the array parse).
+    var tagged = lines
+      .select(col("value"), startsWithBracket(col("value")).as("isAgg"))
+      .select(col("value"), col("isAgg"),
+        explode(array(when(col("isAgg"), from_json(col("value"), aggType))))
+          .as("arr"))
+    obsAgg.foreach(o => tagged =
+      tagged.observe(o,
+        count(when(col("isAgg") && col("arr").isNull, 1)).as("nBad")))
     // strict must be self-contained here too: an unparseable aggregated
     // line yields a null array, and explode(null) silently emits nothing —
     // the guard lives INSIDE the generator input so it cannot be skipped
     val arrCol =
       if (strict)
-        when(col("arr").isNull,
+        when(col("isAgg") && col("arr").isNull,
           raise_error(concat(lit("malformed wal2json line: "),
             substring(col("value"), 1, 256))).cast(aggType))
           .otherwise(col("arr"))
       else col("arr")
-    val aggregated = aggregated0
-      .select(explode(arrCol).as("m0"))
-      .select(to_json(col("m0")).as("value")) // re-enter the single path
-    val allLines = singles.unionByName(aggregated)
+    // aggregate elements re-enter the single path as their JSON text;
+    // null elements survive `transform` as null values (counted malformed
+    // downstream), matching the old explode-then-to_json granularity
+    val allLines = tagged
+      .select(explode(
+        when(col("isAgg"), transform(arrCol, e => to_json(e)))
+          .otherwise(array(col("value")))).as("value"))
 
     val parseExpr =
       if (nativeParser)
@@ -191,10 +206,31 @@ object ChangeDecoder {
       .take(limit)
       .map(_.getString(0))
 
-  /** Exact malformed-line count via the same explicit query (fallback for
-    * when observe metrics are unavailable — see [[decodeValidated]]). */
-  def malformedCount(lines: DataFrame, nativeParser: Boolean = true): Long =
-    malformedDf(lines, nativeParser).count()
+  /** Exact malformed count via an explicit query (fallback for when
+    * observe metrics are unavailable — see [[decodeValidated]]). Counts at
+    * the SAME granularity as the observe path: an unparseable aggregate
+    * LINE counts once, each bad ELEMENT of a parseable aggregate counts
+    * once, a bad single line counts once — so the reported number cannot
+    * flip depending on which internal path happened to execute. */
+  def malformedCount(lines: DataFrame, nativeParser: Boolean = true): Long = {
+    val parseExpr =
+      if (nativeParser)
+        graft.functions.ParseWalLine.parseWalLine(lines.sparkSession, col("value"))
+      else from_json(col("value"), Wal2Json.walLineSchema)
+    val singleBad = col("m").isNull || col("m.lsn").isNull ||
+      col("m.xid").isNull || col("m.change").isNull
+    val badElems = size(filter(col("arr"), e =>
+      e.isNull || e.getField("lsn").isNull || e.getField("xid").isNull ||
+        e.getField("change").isNull))
+    lines
+      .withColumn("m", parseExpr)
+      .withColumn("arr", from_json(col("value"),
+        org.apache.spark.sql.types.ArrayType(Wal2Json.walLineSchema)))
+      .select(when(startsWithBracket(col("value")),
+          when(col("arr").isNull, 1L).otherwise(badElems.cast("long")))
+        .otherwise(when(singleBad, 1L).otherwise(0L)).as("nBad"))
+      .agg(coalesce(sum(col("nBad")), lit(0L))).head().getLong(0)
+  }
 
   private def malformedDf(lines: DataFrame, nativeParser: Boolean): DataFrame = {
     val parseExpr =

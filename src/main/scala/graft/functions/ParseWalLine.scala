@@ -77,12 +77,18 @@ object WalLineParser {
 
   final class Malformed extends RuntimeException { override def fillInStackTrace(): Throwable = this }
   private val malformed = new Malformed
+  /** Token-level JSON violations (bare words, leading-zero numbers, raw
+    * control chars in strings): Jackson's tokenizer fails on these before
+    * any value conversion, so PERMISSIVE nulls the WHOLE row — they must
+    * bypass the per-field recovery that coercion failures get. */
+  final class RowMalformed extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+  private val rowMalformed = new RowMalformed
 
   def parse(line: UTF8String): InternalRow = {
     val bytes = line.getBytes // materialized copy; single allocation
     try new P(bytes).parseTop()
     catch {
-      case _: Malformed =>
+      case _: Malformed | _: RowMalformed =>
         // match from_json PERMISSIVE: structurally-broken input yields a
         // row of nulls; blank input yields NULL
         var k = 0; var blank = true
@@ -290,6 +296,11 @@ object WalLineParser {
       var neg = false
       if (peek() == '-') { neg = true; i += 1 }
       if (i >= n || b(i) < '0' || b(i) > '9') throw malformed
+      // Jackson's TOKENIZER rejects leading zeros ("007") before any
+      // coercion => whole-row failure, unlike overflow (coercion-level,
+      // field-scoped partial results)
+      if (b(i) == '0' && i + 1 < n && b(i + 1) >= '0' && b(i + 1) <= '9')
+        throw rowMalformed
       // accumulate in NEGATIVE space: |Long.MinValue| > Long.MaxValue, so
       // this admits exactly [-2^63, 2^63-1] and overflow-checks without
       // wrapping. Jackson (from_json) throws on out-of-range => field
@@ -318,9 +329,13 @@ object WalLineParser {
       if (peek() != '"') throw malformed
       i += 1
       val start = i
-      // fast path: scan for end quote with no escapes
+      // fast path: scan for end quote with no escapes. Raw control bytes
+      // are tokenizer-fatal in Jackson (must be \u-escaped) => whole row.
       var j = i
-      while (j < n && b(j) != '"' && b(j) != '\\') j += 1
+      while (j < n && b(j) != '"' && b(j) != '\\') {
+        if ((b(j) & 0xff) < 0x20) throw rowMalformed
+        j += 1
+      }
       if (j >= n) throw malformed
       if (b(j) == '"') { // no escapes: zero-copy slice
         i = j + 1
@@ -351,18 +366,34 @@ object WalLineParser {
               case 'u' =>
                 i += 1
                 val cp0 = hex4()
-                val cp =
-                  if (Character.isHighSurrogate(cp0.toChar) && i + 1 < n
-                      && b(i) == '\\' && b(i + 1) == 'u') {
-                    i += 2
-                    val lo = hex4()
-                    Character.toCodePoint(cp0.toChar, lo.toChar)
-                  } else cp0
-                val s = new String(Character.toChars(cp))
-                buf.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                // Match Jackson + java.lang.String semantics exactly: each
+                // \uXXXX is a UTF-16 code unit; a high half combines ONLY
+                // with an immediately following low half, and any unpaired
+                // half becomes '?' (what String.getBytes(UTF_8) emits).
+                if (Character.isHighSurrogate(cp0.toChar) && i + 1 < n
+                    && b(i) == '\\' && b(i + 1) == 'u') {
+                  val save = i // the next escape: reprocess it unless it pairs
+                  i += 2
+                  val lo = hex4()
+                  if (Character.isLowSurrogate(lo.toChar)) {
+                    val s = new String(Character.toChars(
+                      Character.toCodePoint(cp0.toChar, lo.toChar)))
+                    buf.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  } else {
+                    buf.write('?') // unpaired high half
+                    i = save // the rejected escape may start its own pair
+                  }
+                } else if (Character.isSurrogate(cp0.toChar)) {
+                  buf.write('?') // lone half with no following escape
+                } else {
+                  val s = new String(Character.toChars(cp0))
+                  buf.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                }
               case _ => throw malformed
             }
-          case c => buf.write(c); i += 1
+          case c =>
+            if ((c & 0xff) < 0x20) throw rowMalformed // unescaped control byte
+            buf.write(c); i += 1
         }
       }
       null // unreachable
@@ -385,54 +416,135 @@ object WalLineParser {
       v
     }
 
-    /** Non-string scalar (number/true/false): captured as its literal text. */
+    /** Non-string scalar (number/true/false): captured as its literal text.
+      * Jackson accepts ONLY the JSON number grammar and the two boolean
+      * literals here — bare words or leading-zero numbers error the row;
+      * accepting them would make validation strictness depend on which
+      * parser ran. */
     private def rawScalar(): UTF8String = {
       val start = i
       while (i < n && b(i) != ',' && b(i) != ']' && b(i) != '}' && b(i) != ' '
         && b(i) != '\t' && b(i) != '\n' && b(i) != '\r') i += 1
       if (i == start) throw malformed
+      if (!isJsonScalarToken(start, i)) {
+        // Empirical Jackson/from_json split: malformed NUMBERS (leading
+        // zeros, bad fraction) fail the whole row; bare words ("abc",
+        // "truefoo") recover at field scope (partial results).
+        val c0 = b(start).toChar
+        if (c0 == '-' || (c0 >= '0' && c0 <= '9')) throw rowMalformed
+        throw malformed
+      }
       UTF8String.fromBytes(b, start, i - start)
     }
 
+    /** true | false | -?(0|[1-9][0-9]*)(.[0-9]+)?([eE][+-]?[0-9]+)? */
+    private def isJsonScalarToken(start: Int, end: Int): Boolean = {
+      def is(s: String): Boolean = {
+        if (end - start != s.length) return false
+        var k = 0
+        while (k < s.length) {
+          if (b(start + k) != s.charAt(k)) return false
+          k += 1
+        }
+        true
+      }
+      if (is("true") || is("false")) return true
+      var k = start
+      if (k < end && b(k) == '-') k += 1
+      if (k >= end) return false
+      if (b(k) == '0') k += 1
+      else if (b(k) >= '1' && b(k) <= '9') {
+        while (k < end && b(k) >= '0' && b(k) <= '9') k += 1
+      } else return false
+      if (k < end && b(k) == '.') {
+        k += 1
+        val d0 = k
+        while (k < end && b(k) >= '0' && b(k) <= '9') k += 1
+        if (k == d0) return false
+      }
+      if (k < end && (b(k) == 'e' || b(k) == 'E')) {
+        k += 1
+        if (k < end && (b(k) == '+' || b(k) == '-')) k += 1
+        val d0 = k
+        while (k < end && b(k) >= '0' && b(k) <= '9') k += 1
+        if (k == d0) return false
+      }
+      k == end
+    }
+
     /** Nested object/array: compact JSON text — whitespace outside strings
-      * is dropped, matching from_json's StringType behavior (Jackson
-      * re-serializes the subtree compactly). */
+      * is dropped AND strings are decoded then re-emitted with Jackson's
+      * minimal escaping, matching from_json's StringType behavior exactly
+      * (copyCurrentStructure re-serializes the subtree: an input "A"
+      * becomes A, "\/" becomes /). Non-string tokens keep their literal
+      * text (Jackson preserves number text). */
     private def rawStructure(): UTF8String = {
       val buf = new java.io.ByteArrayOutputStream(64)
       var depth = 0
-      var inStr = false
       while (i < n) {
-        val c = b(i)
-        if (inStr) {
-          buf.write(c)
-          if (c == '\\') { i += 1; if (i < n) buf.write(b(i)) }
-          else if (c == '"') inStr = false
-        } else c.toChar match {
-          case ' ' | '\t' | '\n' | '\r' => // skip
-          case '"' => inStr = true; buf.write(c)
-          case '{' | '[' => depth += 1; buf.write(c)
+        b(i).toChar match {
+          case ' ' | '\t' | '\n' | '\r' => i += 1
+          case '"' =>
+            val s = parseString() // consumes through the closing quote
+            buf.write('"'); writeJsonEscaped(buf, s); buf.write('"')
+          case '{' | '[' => depth += 1; buf.write(b(i)); i += 1
           case '}' | ']' =>
-            depth -= 1; buf.write(c)
+            depth -= 1; buf.write(b(i)); i += 1
             if (depth == 0) {
-              i += 1
               val arr = buf.toByteArray
               return UTF8String.fromBytes(arr, 0, arr.length)
             }
-          case _ => buf.write(c)
+          case _ => buf.write(b(i)); i += 1
         }
-        i += 1
       }
       throw malformed
     }
 
-    /** Skip any JSON value (unknown keys). */
+    /** The escaping Spark's nested-structure re-serialization produces:
+      * mandatory + shorthand escapes, and EVERY non-ASCII char as an
+      * uppercase \uXXXX per UTF-16 code unit (surrogate pairs become two
+      * escapes) — measured against from_json, which escapes non-ASCII in
+      * copied nested structures though not in top-level string values. */
+    private def writeJsonEscaped(buf: java.io.ByteArrayOutputStream,
+                                 s: UTF8String): Unit = {
+      val str = s.toString
+      val hex = "0123456789ABCDEF"
+      def u(c: Char): Unit = {
+        buf.write('\\'); buf.write('u')
+        buf.write(hex.charAt((c >> 12) & 0xf)); buf.write(hex.charAt((c >> 8) & 0xf))
+        buf.write(hex.charAt((c >> 4) & 0xf)); buf.write(hex.charAt(c & 0xf))
+      }
+      var k = 0
+      while (k < str.length) {
+        val c = str.charAt(k)
+        if (c == '"') { buf.write('\\'); buf.write('"') }
+        else if (c == '\\') { buf.write('\\'); buf.write('\\') }
+        else if (c == '\b') { buf.write('\\'); buf.write('b') }
+        else if (c == '\f') { buf.write('\\'); buf.write('f') }
+        else if (c == '\n') { buf.write('\\'); buf.write('n') }
+        else if (c == '\r') { buf.write('\\'); buf.write('r') }
+        else if (c == '\t') { buf.write('\\'); buf.write('t') }
+        else if (c < 0x20 || c > 0x7f) u(c)
+        else buf.write(c)
+        k += 1
+      }
+    }
+
+    /** Skip any JSON value (unknown keys, and field-recovery re-scans).
+      * Deliberately LENIENT on scalar tokens: this path only needs to move
+      * past a value — re-validating would re-throw the very error the
+      * field recovery is trying to absorb. */
     private def skipValue(): Unit = {
       skipWs()
       peek() match {
         case '"' => parseString()
         case '{' | '[' => rawStructure()
         case 'n' => parseNullLiteral()
-        case _ => rawScalar()
+        case _ =>
+          val start = i
+          while (i < n && b(i) != ',' && b(i) != ']' && b(i) != '}' && b(i) != ' '
+            && b(i) != '\t' && b(i) != '\n' && b(i) != '\r') i += 1
+          if (i == start) throw malformed
       }
     }
   }

@@ -89,9 +89,12 @@ final case class Snapshot(
     // When the snapshot was stored in DISTRIBUTED-MANIFEST form: bucket ->
     // relative path of the immutable per-bucket manifest file holding that
     // bucket's files/deltas/watermark/lineage/stats. Empty for inline
-    // snapshots. The in-memory Snapshot is always fully resolved either way;
-    // these pointers exist so a commit can REUSE untouched buckets'
-    // manifests instead of rewriting O(files) metadata every batch.
+    // snapshots. Write paths resolve the snapshot FULLY; bucket-subset
+    // reads and point lookups resolve only the buckets they touch (partial
+    // snapshots are read-only — an unresolved bucket's slice looks empty,
+    // so committing from one would empty its manifest). The pointers exist
+    // so a commit can REUSE untouched buckets' manifests instead of
+    // rewriting O(files) metadata every batch.
     bucketManifests: Map[Int, String] = Map.empty) {
   def allFiles: Seq[String] =
     (bucketFiles.values.flatten ++ bucketDeltas.values.flatten).toSeq.sorted
@@ -170,11 +173,16 @@ class LakeTable(val spark: SparkSession, val root: String,
     case id => Some(readSnapshot(id))
   }
 
-  def readSnapshot(id: Long): Snapshot = {
+  def readSnapshot(id: Long): Snapshot = readSnapshot(id, None)
+
+  /** `only = Some(buckets)`: on a distributed snapshot, resolve ONLY those
+    * buckets' manifests — O(|subset|) metadata IO. The result is partial
+    * (read-only for those buckets; never commit from it). */
+  private def readSnapshot(id: Long, only: Option[Set[Int]]): Snapshot = {
     val in = fs.open(new HPath(metaDir, f"snapshot-$id%012d.json"))
     val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
-    fromJson(json, readMetaFile)
+    fromJson(json, readMetaFile, only)
   }
 
   private def readMetaFile(rel: String): String = {
@@ -342,8 +350,11 @@ class LakeTable(val spark: SparkSession, val root: String,
    */
   def read(buckets: Option[Set[Int]] = None,
            asOfSnapshot: Option[Long] = None): DataFrame = {
-    val snap = asOfSnapshot.map(readSnapshot).orElse(currentSnapshot).getOrElse(
-      throw new IllegalStateException(s"no snapshot at $root"))
+    val id = asOfSnapshot.getOrElse(latestSnapshotId)
+    if (id < 0) throw new IllegalStateException(s"no snapshot at $root")
+    // A bucket-subset read resolves ONLY those buckets' manifests on a
+    // distributed snapshot (O(|subset|) metadata IO instead of O(buckets))
+    val snap = readSnapshot(id, buckets)
     val sel = buckets.getOrElse(snap.dataBuckets).toSeq.sorted
     // Fast path for buckets with no pending deltas: plain base scan, no
     // merge aggregation. Only delta-carrying buckets pay the keep-last.
@@ -859,17 +870,27 @@ object LakeTable {
   }
 
   /** Parse either snapshot form; the distributed form resolves its bucket
-    * manifests through `loadMeta` (relative path -> file content). */
+    * manifests through `loadMeta` (relative path -> file content).
+    * `only` restricts WHICH bucket manifests are resolved (a bucket-subset
+    * read needs O(|subset|) metadata IO, not O(buckets)); the returned
+    * snapshot is then partial — correct for reading exactly those buckets,
+    * never to be committed from (an unresolved bucket's slice looks empty,
+    * which would rewrite its manifest as empty). */
   def fromJson(json: String,
                loadMeta: String => String = rel =>
                  throw new IllegalStateException(
-                   s"snapshot references manifest $rel but no loader was given"))
+                   s"snapshot references manifest $rel but no loader was given"),
+               only: Option[Set[Int]] = None)
       : Snapshot = {
     val n = mapper.readTree(json).asInstanceOf[ObjectNode]
     val (base, pointersOpt) = parseRootOnly(json)
     pointersOpt match {
       case Some(pointers) =>
-        val slices = pointers.map { case (b, rel) =>
+        val resolve = only match {
+          case Some(sel) => pointers.view.filterKeys(sel).toMap
+          case None => pointers
+        }
+        val slices = resolve.map { case (b, rel) =>
           b -> manifestFromJson(loadMeta(rel))
         }
         base.copy(

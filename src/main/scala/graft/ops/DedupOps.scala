@@ -295,6 +295,15 @@ object DedupOps {
       labels = updated
       rounds += 1
     }
+    // Wrong silently is worse than loud: a component with diameter > 25
+    // (adversarial chain graphs — dup clusters are dense cliques and
+    // converge in 2-3 rounds) would otherwise ship non-minimal canonical
+    // ids and "keep one per cluster" would keep several. The documented
+    // upgrade for such graphs is large-star/small-star contraction.
+    if (changed > 0) throw new IllegalStateException(
+      s"clusterCanonical did not converge in $rounds rounds " +
+        s"($changed labels still changing) — component diameter exceeds " +
+        "the round budget; raise it or use star-contraction for this graph")
     docs(spark, dir).select(col("doc_id"))
       .join(labels.withColumnRenamed("canon", "c"), Seq("doc_id"), "left")
       .select(col("doc_id"),

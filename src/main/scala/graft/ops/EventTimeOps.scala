@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -31,10 +31,19 @@ object EventTimeOps {
   private val TenMinUs = 600L * 1000000L
   private val SessionGapUs = 1800L * 1000000L // 30 min
 
+  /** FLOOR division on integral columns: Spark's `/` is double division
+    * and cast(long) truncates toward ZERO, while the DuckDB oracle's `//`
+    * floors — they disagree on negative (pre-epoch) timestamps, where
+    * truncation would merge the two windows straddling the epoch. pmod is
+    * always non-negative, so (x - pmod(x, n)) is exactly divisible and the
+    * quotient is exact in double for any |x| < 2^53. */
+  private def floorDiv(x: Column, n: Long): Column =
+    ((x - pmod(x, lit(n))) / n).cast("long")
+
   /** Tumbling 10-minute windows per event type: counts + exact sums. */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .groupBy((unix_micros(col("ts").cast("timestamp")) / TenMinUs).cast("long").as("win10m"),
+      .groupBy(floorDiv(unix_micros(col("ts").cast("timestamp")), TenMinUs).as("win10m"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
@@ -137,15 +146,15 @@ object EventTimeOps {
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
       .select(col("event_id"), col("ts"),
-        (unix_micros(col("ts").cast("timestamp")) / TenMinUs).cast("long").as("b"))
+        floorDiv(unix_micros(col("ts").cast("timestamp")), TenMinUs).as("b"))
     val incidents = events(spark, dir)
       .filter(col("event_type") === "error")
       .select(col("event_id").as("incident_id"),
         unix_micros(col("ts").cast("timestamp")).as("t0us"))
       .withColumn("t1us", col("t0us") + TenMinUs)
       .withColumn("b", explode(sequence(
-        (col("t0us") / TenMinUs).cast("long"),
-        ((col("t1us") - 1) / TenMinUs).cast("long"))))
+        floorDiv(col("t0us"), TenMinUs),
+        floorDiv(col("t1us") - 1, TenMinUs))))
     incidents.join(ev, "b")
       .filter(unix_micros(col("ts").cast("timestamp")) >= col("t0us") &&
         unix_micros(col("ts").cast("timestamp")) < col("t1us"))

@@ -44,13 +44,19 @@ object SimilarityOps {
   private val normsSql: String =
     s"""SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM quant GROUP BY 1"""
 
-  /** Signed scaled cosine² in basis points (exact integer arithmetic). */
+  /** Signed scaled cosine² in basis points (exact integer arithmetic).
+    * The square is computed in DECIMAL(38,0) / HUGEINT: in int64,
+    * dot*dot*10000 silently wraps once |dot| exceeds ~3e7 (≈30 unit-range
+    * dims at this SCALE — Spark would emit wrong rankings with no error
+    * while DuckDB raises), so the widened form is exact for any |dot| up
+    * to ~1.8e16, i.e. every realistic dimension/scale combination. The
+    * final value is ≤ 10000, cast back to BIGINT on both engines. */
   private val metricExpr =
-    "CASE WHEN dot >= 0 THEN (dot * dot * 10000) div (na * nb) " +
-      "ELSE -((dot * dot * 10000) div (na * nb)) END"
+    "CASE WHEN dot >= 0 THEN (CAST(dot AS DECIMAL(38,0)) * dot * 10000) div (CAST(na AS DECIMAL(38,0)) * nb) " +
+      "ELSE -((CAST(dot AS DECIMAL(38,0)) * dot * 10000) div (CAST(na AS DECIMAL(38,0)) * nb)) END"
   private val metricSqlExpr =
-    "CASE WHEN dot >= 0 THEN (dot * dot * 10000) // (na * nb) " +
-      "ELSE -((dot * dot * 10000) // (na * nb)) END"
+    "CASE WHEN dot >= 0 THEN CAST((CAST(dot AS HUGEINT) * dot * 10000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) " +
+      "ELSE CAST(-((CAST(dot AS HUGEINT) * dot * 10000) // (CAST(na AS HUGEINT) * nb)) AS BIGINT) END"
 
   /**
    * Brute-force cosine top-k: for each query vector (vec_id < 10), the 5

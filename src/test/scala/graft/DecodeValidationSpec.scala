@@ -37,6 +37,21 @@ class DecodeValidationSpec extends SparkSpec {
     assert(events.length === 3) // ids 1,2,3
     // 1 single bad + 2 bad elements re-entering the single path + 1 bad array
     assert(v.malformedCount() === 4)
+    // the explicit fallback counter must agree EXACTLY with the observe
+    // path (same element granularity) — a lost-metrics batch must not
+    // report a different number for identical input
+    assert(ChangeDecoder.malformedCount(
+      spark.createDataset(lines).toDF("value")) === 4)
+  }
+
+  test("whitespace-prefixed aggregate lines route to the aggregate parser") {
+    // ltrim alone strips only spaces — a tab/CR prefix must not demote a
+    // valid KPL aggregate to the single-line parser (where it would be
+    // rejected as malformed)
+    val lines = Seq("\t[" + ins(5, 5) + "]", "\r\n [" + ins(6, 6) + "]")
+    val v = ChangeDecoder.decodeValidated(spark.createDataset(lines).toDF("value"))
+    assert(v.events.collect().length === 2)
+    assert(v.malformedCount() === 0)
   }
 
   test("decodeValidated events match decode(strict=false) exactly") {
@@ -57,6 +72,15 @@ class DecodeValidationSpec extends SparkSpec {
     val plan = v.events.queryExecution.optimizedPlan.toString
     val nParses = "parse_wal_line".r.findAllIn(plan).length
     assert(nParses === 1, s"expected a single parse, plan:\n$plan")
+  }
+
+  test("the decode plan scans the input exactly once") {
+    // the old singles/aggregates filter-split read every WAL segment twice
+    // (two filters over one source = two scans; no scan dedup in Spark)
+    val df = spark.createDataset(Seq(ins(1, 1), "[" + ins(2, 2) + "]")).toDF("value")
+    val plan = ChangeDecoder.decode(df).queryExecution.optimizedPlan.toString
+    val nScans = "LocalRelation".r.findAllIn(plan).length
+    assert(nScans === 1, s"expected a single input scan, plan:\n$plan")
   }
 
   private def pipelineFor(wal: String, table: LakeTable): CdcPipeline =

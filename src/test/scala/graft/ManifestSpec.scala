@@ -160,6 +160,27 @@ class ManifestSpec extends SparkSpec {
     intercept[Exception] { t.currentSnapshot.get }
   }
 
+  test("bucket-subset read resolves only the requested buckets' manifests") {
+    val t = distributedTable(tmpDir("mani-subset"))
+    apply(t, (1 to 20).map(i => ins(i, i, s"a$i")))
+    val snap = t.currentSnapshot.get
+    val (keyBucket, _, _) = t.planFiles(snap, Map("id" -> 7))
+    val expected = (1 to 20).filter { i =>
+      t.planFiles(snap, Map("id" -> i))._1 == keyBucket
+    }.toSet
+    // corrupt every OTHER bucket's manifest: the subset read survives only
+    // if it resolved exactly the requested bucket's manifest
+    snap.bucketManifests.foreach { case (b, rel) =>
+      if (b != keyBucket)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(t.root, rel), "NOT JSON")
+    }
+    val got = t.read(buckets = Some(Set(keyBucket))).collect()
+      .map(_.getInt(0)).toSet
+    assert(got === expected, "subset read returns exactly that bucket's rows")
+    intercept[Exception] { t.read().collect() } // full read must fail (sanity)
+  }
+
   test("a commit-race loser deletes the manifests it wrote") {
     import org.apache.hadoop.fs.{Path => HPath}
     val dir = tmpDir("mani-race")

@@ -53,7 +53,20 @@ class ParseWalLineSpec extends SparkSpec {
       """{"xid":8,"change":[]}""",
       // null oldkeys / null arrays
       """{"lsn":1,"xid":2,"change":[{"kind":"delete","schema":"s","table":"t","oldkeys":null}]}""",
-      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":null,"columntypes":null,"columnvalues":null}]}""")
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":null,"columntypes":null,"columnvalues":null}]}""",
+      // surrogate-pair edges: valid pair via \u escapes, high half followed
+      // by a non-low escape, lone high half, lone low half, high-high-low
+      // chain (the middle pair must still combine), half at end of string
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["t"],"columnvalues":["😀ok"]}]}""",
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["t"],"columnvalues":["\ud83dAtail"]}]}""",
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["t"],"columnvalues":["x\ud83dy"]}]}""",
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["t"],"columnvalues":["x\ude00y"]}]}""",
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["t"],"columnvalues":["\ud83d😀z"]}]}""",
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["t"],"columnvalues":["end\ud83d"]}]}""",
+      // escape sequences INSIDE nested structures must re-serialize the way
+      // Jackson does (decode + minimal re-escape), not copy verbatim
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["json"],"columnvalues":[{"k":"A\/q\n"}]}]}""",
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["json"],"columnvalues":[["😀", "tab\there"]]}]}""")
     val (n, j) = bothParses(cases)
     n.zip(j).zipWithIndex.foreach { case ((a, b), idx) =>
       assert(a === b, s"case $idx: ${cases(idx).take(120)}")
@@ -65,7 +78,16 @@ class ParseWalLineSpec extends SparkSpec {
       "", "not json", "[1,2,3]", "{", """{"lsn": }""", """{"lsn":1 "xid":2}""",
       """{"lsn":1.5,"xid":2,"change":[]}""", // non-integer lsn
       """{"lsn":1,"xid":2,"change":{"kind":"x"}}""", // change not an array
-      """{"lsn":1,"xid":2,"change":[{"kind":"insert","columnnames":"nope"}]}""")
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","columnnames":"nope"}]}""",
+      // invalid scalar tokens: Jackson rejects bare words and leading-zero
+      // numbers — the native parser must not be more lenient
+      """{"lsn":007,"xid":2,"change":[]}""",
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["t"],"columnvalues":[abc]}]}""",
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["t"],"columnvalues":[truefoo]}]}""",
+      """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["t"],"columnvalues":[01.5]}]}""") ++ Seq(
+      // raw (unescaped) control byte inside a string: tokenizer-fatal
+      s"""{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["t"],"columnvalues":["ctrl${1.toChar}here"]}]}""",
+      s"""{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["json"],"columnvalues":[{"k":"tab${9.toChar}raw"}]}]}""")
     val (n, j) = bothParses(cases)
     n.zip(j).zipWithIndex.foreach { case ((a, b), idx) =>
       assert(a === b, s"case $idx: '${cases(idx)}' native=$a jackson=$b")
