@@ -98,20 +98,26 @@ object MergeEngine {
   def prepare(changes: DataFrame, keyFields: Seq[StructField],
               renameMap: Map[String, String]): DataFrame = {
     val keyNames = keyFields.map(_.name)
-    val renamed =
-      if (renameMap.isEmpty) changes
+    // The rename must hit BOTH name carriers: columnnames (new tuple) and
+    // oldkeys.keynames (the row identity for update/delete). Renaming only
+    // columnnames would make an old-era delete's key lookup miss under the
+    // new name — a null-keyed delete marker that never removes the real row
+    // — and misclassify every old-era update as a PK change.
+    def renameNames(names: Column): Column =
+      if (renameMap.isEmpty) names
       else {
         val mapCol = map(renameMap.toSeq.sorted
           .flatMap { case (o, n) => Seq(lit(o), lit(n)) }: _*)
-        changes.withColumn("columnnames",
-          transform(col("columnnames"), c => coalesce(element_at(mapCol, c), c)))
+        transform(names, c => coalesce(element_at(mapCol, c), c))
       }
+    val renamed = changes.withColumn("columnnames", renameNames(col("columnnames")))
     val withMaps = renamed
       .withColumn("_row", map_from_arrays(col("columnnames"), col("columnvalues")))
       .withColumn("_types", map_from_arrays(col("columnnames"), col("columntypes")))
       .withColumn("_old",
         when(col("oldkeys").isNotNull,
-          map_from_arrays(col("oldkeys.keynames"), col("oldkeys.keyvalues"))))
+          map_from_arrays(renameNames(col("oldkeys.keynames")),
+            col("oldkeys.keyvalues"))))
 
     def keyFromRow(f: StructField) = element_at(col("_row"), f.name).cast(f.dataType)
     def keyFromOld(f: StructField) =

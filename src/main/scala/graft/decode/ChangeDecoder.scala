@@ -20,6 +20,13 @@ import graft.model.Wal2Json
  * raises on a payload whose required envelope fields are missing, via
  * `raise_error` guarded behind the null checks.
  */
+/** A batch contained malformed WAL input — deterministic (retrying replays
+  * the same bad bytes), so supervision treats it as a repair case, never a
+  * transient flake. Subclasses IllegalArgumentException for compatibility
+  * with callers that catch the general type. */
+final class MalformedBatchException(msg: String)
+  extends IllegalArgumentException(msg)
+
 object ChangeDecoder {
 
   /** Flattened change-event columns produced by [[decode]]. */

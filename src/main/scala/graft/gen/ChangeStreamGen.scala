@@ -60,9 +60,11 @@ object ChangeStreamGen {
     "stream", "merge", "commit", "offset", "buffer", "batch", "index",
     "shard", "apply", "decode", "filter", "snapshot", "manifest", "cursor")
 
-  /** Power-law repo rank: P(rank r) ~ 1/r over [0, nRepos). */
+  /** Power-law repo rank: P(rank r) ~ 1/r over [0, nRepos). The base is
+    * n+1, not n: pow(n, u) < n for every u < 1, which made the top rank
+    * n-1 unreachable — the configured key space was silently one smaller. */
   def zipfRank(u: Double, n: Int): Int = {
-    val r = math.pow(n.toDouble, u).toInt
+    val r = math.pow(n.toDouble + 1.0, u).toInt
     math.min(n - 1, math.max(0, r - 1))
   }
 
@@ -205,10 +207,19 @@ object ChangeStreamGen {
       val path = f"$dir/wal-$seg%09d.jsonl"
       val tmp = java.nio.file.Paths.get(s"$path.tmp")
       val out = java.nio.file.Files.newBufferedWriter(tmp)
-      var id = start
-      while (id < end) {
-        out.write(renderLine(cfg, txn(cfg, id))); out.write("\n")
-        id += 1
+      try {
+        var id = start
+        while (id < end) {
+          out.write(renderLine(cfg, txn(cfg, id))); out.write("\n")
+          id += 1
+        }
+      } catch {
+        case e: Throwable =>
+          // close + remove the partial .tmp so a retry into the same dir
+          // doesn't trip over a stray open handle or stale file
+          try out.close() catch { case _: Throwable => () }
+          java.nio.file.Files.deleteIfExists(tmp)
+          throw e
       }
       out.close()
       // Atomic publish so a tailing reader never sees a partial segment.

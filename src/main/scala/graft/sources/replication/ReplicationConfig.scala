@@ -33,6 +33,7 @@ final case class ConnectionConfig(
       s"invalid connection config: $msg")
     if (host.isEmpty) bad("host must be non-empty")
     if (database.isEmpty) bad("database must be non-empty")
+    if (username.isEmpty) bad("username must be non-empty")
     if (port < 1 || port > 65535) bad(s"port $port out of range 1..65535")
     if (!sslModes.contains(sslMode))
       bad(s"sslmode '$sslMode' not one of ${sslModes.mkString(", ")}")

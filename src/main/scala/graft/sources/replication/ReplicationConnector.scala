@@ -46,8 +46,19 @@ trait ReplicationConnector extends AutoCloseable {
     * PostgresConnector.java:106-108); None when caught up. */
   def readPending(): Option[WalChunk]
 
-  /** The server's current WAL insert position (`pg_current_wal_lsn()`,
-    * PostgresConnector.java:110-122) — used for idle fast-forward. */
+  /** The position through which the server has DELIVERED everything
+    * slot-relevant on this stream — used for idle fast-forward, so it may
+    * run ahead of the last chunk when the gap is WAL this slot will never
+    * see (other tables' activity, vacuum...). CONTRACT: after
+    * [[readPending]] returns None, every change at or below this position
+    * has already been handed to the consumer; acking it can never skip
+    * undelivered data. A JDBC binding implements this as the stream's
+    * last-received position (`PGReplicationStream.getLastReceiveLSN`,
+    * advanced by server keepalives only past fully-sent WAL) — NOT as the
+    * reference's `select pg_current_wal_lsn()` probe
+    * (PostgresConnector.java:110-122), which is sampled out-of-band and
+    * may exceed positions of committed-but-not-yet-streamed transactions;
+    * acking such a probe after an idle drain permanently skips them. */
   def currentLsn(): Long
 
   /** Standby status update: mark everything <= lsn applied AND flushed
@@ -63,7 +74,11 @@ trait ReplicationConnector extends AutoCloseable {
  * single-consumer lock (slot-busy), and scriptable fault injection. The
  * double for everything a live endpoint would do, minus the socket.
  */
-final class SyntheticReplicationServer(genCfg: GenConfig, nTxns: Long) {
+final class SyntheticReplicationServer(genCfg: GenConfig, initialTxns: Long) {
+
+  /** Total committed transactions; tests raise it mid-run to model a commit
+    * landing between a consumer's drain and its idle fast-forward. */
+  @volatile var nTxns: Long = initialTxns
 
   /** slot name -> confirmed-flush LSN (0 = deliver from the beginning). */
   private val slots = scala.collection.mutable.Map.empty[String, Long]
@@ -128,7 +143,18 @@ final class SyntheticReplicationServer(genCfg: GenConfig, nTxns: Long) {
         }
       }
 
-    override def currentLsn(): Long = nTxns + currentLsnPadding
+    // Delivered-through semantics (see the trait contract): never runs
+    // ahead of an undelivered chunk. Only a fully-drained stream reports
+    // the padding (slot-irrelevant WAL beyond the last deliverable chunk);
+    // txn ids are lsn-1, so mid-stream the delivered-through position is
+    // exactly `cursor`. The naive form `nTxns + padding` would model the
+    // reference's pg_current_wal_lsn probe — an idle ack of it skips any
+    // transaction committed between the consumer's last drain and the
+    // probe, permanently (the slot never resends below confirmed-flush).
+    override def currentLsn(): Long =
+      SyntheticReplicationServer.this.synchronized {
+        if (cursor >= nTxns) nTxns + currentLsnPadding else cursor
+      }
 
     override def ack(lsn: Long): Unit =
       SyntheticReplicationServer.this.synchronized {

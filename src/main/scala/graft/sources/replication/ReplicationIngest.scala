@@ -100,7 +100,12 @@ final class ReplicationIngest(
     if (chunksSinceRoll > 0) { publishAndAck(); chunksSinceRoll = 0 }
     else if (nowMs() - lastFlushMs > slot.idleSlotIntervalMs) {
       // Idle fast-forward: nothing pending for this slot — confirm the
-      // server's current position so it can reclaim WAL upstream.
+      // server's current position so it can reclaim WAL upstream. Safe
+      // ONLY because currentLsn() is contractually delivered-through (see
+      // ReplicationConnector): everything at or below it already came out
+      // of readPending() and is staged. An out-of-band probe such as
+      // pg_current_wal_lsn here would permanently skip any transaction
+      // that committed between the drain above and the probe.
       val lsn = connector.currentLsn()
       if (lsn > ackedLsn) { connector.ack(lsn); ackedLsn = lsn }
       lastFlushMs = nowMs()

@@ -108,7 +108,7 @@ class CdcPipeline(
       val nBad = decoded.malformedCount()
       if (nBad > 0) {
         val samples = ChangeDecoder.malformedLines(lines) // failure path only
-        throw new IllegalArgumentException(
+        throw new graft.decode.MalformedBatchException(
           s"batch $batchId contains $nBad malformed wal2json line(s): " +
             samples.mkString(" | "))
       }
@@ -223,8 +223,14 @@ object CdcPipeline {
     var c: Throwable = e
     while (c != null) {
       c match {
-        case ia: IllegalArgumentException
-            if ia.getMessage != null && ia.getMessage.contains("malformed wal2json") =>
+        case _: graft.decode.MalformedBatchException =>
+          return FailureKind.DataError
+        // fallback for malformed input surfaced by the IN-PLAN raise_error
+        // guard (decode(strict=true) without the explicit validation pass):
+        // Spark raises its own exception type there, so the message text is
+        // the only signal — keep it in sync with ChangeDecoder's guards
+        case other if other.getMessage != null &&
+            other.getMessage.contains("malformed wal2json") =>
           return FailureKind.DataError
         case _: graft.lake.CommitConflictException =>
           return FailureKind.Contention

@@ -150,6 +150,18 @@ class GenReplaySpec extends SparkSpec {
     assert(a !== other)
   }
 
+  test("zipfRank covers the full configured range [0, n)") {
+    // pow(n, u) < n for every u < 1 made rank n-1 unreachable: the key
+    // space was silently one repo smaller than configured
+    val n = 8
+    val ranks = (0 until 100000)
+      .map(i => ChangeStreamGen.zipfRank(i / 100000.0, n)).toSet
+    assert(ranks === (0 until n).toSet,
+      s"every rank must be reachable, got ${ranks.toSeq.sorted}")
+    assert(ChangeStreamGen.zipfRank(0.0, n) === 0)
+    assert(ChangeStreamGen.zipfRank(0.999999, n) === n - 1)
+  }
+
   test("hot-repo skew exists in the generated stream (Zipf head)") {
     val lines = ChangeStreamGen.lines(spark, cfg, 500L, 4)
     val byRepo = ChangeDecoder.decode(lines.toDF("value"))

@@ -49,8 +49,10 @@ class LakeFeatureSpec extends SparkSpec {
     assert(snap.bucketLineage.nonEmpty)
     val totalKeys = snap.bucketLineage.values.map(_("keys")).sum
     assert(totalKeys === s1.appliedKeys + s2.appliedKeys)
-    // LSN bounds widened, not replaced
-    assert(snap.bucketLineage.values.map(_("minLsn")).min === 1L)
+    // LSN bounds widened, not replaced: the min still reflects batch 1
+    // (<= 100; keep-last dedup may drop the very first LSN when its key is
+    // rewritten later in the batch), the max reflects batch 2's tail
+    assert(snap.bucketLineage.values.map(_("minLsn")).min <= 100L)
     assert(snap.bucketLineage.values.map(_("maxLsn")).max === 200L)
     // snapshot-level lineage carries dedup stats
     assert(snap.lineage("inputEvents") === s2.inputEvents)

@@ -97,6 +97,32 @@ class MergeSemanticsSpec extends SparkSpec {
     assert(state(t) === Set((1, "C", 3)))
   }
 
+  test("key-column rename: old-era oldkeys still identify the row") {
+    // rename id -> ident; every event below is OLD-era (carries "id" in
+    // columnnames AND oldkeys.keynames). The rename must hit both carriers:
+    // with only columnnames renamed, the update splits as a bogus PK change
+    // and the delete emits a null-keyed marker that removes nothing.
+    val renamedSchema = StructType(Seq(
+      StructField("ident", IntegerType),
+      StructField("name", StringType),
+      StructField("quantity", IntegerType)))
+    val t = new LakeTable(spark, tmpDir("apples-rename"))
+    t.create(renamedSchema, Seq("ident"), nBuckets = 4,
+      renameMap = Map("id" -> "ident"))
+    apply(t, Seq(ins(1, 1, "Fuji", 2), ins(2, 2, "Gala", 3)))
+    // non-PK update identified via oldkeys under the OLD name
+    apply(t, Seq(updKeyChange(3, 1, 1, "Fuji v2", 5)))
+    // delete identified via oldkeys under the OLD name
+    val del =
+      s"""{"lsn":4,"xid":4,"change":[{"kind":"delete","schema":"public","table":"apples",""" +
+        s""""oldkeys":{"keynames":["id"],"keytypes":["integer"],"keyvalues":[2]}}]}"""
+    apply(t, Seq(del))
+    assert(state(t) === Set((1, "Fuji v2", 5)))
+    // and a genuine PK change under the old name still splits correctly
+    apply(t, Seq(updKeyChange(5, 1, 9, "Moved", 7)))
+    assert(state(t) === Set((9, "Moved", 7)))
+  }
+
   test("delete of a never-seen key is a harmless no-op") {
     val t = newTable()
     val del =

@@ -70,6 +70,7 @@ class ReplicationSpec extends SparkSpec {
     intercept[IllegalArgumentException] { conn.copy(sslMode = "tls").validate() }
     intercept[IllegalArgumentException] { conn.copy(port = 0).validate() }
     intercept[IllegalArgumentException] { conn.copy(host = "").validate() }
+    intercept[IllegalArgumentException] { conn.copy(username = "").validate() }
   }
 
   test("connection config renders the driver property sets the reference builds") {
@@ -201,6 +202,44 @@ class ReplicationSpec extends SparkSpec {
     assert(ingest.pump().ackedLsn === nTxns + 500L)
     assert(server.confirmedFlushLsn("graft_slot") === nTxns + 500L)
     ingest.close()
+  }
+
+  test("idle fast-forward never acks past an undelivered commit") {
+    // A transaction that commits BETWEEN the drain's final empty read and
+    // the fast-forward probe must not be skipped: currentLsn() is
+    // contractually delivered-through, so it may not run ahead of the
+    // commit until the commit has actually been handed out. (An
+    // out-of-band pg_current_wal_lsn probe here would return the new
+    // insert position; acking it advances confirmed-flush past the
+    // undelivered commit — the slot never resends below that = silent,
+    // permanent loss.)
+    val server = new SyntheticReplicationServer(genCfg, 10L)
+    val real = server.connect(conn, slotCfg)
+    val racing = new ReplicationConnector {
+      def createSlotIfAbsent(): Boolean = real.createSlotIfAbsent()
+      def openStream(): Unit = real.openStream()
+      def readPending(): Option[WalChunk] = real.readPending()
+      def currentLsn(): Long = {
+        server.nTxns += 1 // the commit lands inside the idle window
+        real.currentLsn()
+      }
+      def ack(lsn: Long): Unit = real.ack(lsn)
+      def close(): Unit = real.close()
+    }
+    var now = 0L
+    val ingest = new ReplicationIngest(racing, tmpDir("repl-race"), hconf,
+      slotCfg, nowMs = () => now)
+    ingest.start()
+    assert(ingest.pump().ackedLsn === 10L) // drained the initial 10
+    now += slotCfg.idleSlotIntervalMs + 1
+    val idle = ingest.pump() // idle branch fires; commit 11 lands mid-probe
+    assert(idle.ackedLsn === 10L,
+      "fast-forward must not ack past the undelivered commit")
+    val after = ingest.pump() // the commit is still deliverable
+    assert(after.chunks === 11L, "the late commit must be delivered, not skipped")
+    assert(after.ackedLsn === 11L)
+    ingest.close()
+    assert(server.confirmedFlushLsn("graft_slot") === 11L)
   }
 
   test("protocol faults map onto the supervision taxonomy") {
