@@ -21,7 +21,10 @@ import graft.bench.CdcBench
  *    bandwidth) — hence scaling is also reported for a pair that fits the
  *    box (2 -> 8).
  *
- * Usage: runMain graft.ScaleBench [nTxns] [reps] [N1,N2,...]
+ * Usage: runMain graft.ScaleBench [nTxns] [reps] [N1,N2,...] [reuseWalDir]
+ * Self-generated WALs (~7 GB at 10M txns) are deleted at JVM exit; to
+ * amortize generation across invocations, `cli gen` a WAL to a path you
+ * own and pass it as reuseWalDir (never auto-deleted).
  */
 object ScaleBench {
 

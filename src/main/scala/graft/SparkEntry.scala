@@ -29,7 +29,7 @@ object SparkEntry {
     import graft.lake.LakeTable
 
     val cfg = GenConfig(seed = 42L, nRepos = 50, pathsPerRepo = 10)
-    val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val root = graft.util.TempDirs.scratch("graft-entry")
     val table = new LakeTable(spark, root)
     table.create(graft.cli.Main.reposSchema, Seq("repo", "path"), nBuckets = 8,
       graft.cli.Main.reposRenameMap)

@@ -25,29 +25,34 @@ object CdcBench {
     def eventsPerSec: Double = events / seconds
   }
 
+  import graft.util.TempDirs.deleteDir
+
   def run(spark: SparkSession, nTxns: Long, txnsPerSegment: Long,
           nBuckets: Int = 32, walDirOverride: Option[String] = None): Result = {
     val cfg = GenConfig(seed = 42L, nRepos = 5000, pathsPerRepo = 500)
     val walDir = walDirOverride.getOrElse {
-      val d = Files.createTempDirectory("graft-bench-wal").toString
+      val d = graft.util.TempDirs.scratch("graft-bench-wal")
       ChangeStreamGen.writeSegments(spark, cfg, d, nTxns, txnsPerSegment)
       d
     }
-    val root = Files.createTempDirectory("graft-bench-table").toString
-    val ckpt = Files.createTempDirectory("graft-bench-ckpt").toString
+    // scratch = exit-hook backstop for crashes/interrupts; the finally
+    // below is the immediate fast path
+    val root = graft.util.TempDirs.scratch("graft-bench-table")
+    val ckpt = graft.util.TempDirs.scratch("graft-bench-ckpt")
+    try {
+      val target = TableTarget("repos", new LakeTable(spark, root),
+        Main.reposSchema, Seq("repo", "path"), nBuckets, Main.reposRenameMap)
+      val pipe = new CdcPipeline(spark, walDir, ckpt, Seq(target), Set("repos"))
 
-    val target = TableTarget("repos", new LakeTable(spark, root),
-      Main.reposSchema, Seq("repo", "path"), nBuckets, Main.reposRenameMap)
-    val pipe = new CdcPipeline(spark, walDir, ckpt, Seq(target), Set("repos"))
+      // Count input change events outside the timed span (metric denominator).
+      val lines = spark.read.text(walDir)
+      val events = ChangeDecoder.decode(lines).count()
 
-    // Count input change events outside the timed span (metric denominator).
-    val lines = spark.read.text(walDir)
-    val events = ChangeDecoder.decode(lines).count()
-
-    val t0 = System.nanoTime()
-    pipe.processBatch(lines, batchId = 0L)
-    val seconds = (System.nanoTime() - t0) / 1e9
-    Result(events, seconds, nBuckets)
+      val t0 = System.nanoTime()
+      pipe.processBatch(lines, batchId = 0L)
+      val seconds = (System.nanoTime() - t0) / 1e9
+      Result(events, seconds, nBuckets)
+    } finally { deleteDir(root); deleteDir(ckpt) } // after the clock stopped
   }
 
   /**
@@ -64,27 +69,33 @@ object CdcBench {
                    maxDeltasPerBucket: Int = 8): Result = {
     val cfg = GenConfig(seed = 42L, nRepos = 5000, pathsPerRepo = 500)
     val walDir = walDirOverride.getOrElse {
-      val d = Files.createTempDirectory("graft-bench-wal").toString
+      val d = graft.util.TempDirs.scratch("graft-bench-wal")
       ChangeStreamGen.writeSegments(spark, cfg, d, nTxns, txnsPerSegment)
       d
     }
-    val root = Files.createTempDirectory("graft-bench-table").toString
-    val ckpt = Files.createTempDirectory("graft-bench-ckpt").toString
-    val target = TableTarget("repos", new LakeTable(spark, root, maxDeltasPerBucket),
-      Main.reposSchema, Seq("repo", "path"), nBuckets, Main.reposRenameMap)
-    val pipe = new CdcPipeline(spark, walDir, ckpt, Seq(target), Set("repos"),
-      maxFilesPerTrigger = Some(segmentsPerTrigger))
-    val events = ChangeDecoder.decode(spark.read.text(walDir)).count()
-    val t0 = System.nanoTime()
-    pipe.runAvailable()
-    val seconds = (System.nanoTime() - t0) / 1e9
-    Result(events, seconds, nBuckets)
+    // scratch = exit-hook backstop for crashes/interrupts; the finally
+    // below is the immediate fast path
+    val root = graft.util.TempDirs.scratch("graft-bench-table")
+    val ckpt = graft.util.TempDirs.scratch("graft-bench-ckpt")
+    try {
+      val target = TableTarget("repos", new LakeTable(spark, root, maxDeltasPerBucket),
+        Main.reposSchema, Seq("repo", "path"), nBuckets, Main.reposRenameMap)
+      val pipe = new CdcPipeline(spark, walDir, ckpt, Seq(target), Set("repos"),
+        maxFilesPerTrigger = Some(segmentsPerTrigger))
+      val events = ChangeDecoder.decode(spark.read.text(walDir)).count()
+      val t0 = System.nanoTime()
+      pipe.runAvailable()
+      val seconds = (System.nanoTime() - t0) / 1e9
+      Result(events, seconds, nBuckets)
+    } finally { deleteDir(root); deleteDir(ckpt) } // after the clock stopped
   }
 
-  /** Pre-write a WAL once so multiple sessions bench the identical input. */
+  /** Pre-write a WAL once so multiple sessions bench the identical input.
+    * Deleted at JVM exit; to reuse a WAL across invocations, `gen` one to a
+    * path you own and pass it as the reuse argument instead. */
   def prepareWal(spark: SparkSession, nTxns: Long, txnsPerSegment: Long): String = {
     val cfg = GenConfig(seed = 42L, nRepos = 5000, pathsPerRepo = 500)
-    val d = Files.createTempDirectory("graft-scale-wal").toString
+    val d = graft.util.TempDirs.scratch("graft-scale-wal")
     ChangeStreamGen.writeSegments(spark, cfg, d, nTxns, txnsPerSegment)
     d
   }

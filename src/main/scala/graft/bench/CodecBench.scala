@@ -59,7 +59,7 @@ object CodecBench {
     var dirs = Map.empty[String, String]
     for (i <- 0 until reps; c <- codecs) { // interleave: noisy host
       val out = dirs.getOrElse(c, {
-        val d = Files.createTempDirectory(s"codec-$c").toString
+        val d = graft.util.TempDirs.scratch(s"codec-$c")
         dirs += c -> d; d
       })
       val t0 = System.nanoTime()

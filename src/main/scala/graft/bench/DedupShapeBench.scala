@@ -70,10 +70,14 @@ object DedupShapeBench {
     println(s"exchanges A=${exchanges(shapeA)} B=${exchanges(shapeB)}")
 
     def timeWrite(df: DataFrame): Double = {
-      val out = Files.createTempDirectory("dedup-shape").toString
+      val out = graft.util.TempDirs.scratch("dedup-shape")
       val t0 = System.nanoTime()
       df.write.partitionBy("_bucket").mode("overwrite").parquet(out)
-      (System.nanoTime() - t0) / 1e9
+      val s = (System.nanoTime() - t0) / 1e9
+      // delete immediately: 2*reps full outputs coexisting until exit
+      // would multiply peak disk by 2*reps (the hook stays as backstop)
+      graft.util.TempDirs.deleteDir(out)
+      s
     }
     val a = Array.fill(reps)(0.0); val b = Array.fill(reps)(0.0)
     for (i <- 0 until reps) { // interleave: noisy host

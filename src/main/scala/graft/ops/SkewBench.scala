@@ -13,7 +13,7 @@ object SkewBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = java.nio.file.Files.createTempDirectory("skew").toString
+    val dir = graft.util.TempDirs.scratch("skew")
     // every doc shares one boilerplate 5-gram; docs 0/1 are true near-dups
     spark.range(nDocs).select(
       col("id").as("doc_id"),
