@@ -29,9 +29,12 @@ class SparkEntrySpec extends SparkSpec {
     val media = MultimodalOps.mediaFromDocuments(spark, sf).repartition(4)
     val feats = MultimodalOps.decodeFeatures(media)
     assert(feats.columns.toSeq ===
-      Seq("doc_id", "media_type", "n_bytes", "width", "height", "n_frames", "checksum"))
+      Seq("doc_id", "media_type", "format", "n_bytes", "width", "height",
+        "n_frames", "checksum"))
     val rows = feats.collect()
     assert(rows.length === media.count())
+    // document-text blobs sniff as no known container => stub features
+    assert(rows.forall(_.format === "unknown"))
     assert(rows.forall(f => f.width >= 64 && f.width < 64 + 577))
     assert(rows.forall(f => f.n_frames === 1 + f.n_bytes / 100))
     // determinism across partitionings
