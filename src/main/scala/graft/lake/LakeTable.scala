@@ -267,14 +267,23 @@ class LakeTable(val spark: SparkSession, val root: String,
 
   /** Durably write an immutable metadata file (manifests): unique name, so
     * no fencing — but it must be fully on disk before the root snapshot
-    * that references it can publish. */
+    * that references it can publish. On `file:` hsync is a silent no-op
+    * (ChecksumFileSystem is not Syncable — CLAUDE.md lesson 12), so the
+    * local path takes the same FileChannel.force + directory-fsync
+    * treatment as the snapshot publish; otherwise a power loss could leave
+    * a durable root pointing at a torn manifest, wedging the table. */
   private def writeMetaFile(p: HPath, content: String): Unit = {
     fs.mkdirs(p.getParent)
-    val out = fs.create(p, false)
-    try {
-      out.write(content.getBytes(StandardCharsets.UTF_8))
-      out.hsync()
-    } finally out.close()
+    if (isLocalFs) {
+      writeDurableLocal(localFile(p), content)
+      fsyncDir(localFile(p.getParent))
+    } else {
+      val out = fs.create(p, false)
+      try {
+        out.write(content.getBytes(StandardCharsets.UTF_8))
+        out.hsync()
+      } finally out.close()
+    }
   }
 
   /** Durably write `content` to `tmp`, then atomically claim `target` with
@@ -311,9 +320,23 @@ class LakeTable(val spark: SparkSession, val root: String,
         catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
       if (!renamed) {
         fs.delete(tmp, false)
-        if (fs.exists(target))
+        if (fs.exists(target)) {
+          // Ambiguous-outcome guard: an RPC timeout/retry can report
+          // failure for a rename the NameNode actually applied. If the
+          // existing target carries OUR content, this publish WON —
+          // misclassifying it as a conflict would make the distributed
+          // commit's loser-cleanup delete manifests referenced by our own
+          // just-published root, wedging the table permanently.
+          val existing =
+            try {
+              val in = fs.open(target)
+              try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+              finally in.close()
+            } catch { case _: java.io.IOException => null }
+          if (existing == content) return // our own rename landed
           throw new CommitConflictException(
             s"snapshot ${target.getName} already committed")
+        }
         throw new java.io.IOException(s"rename $tmp -> $target failed")
       }
     }
@@ -622,33 +645,117 @@ class LakeTable(val spark: SparkSession, val root: String,
    */
   def expireSnapshots(keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
+    executeExpirePlans() // finish a crashed prior pass's deletions first
     val ids = listMetaNames()
       .collect { case SnapshotRe(n) => n.toLong }
       .sorted
     if (ids.size <= keepLast) return (0, 0)
     val (expire, keep) = ids.splitAt(ids.size - keepLast)
-    val keptSnaps = keep.map(readSnapshot)
-    val expSnaps = expire.map(readSnapshot)
+    // A KEPT snapshot vanishing mid-pass means a concurrent expire with a
+    // tighter policy won the race — our dead-set math is stale; retry.
+    // An EXPIRING snapshot vanishing is benign (already expired): skip.
+    val keptSnaps = keep.map { id =>
+      try readSnapshot(id)
+      catch {
+        case e: java.io.FileNotFoundException
+            if !fs.exists(new HPath(metaDir, f"snapshot-$id%012d.json")) =>
+          throw new IllegalStateException(
+            s"snapshot $id vanished during expire (concurrent maintenance)" +
+              " — re-run expireSnapshots", e)
+      }
+    }
+    val expSnaps = expire.flatMap(readSnapshotIfPresent)
     val keptFiles = keptSnaps.flatMap(_.allFiles).toSet
     val deadFiles = expSnaps.flatMap(_.allFiles).toSet -- keptFiles
     val keptManifests = keptSnaps.flatMap(_.bucketManifests.values).toSet
     val deadManifests =
       expSnaps.flatMap(_.bucketManifests.values).toSet -- keptManifests
+    // Durable deletion plan BEFORE dropping the roots: the expired roots
+    // are the ONLY record of which files are dead. A crash between root
+    // deletion and file deletion would otherwise leak those files forever
+    // — the orphan sweep works at commit-directory granularity and cannot
+    // see dead files inside directories that still hold live ones.
+    val planPath = new HPath(metaDir,
+      s".expire-plan-${java.util.UUID.randomUUID().toString.take(8)}.json")
+    if (deadFiles.nonEmpty || deadManifests.nonEmpty)
+      writeMetaFile(planPath, expirePlanJson(deadFiles, deadManifests))
     // ORDER MATTERS for crash-resumability: drop the expired snapshot
     // JSONs FIRST — after that, the dead data files and manifests are mere
-    // orphans (recomputable, sweepable) — whereas deleting a snapshot's
-    // manifests before its root would leave a listed snapshot that
-    // readSnapshot can never resolve again, wedging every later
+    // orphans (listed in the plan, sweepable) — whereas deleting a
+    // snapshot's manifests before its root would leave a listed snapshot
+    // that readSnapshot can never resolve again, wedging every later
     // maintenance pass on the same FileNotFound.
     expire.foreach(id =>
       fs.delete(new HPath(metaDir, f"snapshot-$id%012d.json"), false))
     deadFiles.foreach(f => fs.delete(new HPath(rootPath, f), false))
     deadManifests.foreach(m => fs.delete(new HPath(rootPath, m), false))
+    fs.delete(planPath, false) // deletions complete: retire the plan
     // sweep now-empty commit directories
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach(st => sweepEmptyDirs(st.getPath))
     (expire.size, deadFiles.size)
   }
+
+  /** Read a snapshot, or None exactly when its ROOT file is gone (a
+    * concurrent expire removed it). Any other failure — e.g. a missing
+    * manifest with the root still listed — propagates: skipping such a
+    * snapshot would misclassify its files as orphans. */
+  private def readSnapshotIfPresent(id: Long): Option[Snapshot] =
+    try Some(readSnapshot(id))
+    catch {
+      case _: java.io.FileNotFoundException
+          if !fs.exists(new HPath(metaDir, f"snapshot-$id%012d.json")) =>
+        None
+    }
+
+  private def expirePlanJson(files: Set[String], manifests: Set[String]): String = {
+    val n = mapper.createObjectNode()
+    val fa = n.putArray("files"); files.toSeq.sorted.foreach(fa.add)
+    val ma = n.putArray("manifests"); manifests.toSeq.sorted.foreach(ma.add)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+  }
+
+  /** Complete the deletions of any expire pass that crashed after writing
+    * its plan (idempotent: every entry is delete-if-exists; plan entries
+    * were dead at planning time and data/manifest paths are never reused,
+    * so re-execution can never touch live state). */
+  private def executeExpirePlans(): Unit =
+    listMetaNames().filter(n =>
+      n.startsWith(".expire-plan-") && n.endsWith(".json")).foreach { name =>
+      val p = new HPath(metaDir, name)
+      val json =
+        try readMetaFile(s"meta/$name")
+        catch { case _: java.io.IOException => null } // already retired
+      if (json != null) {
+        // A TORN plan (crash mid-write) is safe to discard: the roots are
+        // only deleted AFTER the plan write returned durably, so a torn
+        // plan implies the expired roots survived and a re-run recomputes
+        // the dead sets from scratch.
+        val node =
+          try mapper.readTree(json)
+          catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+        if (node != null) {
+          def strs(field: String): Seq[String] = {
+            val arr = node.get(field)
+            if (arr == null) Nil
+            else (0 until arr.size()).map(arr.get(_).asText())
+          }
+          (strs("files") ++ strs("manifests"))
+            .foreach(rel => fs.delete(new HPath(rootPath, rel), false))
+        }
+      }
+      fs.delete(p, false)
+    }
+
+  /** Newest modification time anywhere under `p` (files or directories);
+    * tolerates entries vanishing mid-walk (concurrent job commit). */
+  private def newestMtime(p: HPath): Long =
+    try {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
+    } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
 
   /** Depth-first removal of empty directories under (and including) `p`. */
   private def sweepEmptyDirs(p: HPath): Unit = {
@@ -681,17 +788,25 @@ class LakeTable(val spark: SparkSession, val root: String,
    * @return number of orphan directories removed
    */
   def removeOrphans(graceMs: Long = 60 * 60 * 1000L): Int = {
+    executeExpirePlans() // finish a crashed expire's deletions first
     val cutoff = System.currentTimeMillis() - graceMs
+    // tolerate a snapshot expiring between the listing and the read (its
+    // exclusive files were deleted by that expire); any other read failure
+    // aborts the pass — misreading here could orphan live files
     val snaps = listMetaNames().collect { case SnapshotRe(n) => n.toLong }
-      .map(readSnapshot)
+      .flatMap(readSnapshotIfPresent)
     val dirOrphans =
       if (!fs.exists(dataDir)) 0
       else {
         val liveDirs = snaps.flatMap(_.allFiles)
           .map(f => f.split("/")(1)).toSet // data/<dir>/...
         val orphans = fs.listStatus(dataDir).toSeq.filter { st =>
+          // liveness = the NEWEST mtime in the tree, not the top dir's: a
+          // long-running write job mutates only _temporary/ underneath,
+          // leaving the top mtime at creation — grace judged on that alone
+          // would GC an in-flight commit attempt mid-job
           !liveDirs.contains(st.getPath.getName) &&
-            st.getModificationTime < cutoff
+            newestMtime(st.getPath) < cutoff
         }
         orphans.foreach(st => deleteDataDir(st.getPath.getName))
         orphans.size
@@ -715,13 +830,21 @@ class LakeTable(val spark: SparkSession, val root: String,
   }
 
   /** Write `df` (which must carry an integer `_bucket` column) as the data
-    * files of an attempted commit; returns bucket -> new relative file paths. */
+    * files of an attempted commit; returns bucket -> new relative file
+    * paths. The files are DURABLE when this returns on `file:` (each file
+    * force()d + its directory entries fsynced — Spark's parquet writer
+    * only close()s, which reaches the page cache): the fenced snapshot
+    * commit makes these files authoritative, and by then the WAL below the
+    * batch may be acked/pruned, so a power loss must not be able to tear
+    * them. On HDFS the pipeline ack on close is the durability barrier
+    * (dfs.datanode.synconclose for strict power-loss guarantees); on
+    * object stores the PUT is atomic — visible means whole. */
   def writeBucketed(df: DataFrame, commitDir: String): Map[Int, Seq[String]] = {
     val outPath = s"$root/data/$commitDir"
     df.write.partitionBy("_bucket").option("compression", compressionCodec)
       .mode("overwrite").parquet(outPath)
     val base = new HPath(dataDir, commitDir)
-    fs.listStatus(base).toSeq
+    val byBucket = fs.listStatus(base).toSeq
       .filter(_.getPath.getName.startsWith("_bucket="))
       .map { st =>
         val b = st.getPath.getName.stripPrefix("_bucket=").toInt
@@ -732,6 +855,18 @@ class LakeTable(val spark: SparkSession, val root: String,
           .sorted
         b -> names
       }.toMap
+    if (isLocalFs) {
+      byBucket.values.flatten.foreach { rel =>
+        val ch = FileChannel.open(localFile(new HPath(rootPath, rel)),
+          StandardOpenOption.WRITE)
+        try ch.force(true) finally ch.close()
+      }
+      byBucket.keys.foreach(b =>
+        fsyncDir(localFile(new HPath(base, s"_bucket=$b"))))
+      fsyncDir(localFile(base))
+      fsyncDir(localFile(dataDir))
+    }
+    byBucket
   }
 }
 

@@ -51,8 +51,16 @@ class WalStager(dir: String, conf: Configuration,
     java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
 
   /** Durable record of the next index to publish (survives retention
-    * emptying the listing). */
-  private val highWaterPath = new HPath(dirPath, ".wal-stager.next")
+    * emptying the listing). The index is encoded in the file NAME and the
+    * file is only ever CREATED, never overwritten — directory entries are
+    * atomic, so a crash can never leave a torn record. (The previous
+    * content-based `.wal-stager.next` file was truncate-in-place: a crash
+    * mid-rewrite left "" which silently parsed as 0, and once retention
+    * had emptied the listing the stager would REUSE published names —
+    * below the consumer's durable offset = permanent acked-WAL loss.) */
+  private val legacyHighWaterPath = new HPath(dirPath, ".wal-stager.next")
+  private def highWaterName(n: Long): String = f".wal-stager.next-$n%019d"
+  private val HighWaterRe = "\\.wal-stager\\.next-(\\d+)".r
 
   private var nextIndex: Long = {
     val re = "wal-(\\d+)\\.jsonl".r
@@ -65,19 +73,32 @@ class WalStager(dir: String, conf: Configuration,
       .foreach(n => fs.delete(new HPath(dirPath, n), false))
     val listed = names.collect { case re(n) => n.toLong }
       .foldLeft(-1L)(math.max) + 1
-    val recorded =
-      try {
-        if (!fs.exists(highWaterPath)) 0L
-        else {
-          val in = fs.open(highWaterPath)
-          val txt = try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
-          finally in.close()
-          txt.toLongOption.getOrElse(0L)
+    val recorded = names.collect { case HighWaterRe(n) => n.toLong }
+      .foldLeft(0L)(math.max)
+    // migration: a legacy content-based record may still be present. Its
+    // value is trusted when parseable; unparseable content is REFUSED when
+    // the listing cannot vouch for the numbering (empty dir) — silently
+    // falling back to 0 is exactly the name-reuse bug.
+    val legacy =
+      if (!names.contains(legacyHighWaterPath.getName)) 0L
+      else {
+        val txt =
+          try {
+            val in = fs.open(legacyHighWaterPath)
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
+            finally in.close()
+          } catch { case _: java.io.IOException => "" }
+        txt.toLongOption.getOrElse {
+          if (listed == 0L && recorded == 0L)
+            throw new IllegalStateException(
+              s"$legacyHighWaterPath is unreadable and $dir lists no " +
+                "segments: the next safe index is unknown. Restore the " +
+                "file or remove it after verifying no consumer offset " +
+                "exceeds the last published segment name.")
+          0L // listing/name-record vouches for at least their max
         }
-      } catch { // torn write (incl. ChecksumException): fall back to listing
-        case _: java.io.IOException => 0L
       }
-    math.max(listed, recorded)
+    math.max(math.max(listed, recorded), legacy)
   }
 
   private var tmpPath: HPath = _
@@ -154,19 +175,21 @@ class WalStager(dir: String, conf: Configuration,
     Some(name)
   }
 
-  /** Persist the next publishable index. Overwrite-in-place is fine: the
-    * reader tolerates torn content by falling back to the listing, and a
-    * stale value only costs a gap, never a reuse (max with the listing). */
+  /** Persist the next publishable index as a CREATE-only, name-encoded
+    * record: the directory entry either exists with the full value in its
+    * name or does not exist at all — no write can tear it. Older records
+    * (and the legacy content file) are pruned only AFTER the new record's
+    * directory entry is durable; a crash in between leaves extra records,
+    * and the reader takes the max. */
   private def recordHighWater(next: Long): Unit = {
-    val o = fs.create(highWaterPath, true)
-    try {
-      o.write(next.toString.getBytes(StandardCharsets.UTF_8))
-      o.hsync()
-    } finally o.close()
-    if (isLocalFs) {
-      val ch = FileChannel.open(localFile(highWaterPath), StandardOpenOption.WRITE)
-      try ch.force(true) finally ch.close()
-    }
+    val p = new HPath(dirPath, highWaterName(next))
+    try fs.create(p, false).close() // empty content: the name IS the value
+    catch { case _: java.io.IOException if fs.exists(p) => () } // idempotent
+    if (isLocalFs) fsyncDir(localFile(dirPath))
+    fs.listStatus(dirPath).toSeq.map(_.getPath.getName)
+      .collect { case HighWaterRe(n) if n.toLong < next => highWaterName(n.toLong) }
+      .foreach(n => fs.delete(new HPath(dirPath, n), false))
+    fs.delete(legacyHighWaterPath, false)
   }
 
   /** Make a new directory entry durable (best-effort where unsupported). */

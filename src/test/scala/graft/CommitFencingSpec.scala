@@ -71,20 +71,31 @@ class CommitFencingSpec extends SparkSpec {
     val written = t.writeBucketed(df, dirName)
     t.commit(snap.copy(bucketFiles = written, lsnHighWatermark = 1L), snap.snapshotId)
 
-    // orphan: a stale attempt dir (conflict loser) with old mtime
+    // orphan: a stale attempt dir (conflict loser) — EVERYTHING in the
+    // tree is old (liveness is the newest mtime anywhere underneath)
     val orphan = Paths.get(t.root, "data", "commit-000000000007-deadbeef")
     Files.createDirectories(orphan)
     Files.writeString(orphan.resolve("part-0.parquet"), "junk")
     val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10_000_000L)
+    Files.setLastModifiedTime(orphan.resolve("part-0.parquet"), old)
     Files.setLastModifiedTime(orphan, old)
 
     // fresh unreferenced dir (in-flight writer) must survive the grace period
     val inflight = Paths.get(t.root, "data", "commit-000000000008-cafebabe")
     Files.createDirectories(inflight)
 
+    // in-flight LONG-RUNNING writer: the top dir was mkdir'd long ago but
+    // tasks are still writing under _temporary/ — judging grace on the top
+    // mtime alone would GC the attempt mid-job
+    val longJob = Paths.get(t.root, "data", "commit-000000000009-0ddjob00")
+    Files.createDirectories(longJob.resolve("_temporary"))
+    Files.writeString(longJob.resolve("_temporary").resolve("task-0.parquet"), "wip")
+    Files.setLastModifiedTime(longJob, old) // top dir looks ancient
+
     assert(t.removeOrphans(graceMs = 1_000_000L) == 1)
     assert(!Files.exists(orphan))
     assert(Files.exists(inflight))
+    assert(Files.exists(longJob), "active write tree must survive grace")
     assert(t.read().count() == 3) // live data untouched
   }
 

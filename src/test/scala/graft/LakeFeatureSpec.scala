@@ -138,4 +138,32 @@ class LakeFeatureSpec extends SparkSpec {
     // and expiry is idempotent
     assert(t.expireSnapshots(keepLast = 2) === ((0, 0)))
   }
+
+  test("a crashed expire's durable plan is completed by the next maintenance pass") {
+    val t = newTable()
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 60)))
+    // simulate the crash window: an expire pass wrote its plan and died
+    // BEFORE deleting the listed dead files — without the plan they'd leak
+    // forever (the orphan sweep is directory-grained and cannot see dead
+    // files inside directories that still hold live ones)
+    val liveDir = t.currentSnapshot.get.allFiles.head.split("/")(1)
+    val deadRel = s"data/$liveDir/dead-from-crashed-expire.parquet"
+    val deadAbs = java.nio.file.Paths.get(t.root, deadRel)
+    java.nio.file.Files.write(deadAbs, Array[Byte](1, 2, 3))
+    val plan = java.nio.file.Paths.get(t.root, "meta", ".expire-plan-test1.json")
+    java.nio.file.Files.writeString(plan,
+      s"""{"files":["$deadRel"],"manifests":[]}""")
+    val before = state(t)
+    assert(t.removeOrphans(graceMs = Long.MaxValue / 2) === 0) // nothing orphaned
+    assert(!java.nio.file.Files.exists(deadAbs), "planned deletion completed")
+    assert(!java.nio.file.Files.exists(plan), "plan retired after execution")
+    assert(state(t) === before) // live data untouched
+    // a TORN plan (crash mid-plan-write) is discarded without wedging:
+    // the roots survive in that window, so a re-run recomputes the plan
+    val torn = java.nio.file.Paths.get(t.root, "meta", ".expire-plan-torn.json")
+    java.nio.file.Files.writeString(torn, """{"files":["data/x""")
+    assert(t.expireSnapshots(keepLast = 1)._1 >= 0) // must not throw
+    assert(!java.nio.file.Files.exists(torn))
+    assert(state(t) === before)
+  }
 }

@@ -88,6 +88,39 @@ class WalStagerSpec extends SparkSpec {
     b.close()
   }
 
+  test("a torn high-water record can never cause name reuse") {
+    // The record is name-encoded and create-only: a crash can leave an
+    // EXTRA record, never a torn one. Simulate the worst crash window —
+    // new record created, old not yet pruned — plus a torn LEGACY
+    // content-format file from an older version.
+    val dir = tmpDir("stage")
+    val a = new WalStager(dir, conf)
+    (1 to 2).foreach { i => a.append(s"x$i"); a.roll() }
+    a.close()
+    val p = java.nio.file.Paths.get(dir)
+    // crash leftovers: a stale extra record + an empty (torn) legacy file
+    java.nio.file.Files.createFile(p.resolve(f".wal-stager.next-${1L}%019d"))
+    java.nio.file.Files.writeString(p.resolve(".wal-stager.next"), "")
+    // retention empties the listing — the name records are all that's left
+    WalSource.listSegments(dir).foreach(n =>
+      java.nio.file.Files.delete(p.resolve(n)))
+    val b = new WalStager(dir, conf)
+    b.append("after")
+    assert(b.roll() === Some("wal-000000002.jsonl")) // max record wins
+    b.close()
+  }
+
+  test("an unreadable legacy record with an empty listing fails loudly") {
+    // Silent fallback to 0 here is exactly the permanent-loss bug: the
+    // stager would republish names below the consumer's durable offset.
+    val dir = tmpDir("stage")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".wal-stager.next"), "not a number")
+    val e = intercept[IllegalStateException] { new WalStager(dir, conf) }
+    assert(e.getMessage.contains("next safe index is unknown"))
+  }
+
   test("a crashed stager's hidden temp files are swept on restart") {
     val dir = tmpDir("stage")
     val a = new WalStager(dir, conf)
