@@ -46,13 +46,16 @@ object WriterTuningBench {
     }
 
     def dirBytes(d: String): Long = {
-      val it = java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator()
-      var n = 0L
-      while (it.hasNext) {
-        val p = it.next()
-        if (java.nio.file.Files.isRegularFile(p)) n += java.nio.file.Files.size(p)
-      }
-      n
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try {
+        val it = stream.iterator()
+        var n = 0L
+        while (it.hasNext) {
+          val p = it.next()
+          if (java.nio.file.Files.isRegularFile(p)) n += java.nio.file.Files.size(p)
+        }
+        n
+      } finally stream.close()
     }
 
     val variants = Seq("dict-on" -> "true", "dict-off" -> "false")

@@ -327,12 +327,15 @@ class LakeTable(val spark: SparkSession, val root: String,
           // misclassifying it as a conflict would make the distributed
           // commit's loser-cleanup delete manifests referenced by our own
           // just-published root, wedging the table permanently.
-          val existing =
-            try {
-              val in = fs.open(target)
-              try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-              finally in.close()
-            } catch { case _: java.io.IOException => null }
+          // a read failure here must PROPAGATE (abort, retryable): mapping
+          // it to a conflict would trigger the loser-cleanup against our
+          // own possibly-published root — the exact wedge this guard exists
+          // to prevent
+          val existing = {
+            val in = fs.open(target)
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            finally in.close()
+          }
           if (existing == content) return // our own rename landed
           throw new CommitConflictException(
             s"snapshot ${target.getName} already committed")
@@ -678,7 +681,7 @@ class LakeTable(val spark: SparkSession, val root: String,
     val planPath = new HPath(metaDir,
       s".expire-plan-${java.util.UUID.randomUUID().toString.take(8)}.json")
     if (deadFiles.nonEmpty || deadManifests.nonEmpty)
-      writeMetaFile(planPath, expirePlanJson(deadFiles, deadManifests))
+      writeMetaFile(planPath, expirePlanJson(expire, deadFiles, deadManifests))
     // ORDER MATTERS for crash-resumability: drop the expired snapshot
     // JSONs FIRST — after that, the dead data files and manifests are mere
     // orphans (listed in the plan, sweepable) — whereas deleting a
@@ -708,8 +711,10 @@ class LakeTable(val spark: SparkSession, val root: String,
         None
     }
 
-  private def expirePlanJson(files: Set[String], manifests: Set[String]): String = {
+  private def expirePlanJson(roots: Seq[Long], files: Set[String],
+                             manifests: Set[String]): String = {
     val n = mapper.createObjectNode()
+    val ra = n.putArray("roots"); roots.sorted.foreach(ra.add)
     val fa = n.putArray("files"); files.toSeq.sorted.foreach(fa.add)
     val ma = n.putArray("manifests"); manifests.toSeq.sorted.foreach(ma.add)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
@@ -718,21 +723,28 @@ class LakeTable(val spark: SparkSession, val root: String,
   /** Complete the deletions of any expire pass that crashed after writing
     * its plan (idempotent: every entry is delete-if-exists; plan entries
     * were dead at planning time and data/manifest paths are never reused,
-    * so re-execution can never touch live state). */
+    * so re-execution can never touch live state). The plan's snapshot
+    * ROOTS are deleted FIRST — lesson 13: deleting a root's manifests
+    * while the root is still listed leaves a snapshot readSnapshot can
+    * never resolve, wedging every later maintenance pass. */
   private def executeExpirePlans(): Unit =
     listMetaNames().filter(n =>
       n.startsWith(".expire-plan-") && n.endsWith(".json")).foreach { name =>
       val p = new HPath(metaDir, name)
+      // ONLY file-not-found means "plan already retired by a racing pass";
+      // any other IO failure aborts — retiring a plan whose deletions were
+      // skipped would leak its dead files forever (the plan is their only
+      // record)
       val json =
-        try readMetaFile(s"meta/$name")
-        catch { case _: java.io.IOException => null } // already retired
-      if (json != null) {
+        try Some(readMetaFile(s"meta/$name"))
+        catch { case _: java.io.FileNotFoundException => None }
+      json.foreach { j =>
         // A TORN plan (crash mid-write) is safe to discard: the roots are
         // only deleted AFTER the plan write returned durably, so a torn
         // plan implies the expired roots survived and a re-run recomputes
         // the dead sets from scratch.
         val node =
-          try mapper.readTree(json)
+          try mapper.readTree(j)
           catch { case _: com.fasterxml.jackson.core.JacksonException => null }
         if (node != null) {
           def strs(field: String): Seq[String] = {
@@ -740,6 +752,10 @@ class LakeTable(val spark: SparkSession, val root: String,
             if (arr == null) Nil
             else (0 until arr.size()).map(arr.get(_).asText())
           }
+          val roots = Option(node.get("roots")).toSeq
+            .flatMap(arr => (0 until arr.size()).map(arr.get(_).asLong()))
+          roots.foreach(id =>
+            fs.delete(new HPath(metaDir, f"snapshot-$id%012d.json"), false))
           (strs("files") ++ strs("manifests"))
             .foreach(rel => fs.delete(new HPath(rootPath, rel), false))
         }
@@ -748,14 +764,19 @@ class LakeTable(val spark: SparkSession, val root: String,
     }
 
   /** Newest modification time anywhere under `p` (files or directories);
-    * tolerates entries vanishing mid-walk (concurrent job commit). */
+    * tolerates entries vanishing mid-walk (concurrent job commit). Recurses
+    * on the FileStatus the parent listing already returned — re-stat'ing
+    * each child would double the metadata RPCs on remote stores. */
   private def newestMtime(p: HPath): Long =
-    try {
-      val st = fs.getFileStatus(p)
-      if (!st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +:
-        fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
-    } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    try newestMtime(fs.getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+
+  private def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+    if (!st.isDirectory) st.getModificationTime
+    else
+      try (st.getModificationTime +:
+        fs.listStatus(st.getPath).toSeq.map(newestMtime)).max
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
 
   /** Depth-first removal of empty directories under (and including) `p`. */
   private def sweepEmptyDirs(p: HPath): Unit = {

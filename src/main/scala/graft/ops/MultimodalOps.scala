@@ -71,16 +71,26 @@ object MultimodalOps {
     if (b.length >= 24 && be32(b, 0) == 0x89504e47 && be32(b, 4) == 0x0d0a1a0a)
       return Some(("png", be32(b, 16), be32(b, 20), 1))
     if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
-      // JPEG: scan markers for SOF0 (baseline) / SOF1 / SOF2 (progressive)
+      // JPEG: scan markers for SOF0 (baseline) / SOF1 / SOF2 (progressive).
+      // Any number of 0xFF fill bytes may legally pad before a marker id;
+      // entropy-coded data after SOS ends the headers.
       var i = 2
-      while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
-        val m = b(i + 1) & 0xff
+      while (i < b.length && (b(i) & 0xff) == 0xff) {
+        var k = i + 1
+        while (k < b.length && (b(k) & 0xff) == 0xff) k += 1 // fill bytes
+        if (k + 8 >= b.length) return Some(("jpeg", 0, 0, 1)) // truncated
+        val m = b(k) & 0xff
         if (m == 0xc0 || m == 0xc1 || m == 0xc2)
-          return Some(("jpeg", be16(b, i + 7), be16(b, i + 5), 1))
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
-        else i += 2 + be16(b, i + 2) // segment with length
+          return Some(("jpeg", be16(b, k + 6), be16(b, k + 4), 1))
+        if (m == 0xda) return Some(("jpeg", 0, 0, 1)) // SOS before any SOF
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i = k + 1 // standalone
+        else {
+          val len = be16(b, k + 1)
+          if (len < 2) return Some(("jpeg", 0, 0, 1)) // corrupt length
+          i = k + 1 + len
+        }
       }
-      return Some(("jpeg", 0, 0, 1)) // truncated: format known, dims not
+      return Some(("jpeg", 0, 0, 1)) // no SOF found: format known, dims not
     }
     if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
       var frames = 0
@@ -128,17 +138,26 @@ object MultimodalOps {
     }
     if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
         && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
-      // chunk walk: find fmt (channels, rate, block align) and data (size)
-      var i = 12
+      // chunk walk: find fmt (channels, rate, block align) and data (size).
+      // The size field is untrusted input — a negative or overflowing value
+      // must stop the walk (a zero/negative step would otherwise loop a
+      // Spark task forever, or index out of bounds), keeping whatever
+      // metadata was parsed so far.
+      var i = 12L
       var channels = 0; var rate = 0; var blockAlign = 0; var dataBytes = -1
-      while (i + 8 <= b.length) {
-        val size = le32(b, i + 4)
-        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && i + 24 <= b.length) {
-          channels = le16(b, i + 10); rate = le32(b, i + 12); blockAlign = le16(b, i + 20)
-        } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
-          dataBytes = size
+      var walking = true
+      while (walking && i + 8 <= b.length) {
+        val o = i.toInt
+        val size = le32(b, o + 4)
+        if (size < 0) walking = false
+        else {
+          if (b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' && o + 24 <= b.length) {
+            channels = le16(b, o + 10); rate = le32(b, o + 12); blockAlign = le16(b, o + 20)
+          } else if (b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' && b(o + 3) == 'a') {
+            dataBytes = size
+          }
+          i += 8L + size + (size & 1) // chunks are word-aligned; long math
         }
-        i += 8 + size + (size & 1) // chunks are word-aligned
       }
       val frames = if (blockAlign > 0 && dataBytes >= 0) dataBytes / blockAlign else 0
       // width/height carry (sampleRate, channels) for audio — the two

@@ -62,6 +62,12 @@ class WalStager(dir: String, conf: Configuration,
   private def highWaterName(n: Long): String = f".wal-stager.next-$n%019d"
   private val HighWaterRe = "\\.wal-stager\\.next-(\\d+)".r
 
+  // declared BEFORE nextIndex: its initializer assigns them (Scala runs
+  // field initializers in declaration order — a later declaration would
+  // reset them to their defaults)
+  private var prevRecord: Long = -1L
+  private var legacySwept: Boolean = false
+
   private var nextIndex: Long = {
     val re = "wal-(\\d+)\\.jsonl".r
     val names =
@@ -73,8 +79,13 @@ class WalStager(dir: String, conf: Configuration,
       .foreach(n => fs.delete(new HPath(dirPath, n), false))
     val listed = names.collect { case re(n) => n.toLong }
       .foldLeft(-1L)(math.max) + 1
-    val recorded = names.collect { case HighWaterRe(n) => n.toLong }
-      .foldLeft(0L)(math.max)
+    val records = names.collect { case HighWaterRe(n) => n.toLong }
+    val recorded = records.foldLeft(0L)(math.max)
+    // crash leftovers below the max are pruned HERE (one listing at init)
+    // so the publish hot path never has to list the directory again
+    records.filter(_ < recorded)
+      .foreach(n => fs.delete(new HPath(dirPath, highWaterName(n)), false))
+    prevRecord = if (records.nonEmpty) recorded else -1L
     // migration: a legacy content-based record may still be present. Its
     // value is trusted when parseable; unparseable content is REFUSED when
     // the listing cannot vouch for the numbering (empty dir) — silently
@@ -177,19 +188,20 @@ class WalStager(dir: String, conf: Configuration,
 
   /** Persist the next publishable index as a CREATE-only, name-encoded
     * record: the directory entry either exists with the full value in its
-    * name or does not exist at all — no write can tear it. Older records
-    * (and the legacy content file) are pruned only AFTER the new record's
-    * directory entry is durable; a crash in between leaves extra records,
-    * and the reader takes the max. */
+    * name or does not exist at all — no write can tear it. The PREVIOUS
+    * record (tracked in memory — no per-roll directory listing) and the
+    * legacy content file are pruned only AFTER the new record's directory
+    * entry is durable; a crash in between leaves an extra record, and the
+    * reader takes the max (pruning leftovers at the next init). */
   private def recordHighWater(next: Long): Unit = {
     val p = new HPath(dirPath, highWaterName(next))
     try fs.create(p, false).close() // empty content: the name IS the value
     catch { case _: java.io.IOException if fs.exists(p) => () } // idempotent
     if (isLocalFs) fsyncDir(localFile(dirPath))
-    fs.listStatus(dirPath).toSeq.map(_.getPath.getName)
-      .collect { case HighWaterRe(n) if n.toLong < next => highWaterName(n.toLong) }
-      .foreach(n => fs.delete(new HPath(dirPath, n), false))
-    fs.delete(legacyHighWaterPath, false)
+    if (prevRecord >= 0 && prevRecord < next)
+      fs.delete(new HPath(dirPath, highWaterName(prevRecord)), false)
+    prevRecord = next
+    if (!legacySwept) { fs.delete(legacyHighWaterPath, false); legacySwept = true }
   }
 
   /** Make a new directory entry durable (best-effort where unsupported). */

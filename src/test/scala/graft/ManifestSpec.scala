@@ -181,6 +181,34 @@ class ManifestSpec extends SparkSpec {
     intercept[Exception] { t.read().collect() } // full read must fail (sanity)
   }
 
+  test("expire-plan recovery deletes roots BEFORE manifests (no lesson-13 wedge)") {
+    // crash window: an expire wrote its durable plan (roots + their
+    // exclusive manifests) and died before deleting anything. Recovery
+    // must remove the ROOTS first — deleting a still-listed root's
+    // manifests would leave a snapshot readSnapshot can never resolve,
+    // wedging every later maintenance pass
+    val t = distributedTable(tmpDir("mani-plan"))
+    apply(t, (1 to 8).map(i => ins(i, i, s"a$i")))     // snapshot 1
+    apply(t, Seq(ins(20, 1, "v2")))                    // snapshot 2
+    val s1 = t.readSnapshot(1L)
+    val s2 = t.currentSnapshot.get
+    val deadManifests = s1.bucketManifests.values.toSet -- s2.bucketManifests.values
+    assert(deadManifests.nonEmpty, "snapshot 1 must own at least one manifest")
+    val planJson =
+      s"""{"roots":[1],"manifests":[${deadManifests.map("\"" + _ + "\"").mkString(",")}],"files":[]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t.root, "meta", ".expire-plan-crash.json"), planJson)
+    // both maintenance entry points must complete the plan without wedging
+    t.removeOrphans(graceMs = Long.MaxValue / 2)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t.root, "meta", "snapshot-000000000001.json")))
+    deadManifests.foreach(m => assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t.root, m)), s"dead manifest $m removed"))
+    assert(t.currentSnapshot.get.snapshotId === 2L) // table fully readable
+    assert(t.read().count() === 8)
+    t.expireSnapshots(keepLast = 1) // and further maintenance still works
+  }
+
   test("a commit-race loser deletes the manifests it wrote") {
     import org.apache.hadoop.fs.{Path => HPath}
     val dir = tmpDir("mani-race")

@@ -86,6 +86,27 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(f.format === "unknown" && f.doc_id === 7L)
   }
 
+  test("JPEG: fill bytes (repeated 0xFF) before markers are skipped") {
+    // the standard permits any number of 0xFF padding bytes before a
+    // marker id; a naive walk misreads them as a segment and derails
+    val sof0 = bytes(0xff, 0xff, 0xff, 0xc0) ++ be16(17) ++ bytes(8) ++
+      be16(480) ++ be16(640) ++ bytes(3) ++ Array.fill[Byte](9)(0)
+    val jpeg = bytes(0xff, 0xd8) ++ sof0
+    assert(MultimodalOps.sniffDecode(jpeg) === Some(("jpeg", 640, 480, 1)))
+  }
+
+  test("WAV: corrupt chunk sizes terminate the walk instead of looping/crashing") {
+    // a negative size once gave a zero/negative step = infinite loop in a
+    // Spark task; an overflowing one indexed out of bounds
+    val negSize = ascii("RIFF") ++ le32(36) ++ ascii("WAVE") ++
+      ascii("junk") ++ le32(-8) ++ Array.fill[Byte](24)(0)
+    val r1 = MultimodalOps.sniffDecode(negSize) // must return, not hang
+    assert(r1.exists(_._1 == "wav"))
+    val hugeSize = ascii("RIFF") ++ le32(36) ++ ascii("WAVE") ++
+      ascii("junk") ++ le32(0x7ffffff0) ++ Array.fill[Byte](24)(0)
+    assert(MultimodalOps.sniffDecode(hugeSize).exists(_._1 == "wav"))
+  }
+
   test("truncated headers do not crash the decoder") {
     // every real-format magic, cut off mid-header
     val cases = Seq(
