@@ -99,22 +99,37 @@ class CommitFencingSpec extends SparkSpec {
     assert(t.read().count() == 3) // live data untouched
   }
 
-  test("failed commit cleans up its attempted data directory") {
+  test("failed apply cleans up its attempted data directories (engine failure path)") {
+    // Drive MergeEngine's OWN failure path — the validate() hook aborts
+    // after the delta write — and assert the ENGINE removed the attempt
+    // dirs. (An earlier version of this test deleted the dir in its own
+    // catch block, which verified test code, not the engine.)
     val t = freshTable()
+    val line =
+      """{"lsn":1,"xid":1,"change":[{"kind":"insert","schema":"public",""" +
+        """"table":"things","columnnames":["id"],"columntypes":["integer"],""" +
+        """"columnvalues":[7]}]}"""
     import spark.implicits._
-    val snap = t.currentSnapshot.get
-    // a competing writer advances the table first
-    t.commit(snap.copy(lsnHighWatermark = 5L), snap.snapshotId)
-    // the stale writer's apply loses and must not leak files: drive the
-    // same write-then-commit path MergeEngine uses
-    val df = Seq(9).toDF("id").withColumn("_bucket",
-      org.apache.spark.sql.functions.lit(0))
-    val dirName = t.newCommitDirName(snap.snapshotId + 1)
-    t.writeBucketed(df, dirName)
-    intercept[CommitConflictException] {
-      try t.commit(snap.copy(bucketFiles = Map.empty), snap.snapshotId)
-      catch { case e: Throwable => t.deleteDataDir(dirName); throw e }
+    val changes = graft.decode.ChangeDecoder.decode(
+      spark.createDataset(Seq(line)).toDF("value"))
+    def dataDirs: Set[String] = {
+      val d = Paths.get(t.root, "data")
+      if (!Files.exists(d)) Set.empty
+      else {
+        val s = Files.list(d)
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.map(_.getFileName.toString).toSet
+        finally s.close()
+      }
     }
-    assert(!Files.exists(Paths.get(t.root, "data", dirName)))
+    val before = dataDirs
+    val boom = new IllegalArgumentException("validation abort")
+    val ex = intercept[IllegalArgumentException] {
+      graft.apply.MergeEngine.applyBatch(t, changes,
+        validate = () => throw boom)
+    }
+    assert(ex eq boom)
+    assert(dataDirs === before, "the engine must remove its attempt dirs")
+    assert(t.currentSnapshot.get.snapshotId === 0L) // nothing committed
   }
 }

@@ -127,6 +127,8 @@ class DecodeValidationSpec extends SparkSpec {
     val ex = intercept[Exception] {
       ChangeDecoder.decode(df, strict = true).collect()
     }
-    assert(ex.getMessage != null)
+    // the MALFORMED guard must be the thing that fired — any-exception
+    // would also pass for an unrelated plan/codegen failure
+    assert(ex.getMessage.contains("malformed wal2json line"), ex.getMessage)
   }
 }

@@ -98,11 +98,28 @@ class GenReplaySpec extends SparkSpec {
       length(col("content")).cast("long").as("len")).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toMap
+    // derive from the ORACLE which keys were last touched at/after the
+    // evolution point — exactly those (and only those) must carry the new
+    // column; a guard like "check only rows that happen to be non-null"
+    // would let an evolution bug silently null the column everywhere
+    val lastLsn = scala.collection.mutable.Map.empty[(String, String), Long]
+    (0L until nTxns).foreach { id =>
+      val txn = ChangeStreamGen.txn(c, id)
+      txn.changes.foreach { ch =>
+        val k = (ch.repo, ch.path)
+        if (ch.kind == "delete") lastLsn.remove(k) else lastLsn(k) = txn.lsn
+      }
+    }
     expState.foreach { case (k, _) =>
       val (sz, len) = got(k)
-      if (sz >= 0) assert(sz === len, s"size_bytes mismatch for $k")
+      if (lastLsn(k) >= 150L)
+        assert(sz === len, s"size_bytes missing/wrong for post-evolution $k " +
+          s"(last touched at lsn ${lastLsn(k)})")
+      else
+        assert(sz === -1L, s"pre-evolution row $k must read size_bytes null")
     }
     assert(got.values.exists(_._1 >= 0), "no post-evolution rows found")
+    assert(got.values.exists(_._1 == -1L), "no pre-evolution rows survived")
     assert(got.keySet === expState.keySet)
   }
 

@@ -133,8 +133,9 @@ class LakeFeatureSpec extends SparkSpec {
     assert(state(t) === before) // current state untouched
     // previous snapshot still time-travelable
     assert(t.read(asOfSnapshot = Some(sidCurrent - 1)).count() > 0)
-    // expired snapshot gone
-    intercept[Exception] { t.readSnapshot(1L) }
+    // expired snapshot gone — specifically NOT-FOUND (any-exception would
+    // also pass if readSnapshot were simply broken)
+    intercept[java.io.FileNotFoundException] { t.readSnapshot(1L) }
     // and expiry is idempotent
     assert(t.expireSnapshots(keepLast = 2) === ((0, 0)))
   }

@@ -113,7 +113,9 @@ class MergeOnReadSpec extends SparkSpec {
     val s = t.currentSnapshot.get
     val after = state(t)
     assert(s.bucketDeltas.values.forall(_.size < 2))
-    assert(before.keySet.subsetOf(after.keySet.union(before.keySet))) // sanity
+    // keys may only vanish when the second batch explicitly deleted them
+    val exp0 = ChangeStreamGen.expectedFinalState(cfg, 81L).keySet
+    assert((before.keySet -- after.keySet).subsetOf(before.keySet -- exp0))
     // replay oracle parity after compaction
     def sha256(x: String): String =
       java.security.MessageDigest.getInstance("SHA-256")

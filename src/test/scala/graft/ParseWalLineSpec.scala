@@ -89,8 +89,19 @@ class ParseWalLineSpec extends SparkSpec {
       s"""{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["t"],"columnvalues":["ctrl${1.toChar}here"]}]}""",
       s"""{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["json"],"columnvalues":[{"k":"tab${9.toChar}raw"}]}]}""")
     val (n, j) = bothParses(cases)
+    // cases where Jackson recovers at FIELD scope (envelope stays intact:
+    // a string columnnames, bare-word scalars inside columnvalues)
+    val envelopeIntact = Set(8, 10, 11)
     n.zip(j).zipWithIndex.foreach { case ((a, b), idx) =>
       assert(a === b, s"case $idx: '${cases(idx)}' native=$a jackson=$b")
+      // PIN THE PREMISE, not just parity: every other case must actually
+      // break the envelope (lsn/xid/change lost => the pipeline's
+      // malformed predicate fires) — parity alone would also pass if both
+      // parsers wrongly ACCEPTED the input (to_json omits null fields)
+      val broken = b == null ||
+        !(b.contains("\"lsn\"") && b.contains("\"xid\"") && b.contains("\"change\""))
+      assert(broken === !envelopeIntact(idx),
+        s"case $idx malformed-premise violated: '$b'")
     }
   }
 

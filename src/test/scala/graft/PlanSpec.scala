@@ -46,7 +46,7 @@ class PlanSpec extends SparkSpec {
   test("cdc_merge_final_state: keep-last dedup is a partial hash aggregation") {
     val p = plan("cdc_merge_final_state")
     // two-phase agg: a partial (merge_max_by) before the shuffle, final after
-    assert(p.contains("partial_max_by") || p.contains("partial_"), p)
+    assert(p.contains("partial_max_by"), p)
     assert(!p.contains("Window"), p) // not the sort-the-world window variant
   }
 
@@ -81,7 +81,7 @@ class PlanSpec extends SparkSpec {
 
   test("dedup_minhash_lsh: banded equi-join, partial min aggregation") {
     val p = assertNoProductJoin("dedup_minhash_lsh")
-    assert(p.contains("partial_min") || p.contains("partial_"), p)
+    assert(p.contains("partial_min"), p)
   }
 
   test("dedup_ngram_jaccard: capped inverted-list equi-join, no product") {
@@ -90,7 +90,7 @@ class PlanSpec extends SparkSpec {
 
   test("dedup_embedding_lsh: bucket-blocked equi-join, no product") {
     val p = assertNoProductJoin("dedup_embedding_lsh")
-    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+    assert(p.contains("partial_sum"), p)
   }
 
   test("dedup_embedding_cosine / ann_ivf_topk: no product joins") {
@@ -165,7 +165,7 @@ class PlanSpec extends SparkSpec {
 
   test("q_range_join: bucketized equi-join, never a theta cross product") {
     val p = assertNoProductJoin("q_range_join")
-    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(p.contains("partial_count"), p)
   }
 
   test("q_event_tumbling: partial aggregation before the shuffle") {

@@ -144,7 +144,9 @@ class ReplayParitySpec extends SparkSpec {
     val ex = intercept[Exception] {
       ChangeDecoder.decode(df, strict = true).collect()
     }
-    assert(ex.getMessage != null)
+    // the MALFORMED guard must be the thing that fired — any-exception
+    // would also pass for an unrelated plan/codegen failure
+    assert(ex.getMessage.contains("malformed wal2json line"), ex.getMessage)
   }
 
   test("non-strict decode drops malformed payloads") {

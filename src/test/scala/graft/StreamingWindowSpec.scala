@@ -48,6 +48,11 @@ class StreamingWindowSpec extends SparkSpec {
       assert(rows.contains(("2024-01-01 10:00:00", 1L, 2L, 3.0)), rows)
       assert(rows.contains(("2024-01-01 10:05:00", 2L, 1L, 5.0)), rows)
       assert(!rows.exists(_._4 == 103.0), s"late event leaked: $rows")
+      // nor as a SEPARATE append-mode row (the realistic leak shape: the
+      // closed window re-fires as a new (n=1, v=100.0) output row)
+      assert(!rows.exists(_._4 == 100.0), s"late event re-fired: $rows")
+      assert(rows.count(r => r._1 == "2024-01-01 10:00:00" && r._2 == 1L) === 1,
+        s"closed window must appear exactly once: $rows")
     } finally q.stop()
   }
 
