@@ -86,16 +86,21 @@ object CdcQueries {
   def dedupKeepLast(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(col("user_id"))
+      // tie-break FULLY: event_id is unique by construction, but max_by
+      // on a bare key picks an arbitrary row on duplicates — a flaky
+      // cross-engine compare waiting to happen (the oracle row_number
+      // carries the same full ordering)
       .agg(max_by(
         struct(col("event_id"), col("event_type"), col("value")),
-        col("event_id")).as("w"))
+        struct(col("event_id"), col("event_type"), col("value"))).as("w"))
       .select(col("user_id"), col("w.event_id").as("last_lsn"),
         col("w.event_type").as("last_type"), col("w.value").as("last_value"))
       .orderBy("user_id")
 
   val dedupKeepLastSql: String =
     """SELECT user_id, event_id AS last_lsn, event_type AS last_type, value AS last_value
-      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY event_id DESC, event_type DESC, value DESC) rn
       |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   /** O17: apply semantics — final table state after replaying the log
@@ -105,7 +110,7 @@ object CdcQueries {
       .withColumn("kind", kindCol)
       .groupBy(col("user_id"))
       .agg(max_by(struct(col("event_id"), col("kind"), col("value")),
-        col("event_id")).as("w"))
+        struct(col("event_id"), col("kind"), col("value"))).as("w"))
       .filter(col("w.kind") =!= "delete")
       .select(col("user_id"), col("w.event_id").as("last_lsn"),
         col("w.kind").as("kind"), col("w.value").as("value"))
@@ -113,7 +118,8 @@ object CdcQueries {
 
   val mergeFinalStateSql: String =
     s"""SELECT user_id, event_id AS last_lsn, $kindSql AS kind, value
-       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY event_id DESC, $kindSql DESC, value DESC) rn
        |      FROM events) WHERE rn = 1 AND $kindSql <> 'delete'
        |ORDER BY user_id""".stripMargin
 
@@ -136,7 +142,11 @@ object CdcQueries {
   /** O10: per-partition LSN high watermarks (key-hash bucketed). */
   def bucketWatermarks(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .withColumn("bucket", pmod(col("user_id"), lit(8)).cast("int"))
+      // % (sign-preserving) on BOTH engines — pmod is always non-negative
+      // while DuckDB % keeps the dividend's sign: a negative key would get
+      // different buckets. The lake's real bucketing stays pmod (storage
+      // wants non-negative); this query's contract is oracle parity.
+      .withColumn("bucket", (col("user_id") % 8).cast("int"))
       .groupBy(col("bucket"))
       .agg(max(col("event_id")).as("high_watermark"),
         count(lit(1)).as("n_events"))
@@ -150,7 +160,10 @@ object CdcQueries {
   /** O6: empty-transaction elision — txns with zero relevant changes vanish. */
   def txnElision(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .withColumn("txn_id", (col("event_id") / 10).cast("long"))
+      // `div` = exact 64-bit truncating division, the semantics DuckDB's
+      // integer `//` has (measured: both truncate toward zero). Double
+      // division rounds past 2^53 — wrong txn grouping for large LSNs.
+      .withColumn("txn_id", expr("event_id div 10"))
       .groupBy(col("txn_id"))
       .agg(sum(when(col("user_id") % 3 === 0, 1L).otherwise(0L)).as("n_relevant"))
       .filter(col("n_relevant") > 0)
@@ -165,7 +178,10 @@ object CdcQueries {
     * posexplode (the engine's seq assignment, SURVEY.md §1.4). */
   def intraTxnSeq(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .withColumn("txn_id", (col("event_id") / 10).cast("long"))
+      // `div` = exact 64-bit truncating division, the semantics DuckDB's
+      // integer `//` has (measured: both truncate toward zero). Double
+      // division rounds past 2^53 — wrong txn grouping for large LSNs.
+      .withColumn("txn_id", expr("event_id div 10"))
       .groupBy(col("txn_id"))
       .agg(sort_array(collect_list(col("event_id"))).as("evs"))
       .select(col("txn_id"), posexplode(col("evs")).as(Seq("seq", "lsn")))

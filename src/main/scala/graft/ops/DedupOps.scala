@@ -42,19 +42,13 @@ object DedupOps {
 
   // Shared shingling: distinct 5-word grams per doc.
   private val N = 5
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (N - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(N))))
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
-  }
+      .select(col("doc_id"),
+        explode(array_distinct(Shingles.grams(col("text"), N))).as("g"))
 
   private val shingledSql: String =
-    s"""SELECT doc_id, unnest(list_distinct(list_transform(
-       |    range(1, greatest(len(string_split(text,' ')) - ${N - 2}, 2)),
-       |    i -> array_to_string((string_split(text,' '))[i:i+${N - 1}], ' ')))) AS g
+    s"""SELECT doc_id, unnest(list_distinct(${Shingles.gramsSql("text", N)})) AS g
        |  FROM documents""".stripMargin
 
   /** Stop-shingle document-frequency cap: shingles in more than this many

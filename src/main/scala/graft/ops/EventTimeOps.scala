@@ -31,14 +31,22 @@ object EventTimeOps {
   private val TenMinUs = 600L * 1000000L
   private val SessionGapUs = 1800L * 1000000L // 30 min
 
-  /** FLOOR division on integral columns: Spark's `/` is double division
-    * and cast(long) truncates toward ZERO, while the DuckDB oracle's `//`
-    * floors — they disagree on negative (pre-epoch) timestamps, where
-    * truncation would merge the two windows straddling the epoch. pmod is
-    * always non-negative, so (x - pmod(x, n)) is exactly divisible and the
-    * quotient is exact in double for any |x| < 2^53. */
-  private def floorDiv(x: Column, n: Long): Column =
+  /** FLOOR division on integral columns — the principled tumbling-window
+    * id: the window covering [-n, 0) is -1, never merged with [0, n).
+    * NEITHER engine floors natively on integers (Spark's `/`+cast AND
+    * DuckDB's `//` both truncate toward zero — measured: -7 // 2 = -3 in
+    * DuckDB 1.0), so BOTH sides must spell the floor out explicitly: here
+    * via pmod (always non-negative, so (x - pmod(x, n)) is exactly
+    * divisible and the quotient is exact in double for any |x| < 2^53),
+    * and in the oracle SQL via the same (x - ((x % n + n) % n)) // n
+    * identity in exact integer arithmetic — see [[floorDivSql]]. */
+  private[graft] def floorDiv(x: Column, n: Long): Column =
     ((x - pmod(x, lit(n))) / n).cast("long")
+
+  /** The oracle-side floor division matching [[floorDiv]] exactly,
+    * including pre-epoch (negative) timestamps. */
+  private[graft] def floorDivSql(x: String, n: Long): String =
+    s"(($x - ((($x % $n) + $n) % $n)) // $n)"
 
   /** Tumbling 10-minute windows per event type: counts + exact sums. */
   def tumbling(spark: SparkSession, dir: String): DataFrame =
@@ -50,7 +58,7 @@ object EventTimeOps {
       .orderBy("win10m", "event_type")
 
   val tumblingSql: String =
-    s"""SELECT CAST(epoch_us(ts) // $TenMinUs AS BIGINT) AS win10m, event_type,
+    s"""SELECT CAST(${floorDivSql("epoch_us(ts)", TenMinUs)} AS BIGINT) AS win10m, event_type,
        |  count(*) AS n_events,
        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY win10m, event_type""".stripMargin

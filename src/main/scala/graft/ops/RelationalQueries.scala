@@ -151,9 +151,14 @@ object RelationalQueries {
   }
 
   val rollupAggSql: String =
+    // HAVING count(*) > 0: on EMPTY input DuckDB's ROLLUP still emits the
+    // grand-total row (NULL, NULL, 0) while Spark emits zero rows; every
+    // rollup group over non-empty input has count >= 1, so the clause only
+    // aligns the empty-input case
     """SELECT n_regionkey, n_nationkey, count(*) AS n_customers
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY ROLLUP (n_regionkey, n_nationkey)
+      |HAVING count(*) > 0
       |ORDER BY n_regionkey ASC NULLS FIRST, n_nationkey ASC NULLS FIRST""".stripMargin
 
   /** Scalar function coverage: string/date/math, all integer-exact. */
@@ -168,7 +173,9 @@ object RelationalQueries {
         month(col("o_orderdate")).cast("int").as("mo"),
         dayofmonth(col("o_orderdate")).cast("int").as("dom"),
         floor(col("o_totalprice")).cast("long").as("price_floor"),
-        pmod(col("o_orderkey"), lit(7)).cast("long").as("key_mod"),
+        // % (sign-preserving) matches the oracle's %; pmod would diverge
+        // on a negative key
+        (col("o_orderkey") % 7).cast("long").as("key_mod"),
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"))
       .orderBy("o_orderkey")
 

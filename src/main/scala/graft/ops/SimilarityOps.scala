@@ -51,12 +51,12 @@ object SimilarityOps {
     * while DuckDB raises), so the widened form is exact for any |dot| up
     * to ~1.8e16, i.e. every realistic dimension/scale combination. The
     * final value is ≤ 10000, cast back to BIGINT on both engines. */
-  private val metricExpr =
-    "CASE WHEN dot >= 0 THEN (CAST(dot AS DECIMAL(38,0)) * dot * 10000) div (CAST(na AS DECIMAL(38,0)) * nb) " +
-      "ELSE -((CAST(dot AS DECIMAL(38,0)) * dot * 10000) div (CAST(na AS DECIMAL(38,0)) * nb)) END"
+  private[graft] val metricExpr =
+    "CASE WHEN dot >= 0 THEN (CAST(dot AS DECIMAL(38,0)) * dot * 10000) div NULLIF(CAST(na AS DECIMAL(38,0)) * nb, 0) " +
+      "ELSE -((CAST(dot AS DECIMAL(38,0)) * dot * 10000) div NULLIF(CAST(na AS DECIMAL(38,0)) * nb, 0)) END"
   private val metricSqlExpr =
-    "CASE WHEN dot >= 0 THEN CAST((CAST(dot AS HUGEINT) * dot * 10000) // (CAST(na AS HUGEINT) * nb) AS BIGINT) " +
-      "ELSE CAST(-((CAST(dot AS HUGEINT) * dot * 10000) // (CAST(na AS HUGEINT) * nb)) AS BIGINT) END"
+    "CASE WHEN dot >= 0 THEN CAST((CAST(dot AS HUGEINT) * dot * 10000) // NULLIF(CAST(na AS HUGEINT) * nb, 0) AS BIGINT) " +
+      "ELSE CAST(-((CAST(dot AS HUGEINT) * dot * 10000) // NULLIF(CAST(na AS HUGEINT) * nb, 0)) AS BIGINT) END"
 
   /**
    * Brute-force cosine top-k: for each query vector (vec_id < 10), the 5
@@ -119,10 +119,19 @@ object SimilarityOps {
     val queries = q.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("qv").as("qa"), col("n2").as("na"))
     val cands = q.select(col("vec_id").as("nid"), col("qv").as("qb"), col("n2").as("nb"))
+    // dot over the COMMON prefix: zip_with null-pads a length mismatch,
+    // which would poison the whole sum to NULL, while the explode variant
+    // (and the shared oracle) inner-join on idx — i.e. sum over common
+    // indices. Slicing both sides to the shorter length makes ragged
+    // inputs value-identical too; empty arrays are excluded like the
+    // idx-join excludes them (no common index => no candidate pair).
+    val common = least(size(col("qa")), size(col("qb")))
     val scored = cands.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("nid"))
+      .filter(common > 0)
       .withColumn("dot",
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+        aggregate(zip_with(slice(col("qa"), lit(1), common),
+            slice(col("qb"), lit(1), common), (x, y) => x * y),
           lit(0L), (acc, v) => acc + v))
       .withColumn("cos2_bp", expr(metricExpr))
     val w = Window.partitionBy(col("qid"))
@@ -266,7 +275,7 @@ object SimilarityOps {
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val q = quantized(spark, dir)
     val cents = q.filter(pmod(col("vec_id"), lit(17)) === 0 && col("vec_id") < 17 * NCELLS)
-      .select((col("vec_id") / 17).cast("int").as("cell"), col("idx"), col("q").as("cq"))
+      .select(expr("CAST(vec_id div 17 AS INT)").as("cell"), col("idx"), col("q").as("cq"))
     // coarse assignment: argmax quantized dot to centroid, tie-break on cell
     val dots = q.join(cents, Seq("idx"))
       .groupBy(col("vec_id"), col("cell"))

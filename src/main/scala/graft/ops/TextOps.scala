@@ -122,13 +122,8 @@ object TextOps {
    * 5-word shingles — a stable content fingerprint robust to local edits.
    */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val n = 5
-    val toks = split(col("text"), " ")
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
     docs(spark, dir)
-      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), explode(Shingles.grams(col("text"), 5)).as("g"))
       .groupBy(col("doc_id"))
       .agg(min(md5Long(col("g"))).as("fp_min"),
         max(md5Long(col("g"))).as("fp_max"),
@@ -140,9 +135,7 @@ object TextOps {
     s"""SELECT doc_id, min(${md5LongSql("g")}) AS fp_min, max(${md5LongSql("g")}) AS fp_max,
        |  count(*) AS n_shingles
        |FROM (
-       |  SELECT doc_id, unnest(list_transform(
-       |    range(1, greatest(len(string_split(text,' ')) - 3, 2)),
-       |    i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS g
+       |  SELECT doc_id, unnest(${Shingles.gramsSql("text", 5)}) AS g
        |  FROM documents)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
