@@ -232,6 +232,15 @@ object CdcPipeline {
         case other if other.getMessage != null &&
             other.getMessage.contains("malformed wal2json") =>
           return FailureKind.DataError
+        // ANSI-mode typed-key cast failure: a well-formed envelope carrying
+        // a wrongly-typed key value ("abc" where the key column is int)
+        // fails deterministically at MergeEngine's key cast — retrying
+        // replays the same bytes, so burning the Transient budget on it
+        // would mask the repair case the taxonomy exists to surface
+        case st: org.apache.spark.SparkThrowable
+            if st.getCondition != null &&
+              st.getCondition.startsWith("CAST_INVALID_INPUT") =>
+          return FailureKind.DataError
         case _: graft.lake.CommitConflictException =>
           return FailureKind.Contention
         // live-replication analogs: slot held by another consumer is the

@@ -66,6 +66,15 @@ class SupervisionSpec extends SparkSpec {
     // self-caused exceptions must not loop the classifier
     val selfRef = new RuntimeException("x")
     assert(classify(selfRef) === FailureKind.Transient)
+    // an ANSI typed-key cast failure is DETERMINISTIC bad data, not a
+    // flake: a real CAST_INVALID_INPUT raised by the engine must classify
+    // as DataError (wrapped, like streaming delivers it)
+    import spark.implicits._
+    val castErr = intercept[Exception] {
+      Seq("abc").toDF("v").selectExpr("CAST(v AS INT)").collect()
+    }
+    assert(classify(new RuntimeException("query failed", castErr))
+      === FailureKind.DataError)
   }
 
   test("per-class budgets: a data error cannot eat the contention budget") {
