@@ -164,3 +164,106 @@ class ExpireCrashSpec extends SparkSpec {
     }
   }
 }
+
+/**
+ * Crash-window sweep of the APPLY path (delta write -> validate -> stats
+ * -> compaction -> fenced commit): crash after sampled prefixes of the
+ * pass's mutating filesystem operations, then REPLAY the same batch
+ * unarmed (what Structured Streaming does after a crash) and require
+ * exactly-once convergence: identical final content, at most one new
+ * snapshot, and — after the grace period "passes" — no leaked attempt
+ * files. The strongest form of the north rule's exactly-once claim.
+ */
+class ApplyCrashSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("name", StringType)))
+
+  private def ins(lsn: Long, id: Int, name: String): String =
+    s"""{"lsn":$lsn,"xid":$lsn,"change":[{"kind":"insert","schema":"public","table":"t",""" +
+      s""""columnnames":["id","name"],"columntypes":["integer","text"],""" +
+      s""""columnvalues":[$id,"$name"]}]}"""
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val s = java.nio.file.Files.walk(src)
+    try s.forEach { p =>
+      val q = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
+      else java.nio.file.Files.copy(p, q)
+    } finally s.close()
+  }
+
+  test("apply replays to exactly-once after a crash at sampled mutation points") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.crashfs.impl", classOf[CrashInjectedFileSystem].getName)
+    import spark.implicits._
+    def decode(lines: Seq[String]) =
+      ChangeDecoder.decode(spark.createDataset(lines).toDF("value"))
+
+    val templateDir = java.nio.file.Paths.get(tmpDir("applycrash-template"))
+    val template = new LakeTable(spark, s"crashfs:$templateDir",
+      maxDeltasPerBucket = 2, manifestThresholdFiles = 0) // compaction + manifests in play
+    template.create(schema, Seq("id"), nBuckets = 2)
+    MergeEngine.applyBatch(template, decode((1 to 6).map(i => ins(i, i, s"a$i"))))
+    val baseSnapId = template.currentSnapshot.get.snapshotId
+
+    val batch = Seq(ins(10, 1, "updated-1"), ins(11, 7, "new-7"), ins(12, 2, "updated-2"))
+    val expected = Map(1 -> "updated-1", 2 -> "updated-2", 7 -> "new-7") ++
+      (3 to 6).map(i => i -> s"a$i").toMap
+
+    // probe the unarmed apply's mutation count
+    val probeDir = java.nio.file.Paths.get(tmpDir("applycrash-probe"))
+    copyTree(templateDir, probeDir)
+    val before = CrashInjectedFileSystem.ops
+    MergeEngine.applyBatch(
+      new LakeTable(spark, s"crashfs:$probeDir", 2, 256, 0), decode(batch))
+    val totalOps = (CrashInjectedFileSystem.ops - before).toInt
+    assert(totalOps > 5, s"apply must mutate several times, saw $totalOps")
+
+    // sample ~16 evenly-spread crash points (full sweep would be minutes)
+    val stride = math.max(1, totalOps / 16)
+    for (k <- 0 until totalOps by stride) {
+      val work = java.nio.file.Paths.get(tmpDir(s"applycrash-k$k"))
+      copyTree(templateDir, work)
+      val t = new LakeTable(spark, s"crashfs:$work", 2, 256, 0)
+      CrashInjectedFileSystem.countdown = k
+      try { MergeEngine.applyBatch(t, decode(batch)); () }
+      catch { case _: Throwable => () } // the crash (possibly Spark-wrapped)
+      CrashInjectedFileSystem.countdown = Long.MaxValue
+
+      // replay after restart: the SAME batch through a fresh table handle
+      val r = new LakeTable(spark, s"crashfs:$work", 2, 256, 0)
+      MergeEngine.applyBatch(r, decode(batch))
+
+      // exactly-once: converged content, at most one new snapshot
+      assert(r.read().collect().map(x => x.getInt(0) -> x.getString(1)).toMap
+        === expected, s"k=$k content diverged")
+      val sid = r.currentSnapshot.get.snapshotId
+      assert(sid === baseSnapId + 1,
+        s"k=$k expected exactly one new snapshot, got $sid (base $baseSnapId)")
+
+      // and the crashed attempt's files are sweepable once grace passes:
+      // expire history (earlier snapshots legitimately reference the
+      // pre-compaction deltas — that's time travel, not a leak), age
+      // everything, sweep, then require disk == referenced
+      r.expireSnapshots(keepLast = 1)
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10_000_000L)
+      val aged = java.nio.file.Files.walk(work)
+      try aged.forEach(p => java.nio.file.Files.setLastModifiedTime(p, old))
+      finally aged.close()
+      r.removeOrphans(graceMs = 1_000_000L)
+      val referenced = r.currentSnapshot.get.allFiles.toSet
+      val onDisk = {
+        val s = java.nio.file.Files.walk(work.resolve("data"))
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => work.relativize(p).toString)
+          .filterNot(p => p.endsWith(".crc") || p.endsWith("_SUCCESS")).toSet
+        finally s.close()
+      }
+      assert(onDisk === referenced, s"k=$k attempt leak: " +
+        s"extra=${onDisk -- referenced} missing=${referenced -- onDisk}")
+    }
+  }
+}
