@@ -267,3 +267,78 @@ class ApplyCrashSpec extends SparkSpec {
     }
   }
 }
+
+/**
+ * Crash-window sweep of the stager's PUBLISH path (high-water record ->
+ * segment publish): crash at every mutating operation of roll(), restart
+ * the stager, and require the numbering contract to hold — published
+ * names strictly increase, a name is NEVER reused (the consumer's
+ * durable offset makes reuse permanent loss), and every already-
+ * published segment's content is intact. This is the sweep form of the
+ * torn-high-water-record scenario.
+ */
+class StagerCrashSpec extends SparkSpec {
+  import graft.sources.{WalSource, WalStager}
+
+  test("roll survives a crash at every mutating operation without name reuse") {
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("fs.crashfs.impl", classOf[CrashInjectedFileSystem].getName)
+
+    // template: two published segments + pending next index record
+    def build(dir: String): Unit = {
+      val st = new WalStager(s"crashfs:$dir", conf)
+      st.append("seg0-line"); st.roll()
+      st.append("seg1-line"); st.roll()
+      st.close()
+    }
+    def segments(dir: String): Seq[String] =
+      WalSource.listSegments(s"crashfs:$dir")
+
+    // probe roll()'s mutation count
+    val probe = java.nio.file.Paths.get(tmpDir("stager-probe")).toString
+    build(probe)
+    val pst = new WalStager(s"crashfs:$probe", conf)
+    pst.append("probe-line")
+    val before = CrashInjectedFileSystem.ops
+    pst.roll(); pst.close()
+    val totalOps = (CrashInjectedFileSystem.ops - before).toInt
+    assert(totalOps > 1, s"roll must mutate more than once, saw $totalOps")
+
+    for (k <- 0 until totalOps) {
+      val dir = java.nio.file.Paths.get(tmpDir(s"stager-k$k")).toString
+      build(dir)
+      val st = new WalStager(s"crashfs:$dir", conf)
+      st.append("crashing-line")
+      CrashInjectedFileSystem.countdown = k
+      val crashed =
+        try { st.roll(); false }
+        catch { case _: CrashInjectedFileSystem.InjectedCrash => true }
+      CrashInjectedFileSystem.countdown = Long.MaxValue
+      assert(crashed, s"k=$k should crash mid-roll ($totalOps mutations)")
+
+      // restart (the crashed stager is dead; its temp is swept on init)
+      val r = new WalStager(s"crashfs:$dir", conf)
+      r.append("after-crash"); val published = r.roll(); r.close()
+
+      val names = segments(dir)
+      // the pre-crash segments are intact, content preserved
+      assert(names.take(2) === Seq("wal-000000000.jsonl", "wal-000000001.jsonl"),
+        s"k=$k lost a published segment: $names")
+      assert(scala.io.Source.fromFile(s"$dir/wal-000000000.jsonl").mkString
+        === "seg0-line\n", s"k=$k segment 0 content")
+      // names strictly increase and are unique — NEVER reused
+      assert(names.distinct === names, s"k=$k duplicate names: $names")
+      assert(names === names.sorted, s"k=$k names out of order: $names")
+      // the post-restart publish landed above everything pre-crash
+      assert(published.exists(_ > "wal-000000001.jsonl"),
+        s"k=$k restart reused or regressed the numbering: $published")
+      // the crashed roll either published its line or lost it to the crash
+      // (never acked upstream — roll() did not return); what is FORBIDDEN
+      // is a half-visible segment
+      names.foreach { n =>
+        val content = scala.io.Source.fromFile(s"$dir/$n").mkString
+        assert(content.endsWith("\n") && content.nonEmpty, s"k=$k torn segment $n")
+      }
+    }
+  }
+}

@@ -22,6 +22,7 @@ object SparkTestBase {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Deleted at JVM exit — repeated suite runs must not accumulate
+    * hundreds of table/WAL dirs in /tmp (the bench-side lesson). */
+  def tmpDir(prefix: String): String = graft.util.TempDirs.scratch(prefix)
 }
