@@ -264,26 +264,39 @@ object SimilarityOps {
        |WHERE cos2_bp >= 1500 ORDER BY bucket, va, vb""".stripMargin
 
   /**
-   * IVF-style ANN: a deterministic codebook (the embeddings of vec_ids
-   * 0,17,34,...) plays the role of k-means centroids; every vector is
-   * assigned to its nearest centroid (coarse quantizer), and queries probe
-   * ONLY their own cell — the inverted-file structure that turns a
-   * corpus-wide scan into a per-cell scan at 10^10 scale. Output: per query
-   * (vec_id < 10), its cell and the top-3 same-cell neighbors.
+   * IVF-style ANN with a TRAINED codebook: deterministic seed sampling
+   * (the embeddings of vec_ids 0,17,34,...) followed by one integer-exact
+   * k-means (Lloyd) refinement — assign every vector to its nearest seed,
+   * recompute each cell's centroid as the truncated integer mean of its
+   * members (sum div count: both engines truncate identically), then
+   * re-assign against the refined centroids. Every vector lands in its
+   * final cell (coarse quantizer) and queries probe ONLY their own cell —
+   * the inverted-file structure that turns a corpus-wide scan into a
+   * per-cell scan at 10^10 scale; each training step is one shuffle-keyed
+   * aggregation, so the training itself scales the same way. Output: per
+   * query (vec_id < 10), its cell and the top-3 same-cell neighbors.
    */
   private val NCELLS = 8
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val q = quantized(spark, dir)
-    val cents = q.filter(pmod(col("vec_id"), lit(17)) === 0 && col("vec_id") < 17 * NCELLS)
+    def assignTo(cents: DataFrame): DataFrame = {
+      // argmax quantized dot to centroid, tie-break on cell
+      val dots = q.join(cents, Seq("idx"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum(col("q") * col("cq")).as("dot"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dot").desc, col("cell").asc)
+      dots.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cell"))
+    }
+    val seeds = q.filter(pmod(col("vec_id"), lit(17)) === 0 && col("vec_id") < 17 * NCELLS)
       .select(expr("CAST(vec_id div 17 AS INT)").as("cell"), col("idx"), col("q").as("cq"))
-    // coarse assignment: argmax quantized dot to centroid, tie-break on cell
-    val dots = q.join(cents, Seq("idx"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(sum(col("q") * col("cq")).as("dot"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dot").desc, col("cell").asc)
-    val assign = dots.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val assign0 = assignTo(seeds)
+    // Lloyd step: integer centroid of each seeded cell's members
+    val cents1 = q.join(assign0, "vec_id")
+      .groupBy(col("cell"), col("idx"))
+      .agg(expr("sum(q) div count(1)").as("cq"))
+    val assign = assignTo(cents1)
     // probe: brute-force INSIDE the query's cell only
     val qa = q.join(assign, "vec_id")
     val queries = qa.filter(col("vec_id") < 10)
@@ -308,9 +321,19 @@ object SimilarityOps {
   val annIvfTopKSql: String =
     s"""WITH quant AS ($quantizedSql),
        |norms AS ($normsSql),
-       |cents AS (
+       |seeds AS (
        |  SELECT CAST(vec_id // 17 AS INT) AS cell, idx, q AS cq FROM quant
        |  WHERE vec_id % 17 = 0 AND vec_id < ${17 * NCELLS}),
+       |assign0 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dot DESC, cell ASC) AS rn FROM (
+       |      SELECT a.vec_id, c.cell, CAST(sum(a.q * c.cq) AS BIGINT) AS dot
+       |      FROM quant a JOIN seeds c ON a.idx = c.idx GROUP BY 1, 2))
+       |  WHERE rn = 1),
+       |cents AS (
+       |  SELECT s.cell, q.idx, CAST(sum(q.q) // count(*) AS BIGINT) AS cq
+       |  FROM quant q JOIN assign0 s USING (vec_id) GROUP BY 1, 2),
        |assign AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
