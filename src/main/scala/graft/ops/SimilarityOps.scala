@@ -291,9 +291,22 @@ object SimilarityOps {
     }
     val seeds = q.filter(pmod(col("vec_id"), lit(17)) === 0 && col("vec_id") < 17 * NCELLS)
       .select(expr("CAST(vec_id div 17 AS INT)").as("cell"), col("idx"), col("q").as("cq"))
-    val assign0 = assignTo(seeds)
-    // Lloyd step: integer centroid of each seeded cell's members
-    val cents1 = q.join(assign0, "vec_id")
+    // TRAIN ON A SAMPLE (deterministic ~1-in-3 by id hash), the textbook
+    // IVF shape: k-means quality needs only a representative subset, and a
+    // full-corpus training assignment would double the corpus-wide k x n
+    // work at 10^10 rows. Only the FINAL assignment touches every vector.
+    val sample = q.filter(pmod(col("vec_id"), lit(3)) === 0)
+    def assignSample(cents: DataFrame): DataFrame = {
+      val dots = sample.join(cents, Seq("idx"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum(col("q") * col("cq")).as("dot"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dot").desc, col("cell").asc)
+      dots.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cell"))
+    }
+    // Lloyd step: integer centroid of each seeded cell's SAMPLE members
+    val cents1 = sample.join(assignSample(seeds), "vec_id")
       .groupBy(col("cell"), col("idx"))
       .agg(expr("sum(q) div count(1)").as("cq"))
     val assign = assignTo(cents1)
@@ -324,16 +337,17 @@ object SimilarityOps {
        |seeds AS (
        |  SELECT CAST(vec_id // 17 AS INT) AS cell, idx, q AS cq FROM quant
        |  WHERE vec_id % 17 = 0 AND vec_id < ${17 * NCELLS}),
+       |samp AS (SELECT * FROM quant WHERE vec_id % 3 = 0),
        |assign0 AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY dot DESC, cell ASC) AS rn FROM (
        |      SELECT a.vec_id, c.cell, CAST(sum(a.q * c.cq) AS BIGINT) AS dot
-       |      FROM quant a JOIN seeds c ON a.idx = c.idx GROUP BY 1, 2))
+       |      FROM samp a JOIN seeds c ON a.idx = c.idx GROUP BY 1, 2))
        |  WHERE rn = 1),
        |cents AS (
        |  SELECT s.cell, q.idx, CAST(sum(q.q) // count(*) AS BIGINT) AS cq
-       |  FROM quant q JOIN assign0 s USING (vec_id) GROUP BY 1, 2),
+       |  FROM samp q JOIN assign0 s USING (vec_id) GROUP BY 1, 2),
        |assign AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
