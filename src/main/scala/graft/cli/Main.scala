@@ -252,9 +252,23 @@ object Main {
             // the lines THIS run appends
             def metricsLines(): Seq[String] = metricsPath.toSeq.flatMap { p =>
               val f = new java.io.File(p)
-              if (f.exists()) scala.io.Source.fromFile(f).getLines().toSeq else Nil
+              if (!f.exists()) Nil
+              else {
+                val src = scala.io.Source.fromFile(f)
+                try src.getLines().toList finally src.close()
+              }
             }
             val preLines = metricsLines().size
+            // fallback lineage when the root is a remote scheme (no local
+            // JSONL): per-bucket "keys" counters are CUMULATIVE applied
+            // keys, snapshot ids advance once per committed batch — the
+            // deltas are this run's summary (a remote run must not report
+            // batches:0/appliedKeys:0 after committing thousands of keys)
+            def snapKeys: Long = table.currentSnapshot
+              .map(_.bucketLineage.values.map(_.getOrElse("keys", 0L)).sum)
+              .getOrElse(0L)
+            def snapId: Long = table.currentSnapshot.map(_.snapshotId).getOrElse(0L)
+            val (preKeys, preSnapId) = (snapKeys, snapId)
             def runQuery(): Unit = {
               val reader = spark.readStream.format("graft-wal")
               kv.get("max-segments-per-trigger")
@@ -268,6 +282,7 @@ object Main {
                 .writeStream.format("graft-lake")
                 .option("path", root)
                 .option("table", tableName)
+                .option("relevantTables", relevant.mkString(","))
                 .option("strict", kv.getOrElse("strict", "true"))
                 .option("saltBuckets", kv.getOrElse("salt-buckets", "0"))
                 .option("maxDeltas", kv.getOrElse("max-deltas", "8"))
@@ -277,29 +292,26 @@ object Main {
               metricsPath.foreach(writer.option("metricsPath", _))
               writer.start().awaitTermination()
             }
-            // connector-mode supervision: same restart semantics as the
-            // foreachbatch path — exactly-once fencing makes replays no-ops
+            // connector-mode supervision: the SAME classified per-class
+            // budgets as the foreachbatch path (a shared catch-all budget
+            // would let one fencing-contention storm exhaust the retries
+            // the foreachbatch path survives) — exactly-once fencing makes
+            // replays no-ops either way
             kv.get("max-restarts").map(_.toInt).filter(_ > 0) match {
               case Some(budget) =>
-                var restarts = 0
-                var done = false
-                while (!done) {
-                  try { runQuery(); done = true }
-                  catch {
-                    case e: Exception =>
-                      restarts += 1
-                      if (restarts > budget) throw e
-                      Thread.sleep(1000L)
-                  }
-                }
+                CdcPipeline.supervise(() => runQuery(), maxRestarts = budget)
               case None => runQuery()
             }
-            // per-batch lineage lives in the metrics JSONL the sink wrote
+            // per-batch lineage lives in the metrics JSONL the sink wrote;
+            // on a remote root (no local JSONL) fall back to the table's
+            // own cumulative lineage deltas
             val lines = metricsLines().drop(preLines)
-            val appliedRe = """"appliedKeys":(\d+)""".r
-            (lines.size,
-              lines.flatMap(l => appliedRe.findFirstMatchIn(l)
-                .map(_.group(1).toLong)).sum)
+            if (metricsPath.isDefined) {
+              val appliedRe = """"appliedKeys":(\d+)""".r
+              (lines.size,
+                lines.flatMap(l => appliedRe.findFirstMatchIn(l)
+                  .map(_.group(1).toLong)).sum)
+            } else ((snapId - preSnapId).toInt, snapKeys - preKeys)
           case _ =>
             val pipe = new CdcPipeline(spark, kv("wal-dir"), kv("checkpoint"),
               Seq(target), relevant,
@@ -327,6 +339,7 @@ object Main {
         val snap = t.currentSnapshot.getOrElse(
           throw new IllegalArgumentException(s"no table at ${kv("table-root")}"))
         val df = t.read(asOfSnapshot = kv.get("as-of").map(_.toLong))
+          .persist() // count + display share ONE base+delta merge scan
         val n = df.count()
         println(s"rows=$n")
         val keyCols = snap.keyColumns.map(col)
@@ -356,7 +369,23 @@ object Main {
           throw new IllegalArgumentException(s"no table at ${kv("table-root")}"))
         val keyVals: Map[String, Any] = kv("key").split(",").map { pair =>
           pair.split("=", 2) match {
-            case Array(k, v) => k -> (v: Any)
+            case Array(k, v) =>
+              // convert to the key column's DECLARED type: a raw String
+              // against a numeric column makes Spark compare both sides as
+              // DOUBLE — lossy above 2^53, so a neighboring bigint key
+              // could match the residual filter
+              val typed: Any = snap.schema.fields.find(_.name == k)
+                .map(_.dataType) match {
+                case Some(org.apache.spark.sql.types.LongType) => v.toLong
+                case Some(org.apache.spark.sql.types.IntegerType) => v.toInt
+                case Some(org.apache.spark.sql.types.ShortType) => v.toShort
+                case Some(org.apache.spark.sql.types.DoubleType) => v.toDouble
+                case Some(org.apache.spark.sql.types.FloatType) => v.toFloat
+                case Some(org.apache.spark.sql.types.BooleanType) => v.toBoolean
+                case _ => v // string-ish types (and unknown cols fail later
+                            // with the informative lookup error)
+              }
+              k -> typed
             case _ => throw new IllegalArgumentException(
               s"bad --key element '$pair' (want col=value)\n$helpText")
           }
@@ -380,7 +409,9 @@ object Main {
         // pre-flight audit for the repair workflow: which segments would a
         // strict run reject, with counts and a truncated sample per segment
         val segs = graft.sources.WalSource.listSegments(kv("wal-dir"))
-        if (segs.isEmpty) { println("""{"segments":0,"malformed":0}"""); }
+        // same summary SHAPE as the non-empty case — a repair script
+        // reading badSegments must not hit a missing key on the empty edge
+        if (segs.isEmpty) { println("""{"segments":0,"badSegments":0,"malformed":0}"""); }
         else {
           val lines = spark.read.text(
             segs.map(n => s"${kv("wal-dir")}/$n"): _*)

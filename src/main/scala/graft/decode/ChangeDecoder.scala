@@ -269,6 +269,18 @@ object ChangeDecoder {
         min(substring(col("value"), 1, 120)).as("sample"))
       .orderBy("_file")
 
+  /** The typed view the north star names: decoded change events as a
+    * `Dataset[ChangeEvent]`. The engine's hot path stays columnar (the
+    * typed encoder round trip costs real CPU — CLAUDE.md lesson on
+    * mapPartitions over wide payloads), but library users who want
+    * case-class ergonomics (pattern matching on kind, valueForColumn)
+    * get them from the same decode plan. */
+  def typed(decoded: DataFrame): org.apache.spark.sql.Dataset[graft.model.ChangeEvent] = {
+    implicit val enc: org.apache.spark.sql.Encoder[graft.model.ChangeEvent] =
+      org.apache.spark.sql.Encoders.product[graft.model.ChangeEvent]
+    decoded.as[graft.model.ChangeEvent]
+  }
+
   /**
    * Primary-key columns of a change event, as a map usable for keying:
    * insert events take the key from the new tuple; update/delete take it from

@@ -63,13 +63,18 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
     new LakeSink(table, tableName, snap.keyColumns, snap.nBuckets,
       parameters.get("metricsPath"),
       parameters.get("strict").forall(_.toBoolean),
-      parameters.get("saltBuckets").map(_.toInt).getOrElse(0))
+      parameters.get("saltBuckets").map(_.toInt).getOrElse(0),
+      // honor the caller's table filter — defaulting silently to the one
+      // target table made `--relevant-tables` a no-op in connector mode
+      parameters.get("relevantTables")
+        .map(_.split(",").toSet).getOrElse(Set(tableName)))
   }
 }
 
 class LakeSink(table: LakeTable, tableName: String, keyColumns: Seq[String],
                nBuckets: Int, metricsPath: Option[String], strict: Boolean,
-               saltBuckets: Int) extends Sink {
+               saltBuckets: Int,
+               relevantTables: Set[String]) extends Sink {
 
   // Reuse the pipeline's per-batch apply verbatim: single-pass validated
   // decode, observe-based malformed gate, LSN-fenced MERGE, lineage JSONL.
@@ -78,7 +83,7 @@ class LakeSink(table: LakeTable, tableName: String, keyColumns: Seq[String],
     new CdcPipeline(table.spark, walDir = "", checkpointDir = "",
       targets = Seq(TableTarget(tableName, table, snap.schema,
         keyColumns, nBuckets, snap.renameMap)),
-      relevantTables = Set(tableName),
+      relevantTables = relevantTables,
       metricsPath = metricsPath,
       strictDecode = strict,
       saltBuckets = saltBuckets)

@@ -180,17 +180,32 @@ class CdcPipeline(
    */
   def runSupervised(maxRestarts: Int = 3, backoffMs: Long = 1000L,
                     contentionRestarts: Int = 30,
-                    onRestart: Int => Unit = _ => ()): Int = {
-    import CdcPipeline.FailureKind._
+                    onRestart: Int => Unit = _ => ()): Int =
+    CdcPipeline.supervise(() => runAvailable(),
+      maxRestarts, backoffMs, contentionRestarts, onRestart)
+}
+
+object CdcPipeline {
+
+  /** The budgeted restart loop itself, usable with ANY run body (the
+    * pipeline's own runAvailable, the CLI's connector-mode query, ...):
+    * classify the failure, charge the matching per-class budget, back off,
+    * retry — identical semantics everywhere, so the same fault never
+    * survives in one run mode and dies in another. @return restarts */
+  def supervise(run: () => Unit,
+                maxRestarts: Int = 3, backoffMs: Long = 1000L,
+                contentionRestarts: Int = 30,
+                onRestart: Int => Unit = _ => ()): Int = {
+    import FailureKind._
     var dataErrors = 0; var contentions = 0; var transients = 0
     var total = 0
     while (true) {
       try {
-        runAvailable()
+        run()
         return total
       } catch {
         case e: Exception =>
-          val canRetry = CdcPipeline.classify(e) match {
+          val canRetry = classify(e) match {
             case DataError => dataErrors += 1; dataErrors <= maxRestarts
             case Contention => contentions += 1; contentions <= contentionRestarts
             case Transient => transients += 1; transients <= maxRestarts
@@ -203,9 +218,7 @@ class CdcPipeline(
     }
     total // unreachable
   }
-}
 
-object CdcPipeline {
   /** Failure classes for supervision (see [[CdcPipeline.runSupervised]]). */
   sealed trait FailureKind
   object FailureKind {

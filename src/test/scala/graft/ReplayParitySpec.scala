@@ -170,4 +170,20 @@ class ReplayParitySpec extends SparkSpec {
     val bad = spark.createDataset(Seq("""[{"lsn":1},{"nope":true}]""")).toDF("value")
     assert(graft.decode.ChangeDecoder.malformedLines(bad).nonEmpty)
   }
+
+  test("typed Dataset[ChangeEvent] view: decode round-trips into the case-class model") {
+    val df = spark.createDataset(Seq(
+      ins(1, 100, 1, "Fuji", 2), upd(2, 101, 1, "Fuji", 9))).toDF("value")
+    val evs = ChangeDecoder.typed(ChangeDecoder.decode(df))
+      .collect().sortBy(e => (e.lsn, e.seq))
+    assert(evs.map(_.kind).toSeq === Seq("insert", "update"))
+    assert(evs(0).oldkeys.isEmpty && evs(1).oldkeys.isDefined)
+    assert(evs(1).oldkeys.get.keyvalues === Seq("1"))
+    // reference Change.getValueForColumn parity (Change.java:80-88):
+    // by-name lookup, unknown column throws like UnknownColumnNameException
+    assert(evs(0).valueForColumn("name") === "Fuji")
+    assert(evs(1).valueForColumn("quantity") === "9")
+    val e = intercept[IllegalArgumentException] { evs(0).valueForColumn("nope") }
+    assert(e.getMessage.contains("Unknown column name"))
+  }
 }
