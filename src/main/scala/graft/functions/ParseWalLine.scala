@@ -77,6 +77,13 @@ object WalLineParser {
 
   final class Malformed extends RuntimeException { override def fillInStackTrace(): Throwable = this }
   private val malformed = new Malformed
+  /** Structural breakage INSIDE a nested json-typed value: Jackson's
+    * copyCurrentStructure cannot resume past it, so parsing STOPS but the
+    * envelope fields already parsed survive (measured: a mismatched
+    * bracket in columnvalues yields {lsn, xid} from from_json — not a
+    * whole-row null, not a recovered field). */
+  final class Unresumable extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+  private val unresumable = new Unresumable
   /** Token-level JSON violations (bare words, leading-zero numbers, raw
     * control chars in strings): Jackson's tokenizer fails on these before
     * any value conversion, so PERMISSIVE nulls the WHOLE row — they must
@@ -125,24 +132,33 @@ object WalLineParser {
       var first = true
       skipWs()
       if (peek() == '}') { i += 1; return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(lsn, xid, change)) }
-      while (true) {
-        if (!first) expect(',')
-        first = false
-        skipWs()
-        val key = parseString()
-        skipWs(); expect(':'); skipWs()
-        key.toString match {
-          case "lsn" => lsn = fieldSafe(parseLong())
-          case "xid" => xid = fieldSafe(parseLong())
-          case "change" => change = fieldSafe(parseChangeArray())
-          case _ => skipValue()
+      try {
+        while (true) {
+          if (!first) expect(',')
+          first = false
+          skipWs()
+          val key = parseString()
+          skipWs(); expect(':'); skipWs()
+          key.toString match {
+            case "lsn" => lsn = fieldSafe(parseLong())
+            case "xid" => xid = fieldSafe(parseLong())
+            case "change" => change = fieldSafe(parseChangeArray())
+            case _ => skipValue()
+          }
+          skipWs()
+          if (peek() == '}') { i += 1
+            return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(lsn, xid, change))
+          }
         }
-        skipWs()
-        if (peek() == '}') { i += 1
-          return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array(lsn, xid, change))
-        }
+        null // unreachable
+      } catch {
+        // unresumable nested breakage: parsing stops, fields completed
+        // BEFORE the failure survive — Jackson's measured partial-results
+        // shape ({lsn, xid} for a broken columnvalues structure)
+        case _: Unresumable =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array(lsn, xid, change))
       }
-      null // unreachable
     }
 
     private def parseChangeArray(): ArrayData = {
@@ -294,7 +310,13 @@ object WalLineParser {
     private def parseLong(): java.lang.Long = {
       skipWs()
       var neg = false
-      if (peek() == '-') { neg = true; i += 1 }
+      if (peek() == '-') {
+        neg = true; i += 1
+        // '-' not followed by a digit is a TOKENIZER error in Jackson
+        // (cannot resume => whole row nulls, measured), unlike a
+        // wrong-typed-but-well-formed token (field-scoped)
+        if (i >= n || b(i) < '0' || b(i) > '9') throw rowMalformed
+      }
       if (i >= n || b(i) < '0' || b(i) > '9') throw malformed
       // Jackson's TOKENIZER rejects leading zeros ("007") before any
       // coercion => whole-row failure, unlike overflow (coercion-level,
@@ -477,27 +499,99 @@ object WalLineParser {
       * minimal escaping, matching from_json's StringType behavior exactly
       * (copyCurrentStructure re-serializes the subtree: an input "A"
       * becomes A, "\/" becomes /). Non-string tokens keep their literal
-      * text (Jackson preserves number text). */
+      * text (Jackson preserves number text).
+      *
+      * The subtree is GRAMMAR-VALIDATED (full recursive descent): Jackson's
+      * copyCurrentStructure tokenizes it, so a mismatched bracket, missing
+      * colon/value, trailing comma, or bad token fails from_json — a
+      * depth-counting byte copy would instead ship the garbage into the
+      * lake as a "valid" column value. Structural violations throw
+      * [[Unresumable]] (parsing stops; envelope fields parsed before
+      * survive — measured: both engines yield {lsn, xid} for a broken
+      * nested value), malformed numbers stay whole-row, bare words stay
+      * field-resumable — each outcome measured against from_json. */
     private def rawStructure(): UTF8String = {
       val buf = new java.io.ByteArrayOutputStream(64)
-      var depth = 0
-      while (i < n) {
-        b(i).toChar match {
-          case ' ' | '\t' | '\n' | '\r' => i += 1
-          case '"' =>
-            val s = parseString() // consumes through the closing quote
-            buf.write('"'); writeJsonEscaped(buf, s); buf.write('"')
-          case '{' | '[' => depth += 1; buf.write(b(i)); i += 1
-          case '}' | ']' =>
-            depth -= 1; buf.write(b(i)); i += 1
-            if (depth == 0) {
-              val arr = buf.toByteArray
-              return UTF8String.fromBytes(arr, 0, arr.length)
-            }
-          case _ => buf.write(b(i)); i += 1
-        }
+      copyStructure(buf)
+      val arr = buf.toByteArray
+      UTF8String.fromBytes(arr, 0, arr.length)
+    }
+
+    // STRUCTURAL grammar violations inside a nested value are UNRESUMABLE
+    // (brackets/colon/comma/missing value — the tokenizer cannot skip past
+    // them, so parsing stops and fields parsed before survive); TOKEN
+    // errors keep their own classes: bad NUMBERS are whole-row
+    // (RowMalformed), bare words are field-resumable (Malformed) —
+    // all three outcomes measured against from_json.
+    private def expectS(c: Char): Unit = {
+      if (i >= n || b(i) != c) throw unresumable
+      i += 1
+    }
+
+    private def copyStructure(buf: java.io.ByteArrayOutputStream): Unit = {
+      skipWs()
+      peek() match {
+        case '{' => copyObject(buf)
+        case '[' => copyArray(buf)
+        case _ => throw unresumable
       }
-      throw malformed
+    }
+
+    private def copyJsonValue(buf: java.io.ByteArrayOutputStream): Unit = {
+      skipWs()
+      peek() match {
+        case '{' => copyObject(buf)
+        case '[' => copyArray(buf)
+        case '"' =>
+          val s = parseString()
+          buf.write('"'); writeJsonEscaped(buf, s); buf.write('"')
+        case 'n' =>
+          try parseNullLiteral()
+          catch { case _: Malformed => throw unresumable }
+          buf.write('n'); buf.write('u'); buf.write('l'); buf.write('l')
+        case c if c == '}' || c == ']' || c == ',' =>
+          throw unresumable // missing value — structural, not a bad token
+        case _ =>
+          val s = rawScalar() // Malformed (bare word) / RowMalformed (number)
+          val sb = s.getBytes
+          buf.write(sb, 0, sb.length)
+      }
+    }
+
+    private def copyObject(buf: java.io.ByteArrayOutputStream): Unit = {
+      expectS('{'); buf.write('{')
+      skipWs()
+      if (peek() == '}') { i += 1; buf.write('}'); return }
+      var first = true
+      while (true) {
+        if (!first) { skipWs(); expectS(','); buf.write(',') }
+        first = false
+        skipWs()
+        val key =
+          try parseString()
+          catch { case _: Malformed => throw unresumable }
+        buf.write('"'); writeJsonEscaped(buf, key); buf.write('"')
+        skipWs(); expectS(':'); buf.write(':')
+        copyJsonValue(buf)
+        skipWs()
+        if (peek() == '}') { i += 1; buf.write('}'); return }
+        if (peek() != ',') throw unresumable
+      }
+    }
+
+    private def copyArray(buf: java.io.ByteArrayOutputStream): Unit = {
+      expectS('['); buf.write('[')
+      skipWs()
+      if (peek() == ']') { i += 1; buf.write(']'); return }
+      var first = true
+      while (true) {
+        if (!first) { skipWs(); expectS(','); buf.write(',') }
+        first = false
+        copyJsonValue(buf)
+        skipWs()
+        if (peek() == ']') { i += 1; buf.write(']'); return }
+        if (peek() != ',') throw unresumable
+      }
     }
 
     /** The escaping Spark's nested-structure re-serialization produces:
@@ -538,7 +632,7 @@ object WalLineParser {
       skipWs()
       peek() match {
         case '"' => parseString()
-        case '{' | '[' => rawStructure()
+        case '{' | '[' => skipStructureLenient()
         case 'n' => parseNullLiteral()
         case _ =>
           val start = i
@@ -546,6 +640,31 @@ object WalLineParser {
             && b(i) != '\t' && b(i) != '\n' && b(i) != '\r') i += 1
           if (i == start) throw malformed
       }
+    }
+
+    /** Depth-counting skip with NO grammar validation: skipValue exists to
+      * reposition after a field-level recovery — re-validating here would
+      * re-throw the very error the recovery is absorbing (the validated
+      * copy is rawStructure's job, for values that get KEPT). */
+    private def skipStructureLenient(): Unit = {
+      var depth = 0
+      var inStr = false
+      while (i < n) {
+        val c = b(i)
+        if (inStr) {
+          if (c == '\\') { i += 1 }
+          else if (c == '"') inStr = false
+        } else c.toChar match {
+          case '"' => inStr = true
+          case '{' | '[' => depth += 1
+          case '}' | ']' =>
+            depth -= 1
+            if (depth == 0) { i += 1; return }
+          case _ => ()
+        }
+        i += 1
+      }
+      throw malformed
     }
   }
 }

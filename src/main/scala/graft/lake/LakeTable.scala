@@ -418,7 +418,11 @@ class LakeTable(val spark: SparkSession, val root: String,
       if (deltaFiles.isEmpty) readConformed(baseFiles, snap.schema, snap.renameMap)
       else mergedViewLocal(snap.schema, snap.keyColumns, snap.renameMap,
         Seq((baseFiles, deltaFiles))) // one bucket => zero-shuffle merge
-    keyValues.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+    // cast the literal to the key column's DECLARED type: a raw String
+    // against a numeric column would compare through lossy DOUBLE
+    // (neighboring bigint keys collide above 2^53)
+    keyValues.foldLeft(df) { case (d, (k, v)) =>
+      d.filter(col(k) === lit(v).cast(snap.schema(k).dataType)) }
   }
 
   /** Metadata-LIGHT snapshot resolve for a point lookup: on a distributed
@@ -678,10 +682,22 @@ class LakeTable(val spark: SparkSession, val root: String,
     // deletion and file deletion would otherwise leak those files forever
     // — the orphan sweep works at commit-directory granularity and cannot
     // see dead files inside directories that still hold live ones.
-    val planPath = new HPath(metaDir,
-      s".expire-plan-${java.util.UUID.randomUUID().toString.take(8)}.json")
-    if (deadFiles.nonEmpty || deadManifests.nonEmpty)
-      writeMetaFile(planPath, expirePlanJson(expire, deadFiles, deadManifests))
+    val planId = java.util.UUID.randomUUID().toString.take(8)
+    val planPath = new HPath(metaDir, s".expire-plan-$planId.json")
+    if (deadFiles.nonEmpty || deadManifests.nonEmpty) {
+      // write at a name OUTSIDE executeExpirePlans' filter, then publish
+      // atomically: a racing maintenance pass must never list a plan
+      // mid-write (it would read torn JSON, discard it as unparseable,
+      // and delete the only record of this pass's dead files)
+      val tmp = new HPath(metaDir, s".expire-plan-$planId.tmp")
+      writeMetaFile(tmp, expirePlanJson(expire, deadFiles, deadManifests))
+      if (isLocalFs) {
+        Files.move(localFile(tmp), localFile(planPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        fsyncDir(localFile(metaDir))
+      } else if (!fs.rename(tmp, planPath))
+        throw new java.io.IOException(s"could not publish expire plan $planPath")
+    }
     // ORDER MATTERS for crash-resumability: drop the expired snapshot
     // JSONs FIRST — after that, the dead data files and manifests are mere
     // orphans (listed in the plan, sweepable) — whereas deleting a
@@ -727,8 +743,14 @@ class LakeTable(val spark: SparkSession, val root: String,
     * ROOTS are deleted FIRST — lesson 13: deleting a root's manifests
     * while the root is still listed leaves a snapshot readSnapshot can
     * never resolve, wedging every later maintenance pass. */
-  private def executeExpirePlans(): Unit =
-    listMetaNames().filter(n =>
+  private def executeExpirePlans(): Unit = {
+    val names = listMetaNames()
+    // a pass that crashed between writing its plan .tmp and the atomic
+    // publish left a stranded tmp; its roots survived (publish precedes
+    // any deletion), so recomputation covers it — just sweep the file
+    names.filter(n => n.startsWith(".expire-plan-") && n.endsWith(".tmp"))
+      .foreach(n => fs.delete(new HPath(metaDir, n), false))
+    names.filter(n =>
       n.startsWith(".expire-plan-") && n.endsWith(".json")).foreach { name =>
       val p = new HPath(metaDir, name)
       // ONLY file-not-found means "plan already retired by a racing pass";
@@ -762,6 +784,7 @@ class LakeTable(val spark: SparkSession, val root: String,
       }
       fs.delete(p, false)
     }
+  }
 
   /** Newest modification time anywhere under `p` (files or directories);
     * tolerates entries vanishing mid-walk (concurrent job commit). Recurses
@@ -881,6 +904,16 @@ class LakeTable(val spark: SparkSession, val root: String,
         val ch = FileChannel.open(localFile(new HPath(rootPath, rel)),
           StandardOpenOption.WRITE)
         try ch.force(true) finally ch.close()
+        // LocalFileSystem writes a .crc checksum sibling per file; left
+        // page-cache-only it can come back torn after a power loss and
+        // every read then fails with ChecksumException — the exact wedge
+        // the parquet force above exists to prevent
+        val lf = localFile(new HPath(rootPath, rel))
+        val crc = lf.getParent.resolve("." + lf.getFileName.toString + ".crc")
+        if (Files.exists(crc)) {
+          val cch = FileChannel.open(crc, StandardOpenOption.WRITE)
+          try cch.force(true) finally cch.close()
+        }
       }
       byBucket.keys.foreach(b =>
         fsyncDir(localFile(new HPath(base, s"_bucket=$b"))))

@@ -279,9 +279,11 @@ object SimilarityOps {
   private val NCELLS = 8
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val q = quantized(spark, dir)
-    def assignTo(cents: DataFrame): DataFrame = {
-      // argmax quantized dot to centroid, tie-break on cell
-      val dots = q.join(cents, Seq("idx"))
+    // argmax quantized dot to centroid, tie-break on cell — ONE definition
+    // for the training and final assignments (a drifted copy would silently
+    // desynchronize the codebook from the inverted file)
+    def assign(src: DataFrame, cents: DataFrame): DataFrame = {
+      val dots = src.join(cents, Seq("idx"))
         .groupBy(col("vec_id"), col("cell"))
         .agg(sum(col("q") * col("cq")).as("dot"))
       val wAssign = Window.partitionBy(col("vec_id"))
@@ -296,22 +298,13 @@ object SimilarityOps {
     // full-corpus training assignment would double the corpus-wide k x n
     // work at 10^10 rows. Only the FINAL assignment touches every vector.
     val sample = q.filter(pmod(col("vec_id"), lit(3)) === 0)
-    def assignSample(cents: DataFrame): DataFrame = {
-      val dots = sample.join(cents, Seq("idx"))
-        .groupBy(col("vec_id"), col("cell"))
-        .agg(sum(col("q") * col("cq")).as("dot"))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dot").desc, col("cell").asc)
-      dots.withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1).select(col("vec_id"), col("cell"))
-    }
     // Lloyd step: integer centroid of each seeded cell's SAMPLE members
-    val cents1 = sample.join(assignSample(seeds), "vec_id")
+    val cents1 = sample.join(assign(sample, seeds), "vec_id")
       .groupBy(col("cell"), col("idx"))
       .agg(expr("sum(q) div count(1)").as("cq"))
-    val assign = assignTo(cents1)
+    val assigned = assign(q, cents1)
     // probe: brute-force INSIDE the query's cell only
-    val qa = q.join(assign, "vec_id")
+    val qa = q.join(assigned, "vec_id")
     val queries = qa.filter(col("vec_id") < 10)
       .select(col("cell"), col("idx"), col("vec_id").as("qid"), col("q").as("qq"))
     val cands = qa.select(col("cell"), col("idx"), col("vec_id").as("nid"), col("q").as("cq"))

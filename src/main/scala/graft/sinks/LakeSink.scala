@@ -67,7 +67,10 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
       // honor the caller's table filter — defaulting silently to the one
       // target table made `--relevant-tables` a no-op in connector mode
       parameters.get("relevantTables")
-        .map(_.split(",").toSet).getOrElse(Set(tableName)))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty) // blank value = absent, never Set("") (which
+                            // would silently filter out EVERY event)
+        .getOrElse(Set(tableName)))
   }
 }
 

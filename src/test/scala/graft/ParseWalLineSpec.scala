@@ -105,6 +105,32 @@ class ParseWalLineSpec extends SparkSpec {
     }
   }
 
+  test("nested-structure grammar parity: broken nested JSON matches from_json exactly") {
+    // Jackson TOKENIZES nested json-typed values (copyCurrentStructure), so
+    // structural garbage can never ship as a "valid" column value; the
+    // native validator reproduces the measured outcomes: structural breaks
+    // are unresumable (fields parsed BEFORE survive: {lsn, xid}), malformed
+    // NUMBER tokens null the whole row, valid subtrees re-serialize
+    // compactly with identical escaping
+    val pre = """{"lsn":1,"xid":2,"change":[{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columntypes":["json"],"columnvalues":["""
+    val post = """]}]}"""
+    val cases = Seq(
+      pre + """{"k":1]""" + post,   // mismatched close inside object
+      pre + """{"a":}""" + post,    // missing value
+      pre + """[1}""" + post,       // mismatched close inside array
+      pre + """{"k" 1}""" + post,   // missing colon
+      pre + """[1,]""" + post,      // trailing comma
+      pre + """{"k":007}""" + post, // nested leading-zero number
+      """{"bogus":{"a":]},"lsn":5,"xid":6,"change":[]}""", // broken under unknown key
+      """{"lsn":1,"xid":-x,"change":[]}""", // '-' without digits
+      pre + """{"ok":true,"n":[1,2,{"d":null}],"s":"x\ud83dy"}""" + post, // valid
+      pre + "12.5, true, null" + post) // valid scalar mix
+    val (n, j) = bothParses(cases)
+    n.zip(j).zipWithIndex.foreach { case ((a, b), idx) =>
+      assert(a === b, s"case $idx: '${cases(idx).take(110)}' native=$a jackson=$b")
+    }
+  }
+
   test("64-bit overflow parity: out-of-range integers null the field like Jackson") {
     val cases = Seq(
       // 2^63 (one past Long.MaxValue): Jackson coercion fails => field null
