@@ -29,6 +29,13 @@ final class MalformedBatchException(msg: String)
 
 object ChangeDecoder {
 
+  /** Message prefix carried by EVERY malformed-input failure — the in-plan
+    * raise_error guards below and [[MalformedBatchException]] messages — and
+    * matched by CdcPipeline.classify's text fallback. One shared constant so
+    * a reworded guard cannot silently reclassify deterministic DataErrors as
+    * Transient (SupervisionSpec pins the coupling). */
+  val MalformedMessagePrefix = "malformed wal2json"
+
   /** Flattened change-event columns produced by [[decode]]. */
   val outputColumns: Seq[String] = Seq(
     "lsn", "seq", "xid", "kind", "schema", "table",
@@ -129,7 +136,7 @@ object ChangeDecoder {
     val arrCol =
       if (strict)
         when(col("isAgg") && col("arr").isNull,
-          raise_error(concat(lit("malformed wal2json line: "),
+          raise_error(concat(lit(MalformedMessagePrefix + " line: "),
             substring(col("value"), 1, 256))).cast(aggType))
           .otherwise(col("arr"))
       else col("arr")
@@ -161,7 +168,7 @@ object ChangeDecoder {
     val changeCol =
       if (strict)
         when(malformed,
-          raise_error(concat(lit("malformed wal2json line: "),
+          raise_error(concat(lit(MalformedMessagePrefix + " line: "),
             substring(col("value"), 1, 256)))
             .cast(ArrayType(Wal2Json.changeSchema)))
           .otherwise(col("m.change"))

@@ -146,7 +146,15 @@ class WalScan(dir: String, maxPerTrigger: Option[Int], maxBytes: Option[Long],
   * are zero-padded (`wal-%09d.jsonl`) so lexicographic order = LSN order. */
 case class WalOffset(last: String) extends Offset {
   override def json(): String = {
-    val esc = last.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    // \u-escape control characters too: Spark's offset log is line-oriented,
+    // so a provider segment name containing a raw newline would split the
+    // checkpoint entry and make it unparseable on restart.
+    val esc = last.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     s"""{"last":"$esc"}"""
   }
 }
@@ -233,7 +241,13 @@ class WalMicroBatchStream(dir: String, maxPerTrigger: Option[Int] = None,
       while (!closed && i < json.length) {
         json.charAt(i) match {
           case '\\' if i + 1 < json.length =>
-            sb.append(json.charAt(i + 1)); i += 2
+            json.charAt(i + 1) match {
+              case 'u' if i + 5 < json.length =>
+                sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16)
+                  .toChar)
+                i += 6
+              case e => sb.append(e); i += 2
+            }
           case '"' => closed = true
           case c => sb.append(c); i += 1
         }

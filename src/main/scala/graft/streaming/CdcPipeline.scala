@@ -109,7 +109,8 @@ class CdcPipeline(
       if (nBad > 0) {
         val samples = ChangeDecoder.malformedLines(lines) // failure path only
         throw new graft.decode.MalformedBatchException(
-          s"batch $batchId contains $nBad malformed wal2json line(s): " +
+          s"batch $batchId contains $nBad " +
+            s"${ChangeDecoder.MalformedMessagePrefix} line(s): " +
             samples.mkString(" | "))
       }
     }
@@ -241,9 +242,11 @@ object CdcPipeline {
         // fallback for malformed input surfaced by the IN-PLAN raise_error
         // guard (decode(strict=true) without the explicit validation pass):
         // Spark raises its own exception type there, so the message text is
-        // the only signal — keep it in sync with ChangeDecoder's guards
+        // the only signal — the prefix is a shared constant with
+        // ChangeDecoder's guards so a reword cannot break classification
         case other if other.getMessage != null &&
-            other.getMessage.contains("malformed wal2json") =>
+            other.getMessage.contains(
+              graft.decode.ChangeDecoder.MalformedMessagePrefix) =>
           return FailureKind.DataError
         // ANSI-mode typed-key cast failure: a well-formed envelope carrying
         // a wrongly-typed key value ("abc" where the key column is int)

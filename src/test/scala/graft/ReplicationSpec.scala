@@ -21,7 +21,7 @@ class ReplicationSpec extends SparkSpec {
     maxChangesPerTxn = 3)
   private val nTxns = 400L
 
-  private val conn = ConnectionConfig(host = "db.internal", database = "graft",
+  private val conn = ConnectionConfig(host = "db.example.org", database = "graft",
     username = "replicator", password = "s3cret")
   private def slotCfg = SlotConfig("graft_slot",
     slotBusyRetrySleepMs = 0L, idleSlotIntervalMs = 1000L)
@@ -77,7 +77,7 @@ class ReplicationSpec extends SparkSpec {
     val c = conn.copy(sslMode = "verify-full",
       sslRootCert = Some("/certs/ca.pem"), sslCert = Some("/certs/client.pem"),
       sslKey = Some("/certs/client.key"), sslPassword = Some("kp")).validate()
-    assert(c.url === "jdbc:postgresql://db.internal:5432/graft")
+    assert(c.url === "jdbc:postgresql://db.example.org:5432/graft")
     val q = c.queryProperties
     assert(q("user") === "replicator" && q("password") === "s3cret")
     assert(q("assumeMinServerVersion") === "10.3")

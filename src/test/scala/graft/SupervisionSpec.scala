@@ -77,6 +77,21 @@ class SupervisionSpec extends SparkSpec {
       === FailureKind.DataError)
   }
 
+  test("in-plan strict raise_error classifies as DataError (message-prefix coupling)") {
+    // The classifier's text fallback and ChangeDecoder's raise_error guards
+    // share MalformedMessagePrefix; this pins the coupling with a REAL
+    // in-plan failure so a reword in either place fails loudly here instead
+    // of silently burning the Transient budget on deterministic bad input.
+    import graft.streaming.CdcPipeline.{classify, FailureKind}
+    import spark.implicits._
+    val bad = Seq("{\"garbage\": true}").toDF("value")
+    val e = intercept[Exception] {
+      graft.decode.ChangeDecoder.decode(bad, strict = true).collect()
+    }
+    assert(classify(new RuntimeException("query failed", e))
+      === FailureKind.DataError)
+  }
+
   test("per-class budgets: a data error cannot eat the contention budget") {
     val wal = tmpDir("wal"); val ckpt = tmpDir("ckpt")
     ChangeStreamGen.writeSegments(spark, cfg, wal, 20L, txnsPerSegment = 20)

@@ -140,6 +140,20 @@ class WalSourceSpec extends SparkSpec {
     }
   }
 
+  test("offsets round-trip names with control characters; json stays one line") {
+    // Spark's offset log is line-oriented: a raw newline in the serialized
+    // offset would split the checkpoint entry and break restart. Control
+    // chars must be \u-escaped on write and decoded on read.
+    val stream = new graft.sources.WalMicroBatchStream(tmpDir("wal"))
+    for (weird <- Seq("seg\nnewline", "seg\ttab", "seg\rcr", "\u0001\u001fctl",
+                      "mix\"\\\n\u0000end")) {
+      val off = graft.sources.WalOffset(weird)
+      val js = off.json()
+      assert(!js.exists(_ < 0x20), js)
+      assert(stream.deserializeOffset(js) === off, js)
+    }
+  }
+
   test("legacy positional offset migration fails loudly after segment deletion") {
     val dir = tmpDir("wal");
     ChangeStreamGen.writeSegments(spark, cfg, dir, 60L, txnsPerSegment = 20)
