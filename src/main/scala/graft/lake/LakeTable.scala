@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StringType, StructField, StructType}
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 
@@ -483,11 +483,39 @@ class LakeTable(val spark: SparkSession, val root: String,
       snap.bucketDeltas.getOrElse(b, Nil).filter(keep))
   }
 
-  /** The storage bucket of a concrete key — computed through the SAME
-    * Catalyst expression used at write time, so driver-side pruning can
-    * never disagree with executor-side bucketing (a hand-rolled JVM
-    * re-implementation of xxhash64 would be a silent-divergence risk). */
-  def bucketOf(snap: Snapshot, keyValues: Map[String, Any]): Int = {
+  /** The storage bucket of a concrete key — computed by EVALUATING the SAME
+    * Catalyst expression used at write time (the `xxhash64` behind
+    * [[bucketExpr]]) driver-side, so pruning can never disagree with
+    * executor-side bucketing (a hand-rolled JVM re-implementation of
+    * xxhash64 would be a silent-divergence risk) and a point lookup no
+    * longer launches a one-row Spark job just to hash its key — a high-QPS
+    * lookup service would serialize on the scheduler. Key types whose
+    * literal/cast cannot be represented driver-side fall back to the
+    * job-based evaluation; BucketParity tests pin agreement across types. */
+  def bucketOf(snap: Snapshot, keyValues: Map[String, Any]): Int =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+      val keyLits = snap.keyColumns.map { k =>
+        val dt = snap.schema(k).dataType
+        val raw = Literal.create(keyValues(k))
+        if (raw.dataType == dt) raw
+        else {
+          val cast = Cast(raw, dt,
+            Some(spark.sessionState.conf.sessionLocalTimeZone))
+          Literal.create(cast.eval(null), dt)
+        }
+      }
+      val h = new XxHash64(keyLits).eval(null).asInstanceOf[Long]
+      val n = snap.nBuckets.toLong
+      (((h % n) + n) % n).toInt // pmod, the defined-semantics half
+    } catch {
+      case scala.util.control.NonFatal(_) => bucketOfViaJob(snap, keyValues)
+    }
+
+  /** Job-based fallback (and the parity oracle in tests): the identical
+    * expression evaluated by the engine itself on a one-row frame. */
+  private[graft] def bucketOfViaJob(snap: Snapshot,
+                                    keyValues: Map[String, Any]): Int = {
     val keyLits = snap.keyColumns.map { k =>
       lit(keyValues(k)).cast(snap.schema(k).dataType).as(k)
     }
@@ -605,7 +633,19 @@ class LakeTable(val spark: SparkSession, val root: String,
         StructField("_seq", IntegerType), StructField("_kind", StringType)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     } else {
-      val df = spark.read.option("mergeSchema", "true")
+      // The delta physical schema is FULLY determined by the snapshot
+      // (typed keys + self-describing maps + ordering columns), so read
+      // with it explicitly: schema inference over parquet footers launches
+      // a Spark job at PLAN time — per point lookup, that made every
+      // lookup pay a scheduler round-trip before the scan even started.
+      val physical = StructType((
+        keyColumns.map(k => StructField(k, schema(k).dataType)) ++ Seq(
+          StructField("_row", MapType(StringType, StringType)),
+          StructField("_types", MapType(StringType, StringType)),
+          StructField("_lsn", LongType),
+          StructField("_seq", IntegerType),
+          StructField("_kind", StringType))).map(_.copy(nullable = true)))
+      val df = spark.read.schema(physical)
         .parquet(files.map(f => s"$root/$f"): _*)
       val cols = schema.fields.map { f =>
         if (keyColumns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -622,7 +662,21 @@ class LakeTable(val spark: SparkSession, val root: String,
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      var df = spark.read.option("mergeSchema", "true")
+      // Explicit physical schema instead of mergeSchema footer inference
+      // (which launches a Spark job at plan time): the union schema across
+      // eras is known from the snapshot — current columns plus any
+      // pre-rename names (their files predate the rename; same type). A
+      // column absent from a given file reads as null, exactly what the
+      // inference-based union produced.
+      val extraOld = renameMap.toSeq.sortBy(_._1).collect {
+        case (oldName, newName)
+            if schema.fieldNames.contains(newName) &&
+              !schema.fieldNames.contains(oldName) =>
+          StructField(oldName, schema(newName).dataType)
+      }
+      val physical = StructType(
+        (schema.fields ++ extraOld).map(_.copy(nullable = true)))
+      var df = spark.read.schema(physical)
         .parquet(files.map(f => s"$root/$f"): _*)
       // Apply renames: new name wins; old-era files contribute via coalesce.
       renameMap.foreach { case (oldName, newName) =>

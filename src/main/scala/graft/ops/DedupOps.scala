@@ -27,6 +27,16 @@ object DedupOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Reclaim a localCheckpoint'd frame's storage immediately. The blocks
+    * are the ONLY copy (checkpointing truncated the lineage), so this is
+    * safe only once nothing will ever read the frame again — callers use
+    * it on superseded iteration frontiers, never on a frame a returned
+    * lazy DataFrame still references. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Exact dedup: group identical content by hash, keep canonical min id. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
@@ -272,23 +282,41 @@ object DedupOps {
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("canon", col("doc_id"))
       .localCheckpoint()
-    var changed = 1L
+    // One cheap pre-loop count over the already-materialized frontier: a
+    // zero-row frontier must skip the loop entirely, because AQE's
+    // empty-relation propagation can drop the CollectMetrics node from an
+    // all-empty plan and the observation below would then never resolve
+    // (CLAUDE.md lesson 8). Inside the loop the frontier is non-empty.
+    var changed = if (labels.count() > 0) 1L else 0L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
       val nbrMin = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("nbr_doc")).agg(min(col("canon")).as("nbr_min"))
+      // The convergence check RIDES the round's one materializing action
+      // (the eager localCheckpoint) as an observe metric: `nbr_min < canon`
+      // iff this round lowered the label — no second driver-synchronized
+      // count() job per round. (`null < canon` is null, which count(when)
+      // skips, so untouched rows don't count as changes.)
+      val obs = org.apache.spark.sql.Observation()
       val updated = labels
         .join(nbrMin, labels("doc_id") === nbrMin("nbr_doc"), "left")
         .select(col("doc_id"),
-          least(col("canon"), coalesce(col("nbr_min"), col("canon"))).as("canon"))
+          least(col("canon"), coalesce(col("nbr_min"), col("canon"))).as("canon"),
+          (col("nbr_min") < col("canon")).as("_lowered"))
+        .observe(obs, count(when(col("_lowered"), 1)).as("changed"))
+        .drop("_lowered")
         .localCheckpoint()
-      changed = updated.as("u")
-        .join(labels.as("l"), col("u.doc_id") === col("l.doc_id"))
-        .filter(col("u.canon") =!= col("l.canon")).count()
+      changed = obs.get.get("changed").map(_.asInstanceOf[Long]).getOrElse(0L)
+      // The superseded frontier's checkpoint blocks are the only copy of a
+      // dead dataset; reclaim them NOW instead of waiting for the
+      // ContextCleaner to GC O(rounds) accumulated copies. Safe: `updated`
+      // is already materialized, nothing reads the old frontier again.
+      releaseLocalCheckpoint(labels)
       labels = updated
       rounds += 1
     }
+    releaseLocalCheckpoint(edges) // the result below reads only `labels`
     // Wrong silently is worse than loud: a component with diameter > 25
     // (adversarial chain graphs — dup clusters are dense cliques and
     // converge in 2-3 rounds) would otherwise ship non-minimal canonical

@@ -72,9 +72,40 @@ class DedupCapSpec extends SparkSpec {
       .map { case (id, t) => (id, t, 100L) }
     docs.toDF("doc_id", "text", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = DedupOps.clusterCanonical(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+    // Pin the round shape: convergence rides the round's ONE materializing
+    // action (observe on the checkpoint) — at most a single `count` action
+    // in the whole call (the pre-loop empty-frontier guard) — and the
+    // superseded per-round frontiers + the edge set are released eagerly
+    // instead of accumulating until the ContextCleaner GCs them.
+    val counts = new java.util.concurrent.atomic.AtomicInteger
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "count") { counts.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.size
+    spark.listenerManager.register(ql)
+    val got =
+      try DedupOps.clusterCanonical(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      finally spark.listenerManager.unregister(ql)
     assert(got === Seq((0L, 0L, 1), (1L, 0L, 0), (2L, 0L, 0), (3L, 3L, 1)))
+    locally { // the listener bus is async — poll until the counter stabilizes
+      var prev = -1; var cur = counts.get; var spins = 0
+      while (cur != prev && spins < 50) {
+        prev = cur; Thread.sleep(100); cur = counts.get; spins += 1
+      }
+    }
+    assert(counts.get <= 1,
+      s"convergence must ride the checkpoint action, saw ${counts.get} count()s")
+    val rddsAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(rddsAfter - rddsBefore <= 1, // only the FINAL frontier survives
+      s"superseded frontiers must be released ($rddsBefore -> $rddsAfter)")
   }
 
   test("capped join plan stays an equi-join (no cartesian/BNLJ)") {
