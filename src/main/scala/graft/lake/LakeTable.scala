@@ -49,11 +49,17 @@ import com.fasterxml.jackson.databind.node.ObjectNode
  *  - HDFS-semantics stores — `FileSystem.rename(tmp, target)`, which per
  *    the FileSystem contract atomically fails when the target exists (HDFS
  *    implements this server-side in the NameNode);
- *  - object stores — S3 has no atomic rename; a production deployment
- *    fences with a conditional PUT (If-None-Match) through a store/client
- *    that exposes it, or fronts commits with a lightweight lock service
- *    (the approach Delta Lake takes on S3). The rename path here is the
- *    seam: override [[LakeTable.publish]] for such a store.
+ *  - object stores — their "rename" is client-side copy+delete, LAST
+ *    WRITER WINS (two racing committers would both "succeed" —
+ *    CommitFencingSpec demonstrates the double-win on such a store), so
+ *    known object-store schemes default to CONDITIONAL-PUT fencing: the
+ *    snapshot is written directly with create(overwrite = false), which
+ *    the store's FileSystem maps to an atomic conditional write (S3
+ *    If-None-Match via Hadoop 3.4.1+ S3A, GCS if-generation-match, ABFS
+ *    ETag create). Override per scheme with Hadoop conf
+ *    `graft.lake.fencing.<scheme>`; a lock-service deployment (the
+ *    pre-conditional-write Delta-on-S3 approach) still overrides
+ *    [[LakeTable.publish]].
  *
  * The loser gets [[CommitConflictException]] — that is the snapshot-id
  * fencing (the transactional analog of the reference's slot-busy
@@ -148,12 +154,43 @@ class LakeTable(val spark: SparkSession, val root: String,
   import LakeTable._
 
   private val rootPath = new HPath(root)
-  private[lake] val fs: FileSystem =
-    rootPath.getFileSystem(graft.util.HadoopConfs.session(spark))
+  private val sessionConf = graft.util.HadoopConfs.session(spark)
+  private[lake] val fs: FileSystem = rootPath.getFileSystem(sessionConf)
   private def metaDir: HPath = new HPath(rootPath, "meta")
   private def dataDir: HPath = new HPath(rootPath, "data")
   /** link(2) fencing only exists on a local filesystem. */
   private val isLocalFs: Boolean = fs.getScheme == "file"
+
+  /** How [[publish]] claims a snapshot name, resolved from the root's
+    * scheme (override per scheme with Hadoop conf
+    * `graft.lake.fencing.<scheme>`):
+    *
+    *  - `link` — link(2) via Files.createLink, `file:` only (rename(2)
+    *    silently replaces — no fencing);
+    *  - `rename` — the HDFS FileSystem-contract atomic fail-if-exists
+    *    rename (HDFS enforces it in the NameNode);
+    *  - `conditional-put` — DEFAULT for known object-store schemes: their
+    *    "rename" is client-side copy+delete, LAST WRITER WINS — the HDFS
+    *    contract silently does not hold, and two racing committers would
+    *    BOTH report success (CommitFencingSpec demonstrates the double-win
+    *    on such a store and proves this mode single-winner). The target
+    *    object is written directly with create(overwrite = false), which
+    *    the store's FileSystem must map to an atomic conditional PUT
+    *    (S3 If-None-Match, GCS if-generation-match 0). */
+  private[graft] val fencingMode: String = {
+    val scheme = fs.getScheme
+    val mode = Option(sessionConf.get(s"graft.lake.fencing.$scheme"))
+      .getOrElse {
+        if (scheme == "file") "link"
+        else if (LakeTable.ObjectStoreSchemes(scheme)) "conditional-put"
+        else "rename"
+      }
+    require(Set("link", "rename", "conditional-put")(mode),
+      s"graft.lake.fencing.$scheme must be link|rename|conditional-put, got $mode")
+    require(mode != "link" || isLocalFs,
+      s"link fencing requires a file: root, not $scheme:")
+    mode
+  }
   private def localFile(p: HPath): java.nio.file.Path =
     java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
 
@@ -291,7 +328,8 @@ class LakeTable(val spark: SparkSession, val root: String,
     * A linked-in snapshot must never be visible with partial content after
     * a crash, so the temp file is fully synced before publication. */
   protected def publish(tmp: HPath, target: HPath, content: String): Unit = {
-    if (isLocalFs) {
+    if (fencingMode == "conditional-put") { publishConditionalPut(target, content); return }
+    if (isLocalFs && fencingMode == "link") {
       val ltmp = localFile(tmp); val ltarget = localFile(target)
       writeDurableLocal(ltmp, content)
       // link(2) atomically fails with EEXIST if a concurrent writer
@@ -344,6 +382,54 @@ class LakeTable(val spark: SparkSession, val root: String,
       }
     }
   }
+
+  /** Object-store publish: no temp file and no rename — the target object
+    * is written DIRECTLY with fail-if-exists create, which the store's
+    * FileSystem maps to an atomic conditional PUT (a PUT is all-or-nothing,
+    * so a partially-written object is never visible; the condition is
+    * evaluated when the upload completes, i.e. at close()). A conflict can
+    * therefore surface at create() OR at close(); generic IOExceptions get
+    * the same ambiguous-outcome read-back guard as the rename path — our
+    * own retried PUT may have landed, and misclassifying that as a
+    * conflict would turn loser-cleanup against our own published root. */
+  private def publishConditionalPut(target: HPath, content: String): Unit = {
+    def conflict() = new CommitConflictException(
+      s"snapshot ${target.getName} already committed")
+    def guardExisting(e: java.io.IOException): Nothing = {
+      if (fs.exists(target)) {
+        val in = fs.open(target)
+        val existing =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        if (existing == content) throw Won // our own PUT landed
+        throw conflict()
+      }
+      throw e
+    }
+    try {
+      val out =
+        try fs.create(target, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => throw conflict()
+          case e: java.io.IOException => guardExisting(e)
+        }
+      var ok = false
+      try {
+        out.write(content.getBytes(StandardCharsets.UTF_8))
+        out.hsync()
+        ok = true
+        out.close() // conditional PUT evaluated here on real object stores
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException if ok => throw conflict()
+        case e: java.io.IOException if ok => guardExisting(e)
+        case e: Throwable => try out.close() catch { case _: Exception => () }; throw e
+      }
+    } catch { case Won => () }
+  }
+
+  /** Control-flow sentinel for [[publishConditionalPut]]'s read-back guard:
+    * the "conflict" was our own successful publish. */
+  private object Won extends scala.util.control.ControlThrowable
 
   /** Write content and fsync it before publishing (local-filesystem path). */
   private def writeDurableLocal(p: java.nio.file.Path, content: String): Unit = {
@@ -981,6 +1067,16 @@ class LakeTable(val spark: SparkSession, val root: String,
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 object LakeTable {
+  /** Schemes whose FileSystem "rename" is client-side copy+delete with
+    * last-writer-wins visibility — the HDFS atomic fail-if-exists contract
+    * does not hold there, so commit fencing defaults to conditional-put
+    * (the FileSystem must map create(overwrite=false) to an atomic
+    * conditional write: S3 If-None-Match [Hadoop 3.4.1+ S3A],
+    * GCS if-generation-match, ABFS ETag create). */
+  val ObjectStoreSchemes: Set[String] = Set(
+    "s3", "s3a", "s3n", "gs", "oss", "cos", "obs",
+    "wasb", "wasbs", "abfs", "abfss", "swift")
+
   private val SnapshotRe = "snapshot-(\\d+)\\.json".r
   private val mapper = new ObjectMapper()
 

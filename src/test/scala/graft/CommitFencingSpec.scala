@@ -11,9 +11,96 @@ import graft.lake.{CommitConflictException, LakeTable, Snapshot}
  * On POSIX, rename(2) silently replaces an existing target, so the fencing
  * primitive must be link(2)/createLink, which atomically fails with EEXIST.
  */
+/** Object-store double (S3-like): "rename" is copy+delete — it silently
+  * REPLACES an existing destination, last writer wins, the HDFS atomic
+  * fail-if-exists contract does NOT hold. What the store DOES offer is an
+  * atomic conditional PUT: create(overwrite = false) claims the object name
+  * atomically (modeled with Files.createFile) and fails with
+  * FileAlreadyExistsException when it is already claimed — the S3
+  * If-None-Match / GCS if-generation-match primitive. */
+class LwwObjectStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftlww:///")
+  override def getScheme: String = "graftlww"
+
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (exists(dst)) delete(dst, false) // copy+delete semantics: LWW
+    super.rename(src, dst)
+  }
+
+  /** The atomic conditional claim. NB: RawLocalFileSystem implements BOTH
+    * the permission and the no-permission create overloads directly (the
+    * no-permission one does a non-atomic exists()-then-create — overriding
+    * only the permission variant leaves fs.create(p, false) racy). */
+  private def claim(f: org.apache.hadoop.fs.Path): Unit = {
+    val local = pathToFile(f).toPath
+    java.nio.file.Files.createDirectories(local.getParent)
+    try java.nio.file.Files.createFile(local)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+    }
+  }
+
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) {
+      claim(f)
+      super.create(f, permission, true, bufferSize, replication, blockSize, progress)
+    } else super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) {
+      claim(f)
+      super.create(f, true, bufferSize, replication, blockSize, progress)
+    } else super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+}
+
 class CommitFencingSpec extends SparkSpec {
 
   private val schema = StructType(Seq(StructField("id", IntegerType)))
+
+  private def registerLww(mode: String): Unit = {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.graftlww.impl", classOf[LwwObjectStoreFileSystem].getName)
+    spark.conf.set("spark.hadoop.graft.lake.fencing.graftlww", mode)
+  }
+
+  /** Two committers race from the same base snapshot; returns their
+    * outcomes and the surviving snapshot's writer tag. */
+  private def raceOnce(t: LakeTable): (Seq[String], Long) = {
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val base = t.currentSnapshot.get
+      val barrier = new CyclicBarrier(2)
+      val done = new CountDownLatch(2)
+      val results = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      Seq("A", "B").foreach { who =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val mine = base.copy(lineage = Map("writer" -> who.hashCode.toLong))
+            barrier.await(10, TimeUnit.SECONDS)
+            try {
+              t.commit(mine, expectedSnapshotId = base.snapshotId)
+              results.put(who, "won")
+            } catch {
+              case _: CommitConflictException => results.put(who, "lost")
+            } finally done.countDown()
+          }
+        })
+      }
+      assert(done.await(30, TimeUnit.SECONDS), "race timed out")
+      (Seq("A", "B").map(results.get), t.currentSnapshot.get.lineage("writer"))
+    } finally pool.shutdownNow()
+  }
 
   private def freshTable(rootPrefix: String = ""): LakeTable = {
     val t = new LakeTable(spark, rootPrefix + tmpDir("fence"))
@@ -58,6 +145,47 @@ class CommitFencingSpec extends SparkSpec {
         assert(surviving.lineage("writer") == winner.hashCode.toLong, s"round $round clobbered")
       }
     } finally pool.shutdownNow()
+  }
+
+  test("LWW-rename store: the rename contract double-wins (the documented hazard)") {
+    // Forcing the rename path onto a store whose rename replaces silently:
+    // BOTH committers report success and the loser's snapshot clobbers the
+    // winner's — this is exactly why object-store schemes default to
+    // conditional-put fencing instead.
+    registerLww(mode = "rename")
+    val t = new LakeTable(spark, s"graftlww:${tmpDir("lww")}")
+    t.create(schema, Seq("id"), 2)
+    val (outcomes, _) = raceOnce(t)
+    assert(outcomes === Seq("won", "won"),
+      s"rename on an LWW store must double-win (got $outcomes) — " +
+        "if this starts failing, the double no longer models the hazard")
+  }
+
+  test("conditional-put fencing: single winner on the LWW store (30-round race)") {
+    registerLww(mode = "conditional-put")
+    for (round <- 0 until 30) {
+      val t = new LakeTable(spark, s"graftlww:${tmpDir("lwwcp")}")
+      t.create(schema, Seq("id"), 2)
+      assert(t.fencingMode === "conditional-put")
+      val (outcomes, survivor) = raceOnce(t)
+      assert(outcomes.count(_ == "won") === 1,
+        s"round $round: expected exactly one winner, got $outcomes")
+      val winner = Seq("A", "B")(outcomes.indexOf("won"))
+      assert(survivor === winner.hashCode.toLong, s"round $round clobbered")
+    }
+  }
+
+  test("object-store schemes default to conditional-put without configuration") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.graftlww.impl", classOf[LwwObjectStoreFileSystem].getName)
+    spark.conf.unset("spark.hadoop.graft.lake.fencing.graftlww")
+    // the double's own scheme is unknown => rename default; the KNOWN
+    // object-store schemes resolve to conditional-put
+    assert(graft.lake.LakeTable.ObjectStoreSchemes("s3a"))
+    assert(graft.lake.LakeTable.ObjectStoreSchemes("gs"))
+    assert(!graft.lake.LakeTable.ObjectStoreSchemes("hdfs"))
+    val t = new LakeTable(spark, s"graftlww:${tmpDir("lwwdef")}")
+    assert(t.fencingMode === "rename") // unknown scheme keeps the contract default
   }
 
   test("removeOrphans deletes stale unreferenced data dirs, keeps live + fresh ones") {
