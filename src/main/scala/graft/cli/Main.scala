@@ -77,7 +77,8 @@ object Main {
       "limit" -> (false, "rows to print (default 20)")),
     "stage" -> Map(
       "wal-dir" -> (true, "staging directory to publish WAL segments into"),
-      "txns" -> (true, "synthetic-server transactions to stream (no live database in this sandbox; a real endpoint plugs in behind ReplicationConnector)"),
+      "txns" -> (true, "synthetic-server transactions to stream (ignored with --endpoint jdbc)"),
+      "endpoint" -> (false, "synthetic|jdbc: jdbc binds to a live PostgreSQL via pgjdbc (driver jar required on the classpath; default synthetic)"),
       "host" -> (false, "server host (default localhost)"),
       "port" -> (false, "server port (default 5432)"),
       "database" -> (false, "database name (default graft)"),
@@ -179,10 +180,20 @@ object Main {
       slotBusyRetryLimit = kv.getOrElse("slot-busy-retries", "30").toInt,
       slotBusyRetrySleepMs = kv.getOrElse("slot-busy-sleep-s", "30").toLong * 1000)
       .validate()
-    val nTxns = kv("txns").toLong
-    val server = new SyntheticReplicationServer(
-      GenConfig(seed = kv.getOrElse("seed", "42").toLong), nTxns)
-    val ingest = new ReplicationIngest(server.connect(conn, slot),
+    val connector = kv.getOrElse("endpoint", "synthetic") match {
+      case "jdbc" =>
+        // the live pgjdbc binding (reflection-bound; fails fast without
+        // the driver jar) — the reference's PostgresConnector run mode
+        new JdbcReplicationConnector(conn, slot, () => new PgjdbcShim(conn))
+      case "synthetic" =>
+        val nTxns = kv("txns").toLong
+        new SyntheticReplicationServer(
+          GenConfig(seed = kv.getOrElse("seed", "42").toLong), nTxns)
+          .connect(conn, slot)
+      case other => throw new IllegalArgumentException(
+        s"--endpoint must be synthetic|jdbc, got $other")
+    }
+    val ingest = new ReplicationIngest(connector,
       kv("wal-dir"), new org.apache.hadoop.conf.Configuration(), slot,
       rollBytes = kv.getOrElse("roll-bytes", (64L * 1024 * 1024).toString).toLong,
       flushChunks = kv.getOrElse("flush-txns", "10000").toLong)

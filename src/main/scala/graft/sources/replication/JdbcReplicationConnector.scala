@@ -1,0 +1,266 @@
+package graft.sources.replication
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.sql.SQLException
+
+/**
+ * The minimal pgjdbc surface the live binding consumes — a thin shim over
+ * the PostgreSQL JDBC replication API so the engine COMPILES AND TESTS
+ * without the driver jar on the classpath (this sandbox ships none):
+ *
+ *  - [[PgReplicationShim.createLogicalSlot]] == `pgReplicationConnection
+ *    .createReplicationSlot().logical().withOutputPlugin(p)
+ *    .withSlotName(n).make()` (PostgresConnector.java:84-90), raising
+ *    SQLSTATE 42710 when the slot already exists;
+ *  - [[PgReplicationShim.startStream]] == `replicationStream().logical()
+ *    .withStatusInterval(...).withSlotOptions(...).withSlotName(n).start()`
+ *    (PostgresConnector.java:217-229), raising SQLSTATE 55006 while
+ *    another PID consumes the slot;
+ *  - the stream mirrors `PGReplicationStream`: readPending /
+ *    getLastReceiveLSN / setAppliedLSN / setFlushedLSN /
+ *    forceUpdateStatus (PostgresConnector.java:106-131).
+ *
+ * [[PgjdbcShim]] is the production implementation (reflection-bound to
+ * `org.postgresql`); the test suite drives [[JdbcReplicationConnector]]
+ * through a fault-injecting fake of this trait with the full contract
+ * suite (JdbcReplicationSpec).
+ */
+trait PgReplicationShim extends AutoCloseable {
+  /** CREATE_REPLICATION_SLOT <name> LOGICAL <plugin>. 42710 = exists. */
+  def createLogicalSlot(slotName: String, outputPlugin: String): Unit
+  /** START_REPLICATION at the slot's confirmed position. 55006 = busy. */
+  def startStream(slotName: String, slotOptions: Map[String, String],
+                  statusIntervalMs: Long): PgReplicationStreamShim
+}
+
+/** Mirror of the `PGReplicationStream` methods the reference uses. */
+trait PgReplicationStreamShim extends AutoCloseable {
+  /** Non-blocking read; null when caught up (readPending()). */
+  def readPending(): ByteBuffer
+  /** Last position received on THIS stream — chunk positions plus server
+    * keepalives past fully-sent WAL; never ahead of undelivered data. */
+  def getLastReceiveLSN(): Long
+  def setAppliedLSN(lsn: Long): Unit
+  def setFlushedLSN(lsn: Long): Unit
+  /** Send the standby status update NOW (pgjdbc otherwise piggybacks it on
+    * a later read — an ack the server never saw is no ack). */
+  def forceUpdateStatus(): Unit
+}
+
+object JdbcReplicationConnector {
+  /** SQLSTATEs the reference pins (PostgresConnector.java:47-48,
+    * SlotReaderKinesisWriter.java:56). */
+  val AlreadyExistsSqlState = "42710"
+  val SlotBusySqlState = "55006"
+  val RecoveryModeSqlState = "57P03"
+}
+
+/**
+ * The live JDBC binding behind the [[ReplicationConnector]] seam: maps the
+ * pgjdbc replication API onto the engine contract and the reference's
+ * SQLSTATE taxonomy — 55006 -> [[SlotBusyException]] (patient retry,
+ * blue/green overlap), 57P03 -> [[RecoveryModeException]] (transient),
+ * 42710 -> idempotent slot creation.
+ *
+ * `currentLsn()` is the STREAM's last-received position
+ * (getLastReceiveLSN) — deliberately NOT the reference's out-of-band
+ * `select pg_current_wal_lsn()` probe (PostgresConnector.java:110-122),
+ * which can exceed commits not yet streamed; see the trait contract.
+ * `ack` sets applied+flushed AND forces the status update out, so a
+ * publish-then-ack sequence leaves the durable cursor on the server the
+ * moment ack returns (the reference only forces on close,
+ * PostgresConnector.java:138-141 — its in-flight acks ride later reads).
+ */
+final class JdbcReplicationConnector(
+    conn: ConnectionConfig,
+    slot: SlotConfig,
+    shimFactory: () => PgReplicationShim) extends ReplicationConnector {
+  import JdbcReplicationConnector._
+
+  conn.validate()
+  slot.validate()
+
+  private var shimOpt: Option[PgReplicationShim] = None
+  private var stream: PgReplicationStreamShim = _
+
+  private def shim: PgReplicationShim = {
+    if (shimOpt.isEmpty) shimOpt = Some(shimFactory())
+    shimOpt.get
+  }
+
+  /** Translate the wire taxonomy into the engine taxonomy. */
+  private def mapped[A](body: => A): A =
+    try body
+    catch {
+      case e: SQLException if e.getSQLState == SlotBusySqlState =>
+        throw new SlotBusyException(e.getMessage)
+      case e: SQLException if e.getSQLState == RecoveryModeSqlState =>
+        throw new RecoveryModeException(e.getMessage)
+    }
+
+  override def createSlotIfAbsent(): Boolean =
+    try { mapped(shim.createLogicalSlot(slot.slotName, slot.outputPlugin)); true }
+    catch {
+      case e: SQLException if e.getSQLState == AlreadyExistsSqlState => false
+    }
+
+  override def openStream(): Unit = mapped {
+    stream = shim.startStream(slot.slotName, slot.slotOptions,
+      slot.statusIntervalMs)
+  }
+
+  private def requireOpen(): Unit =
+    require(stream != null, "stream not open")
+
+  override def readPending(): Option[WalChunk] = mapped {
+    requireOpen()
+    Option(stream.readPending()).map { buf =>
+      val bytes = new Array[Byte](buf.remaining())
+      buf.get(bytes)
+      // getLastReceiveLSN after a successful read is the position of the
+      // message just read (pgjdbc advances it on receipt)
+      WalChunk(stream.getLastReceiveLSN(), new String(bytes, StandardCharsets.UTF_8))
+    }
+  }
+
+  override def currentLsn(): Long = {
+    requireOpen()
+    stream.getLastReceiveLSN()
+  }
+
+  override def ack(lsn: Long): Unit = mapped {
+    requireOpen()
+    stream.setAppliedLSN(lsn)
+    stream.setFlushedLSN(lsn)
+    stream.forceUpdateStatus()
+  }
+
+  override def close(): Unit = {
+    if (stream != null) {
+      // flush any recorded-but-unsent positions, like the reference's
+      // close (PostgresConnector.java:138-141); best-effort — the slot
+      // redelivers anything unacked
+      try stream.forceUpdateStatus() catch { case _: Exception => () }
+      try stream.close() catch { case _: Exception => () }
+      stream = null
+    }
+    shimOpt.foreach(s => try s.close() catch { case _: Exception => () })
+    shimOpt = None
+  }
+}
+
+/**
+ * Production [[PgReplicationShim]] bound to pgjdbc REFLECTIVELY: the
+ * driver jar is not on this build's classpath (and none exists in the
+ * sandbox), so the binding compiles and fails fast with a clear message
+ * when `org.postgresql` is absent at runtime, and binds to the real
+ * `PGConnection.getReplicationAPI()` fluent builders when present —
+ * the exact call surface of the reference (PostgresConnector.java:67-131,
+ * 217-243). SQLExceptions thrown inside the driver propagate with their
+ * SQLSTATE intact (InvocationTargetException unwrapped), so
+ * [[JdbcReplicationConnector]]'s taxonomy mapping applies unchanged.
+ */
+final class PgjdbcShim(conn: ConnectionConfig) extends PgReplicationShim {
+  import PgjdbcShim._
+
+  private val connection: java.sql.Connection = {
+    loadClass("org.postgresql.Driver") // registers with DriverManager
+    val props = new java.util.Properties()
+    conn.replicationProperties.foreach { case (k, v) => props.setProperty(k, v) }
+    java.sql.DriverManager.getConnection(conn.url, props)
+  }
+  private val replicationApi: AnyRef = {
+    val pgClass = loadClass("org.postgresql.PGConnection")
+    val pg = connection.unwrap(pgClass).asInstanceOf[AnyRef]
+    call(pg, "getReplicationAPI")
+  }
+
+  override def createLogicalSlot(slotName: String, outputPlugin: String): Unit = {
+    val b0 = call(replicationApi, "createReplicationSlot")
+    val b1 = call(b0, "logical")
+    val b2 = call1(b1, "withOutputPlugin", classOf[String], outputPlugin)
+    val b3 = call1(b2, "withSlotName", classOf[String], slotName)
+    call(b3, "make")
+    ()
+  }
+
+  override def startStream(slotName: String, slotOptions: Map[String, String],
+                           statusIntervalMs: Long): PgReplicationStreamShim = {
+    val b0 = call(replicationApi, "replicationStream")
+    var b = call(b0, "logical")
+    b = invoke(b, "withStatusInterval",
+      Seq(classOf[Int], classOf[java.util.concurrent.TimeUnit]),
+      Seq(Int.box(statusIntervalMs.toInt),
+        java.util.concurrent.TimeUnit.MILLISECONDS))
+    slotOptions.toSeq.sorted.foreach { case (k, v) =>
+      b = invoke(b, "withSlotOption",
+        Seq(classOf[String], classOf[String]), Seq(k, v))
+    }
+    b = call1(b, "withSlotName", classOf[String], slotName)
+    val stream = unwrapping(call(b, "start"))
+    new ReflectiveStream(stream)
+  }
+
+  override def close(): Unit = connection.close()
+
+  /** PGReplicationStream via reflection; LSNs cross as longs through
+    * LogSequenceNumber.valueOf/asLong. */
+  private final class ReflectiveStream(stream: AnyRef)
+      extends PgReplicationStreamShim {
+    private val lsnClass = loadClass("org.postgresql.replication.LogSequenceNumber")
+    private val valueOf = lsnClass.getMethod("valueOf", classOf[Long])
+    private def lsnOf(v: Long): AnyRef = valueOf.invoke(null, Long.box(v))
+    private def asLong(lsn: AnyRef): Long =
+      lsnClass.getMethod("asLong").invoke(lsn).asInstanceOf[Long]
+
+    override def readPending(): ByteBuffer =
+      call(stream, "readPending").asInstanceOf[ByteBuffer]
+    override def getLastReceiveLSN(): Long =
+      asLong(call(stream, "getLastReceiveLSN"))
+    override def setAppliedLSN(lsn: Long): Unit =
+      { invoke(stream, "setAppliedLSN", Seq(lsnClass), Seq(lsnOf(lsn))); () }
+    override def setFlushedLSN(lsn: Long): Unit =
+      { invoke(stream, "setFlushedLSN", Seq(lsnClass), Seq(lsnOf(lsn))); () }
+    override def forceUpdateStatus(): Unit = { call(stream, "forceUpdateStatus"); () }
+    override def close(): Unit = { call(stream, "close"); () }
+  }
+}
+
+object PgjdbcShim {
+  private def loadClass(name: String): Class[_] =
+    try Class.forName(name)
+    catch {
+      case e: ClassNotFoundException =>
+        throw new IllegalStateException(
+          s"$name not on the classpath — the live PostgreSQL binding needs " +
+            "the pgjdbc driver jar (org.postgresql:postgresql); use the " +
+            "synthetic connector for offline runs", e)
+    }
+
+  /** Reflective invoke, unwrapping InvocationTargetException so driver
+    * SQLExceptions keep their SQLSTATE for the taxonomy mapping. The
+    * method is resolved on the runtime class (fluent builders return
+    * package-private implementations of public interfaces, so the Method
+    * object may need accessibility forced — classpath code, no module
+    * seal). */
+  private def invoke(target: AnyRef, method: String,
+                     types: Seq[Class[_]], args: Seq[AnyRef]): AnyRef = {
+    val m = target.getClass.getMethod(method, types: _*)
+    try m.setAccessible(true) catch { case _: Exception => () }
+    unwrapping(m.invoke(target, args: _*))
+  }
+
+  private def call(target: AnyRef, method: String): AnyRef =
+    invoke(target, method, Nil, Nil)
+
+  private def call1(target: AnyRef, method: String, t: Class[_], arg: AnyRef): AnyRef =
+    invoke(target, method, Seq(t), Seq(arg))
+
+  private def unwrapping[A](body: => A): A =
+    try body
+    catch {
+      case e: java.lang.reflect.InvocationTargetException if e.getCause != null =>
+        throw e.getCause
+    }
+}

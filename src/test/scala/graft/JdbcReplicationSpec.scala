@@ -1,0 +1,348 @@
+package graft
+
+import java.nio.ByteBuffer
+import java.sql.SQLException
+import org.apache.spark.sql.functions._
+import graft.cli.Main
+import graft.gen.{ChangeStreamGen, GenConfig}
+import graft.lake.LakeTable
+import graft.sources.WalSource
+import graft.sources.replication._
+import graft.streaming.{CdcPipeline, TableTarget}
+
+/**
+ * In-memory PostgreSQL-shaped endpoint implementing the pgjdbc SHIM
+ * surface (not the engine connector) with the wire-level behaviors the
+ * real driver exhibits, for driving [[JdbcReplicationConnector]] through
+ * the full replication contract suite:
+ *
+ *  - SQLSTATE taxonomy exactly as the reference pins it
+ *    (PostgresConnectorTest.java:137-188): 42710 duplicate slot, 55006
+ *    slot held by another PID, 57P03 recovery mode;
+ *  - server-held confirmed-flush LSN that advances ONLY on
+ *    forceUpdateStatus / stream close carrying a setFlushedLSN value —
+ *    pgjdbc records set*LSN locally and piggybacks them, so an ack the
+ *    binding never forces out is an ack the server never saw;
+ *  - getLastReceiveLSN advanced by message receipt: a chunk sets it to
+ *    the chunk position; an empty read (keepalive) may advance it past
+ *    slot-irrelevant WAL only when the stream is fully drained — never
+ *    past an undelivered commit.
+ */
+final class FakePgServer(genCfg: GenConfig, initialTxns: Long) {
+  @volatile var nTxns: Long = initialTxns
+  /** startStream attempts that fail 55006 before succeeding. */
+  @volatile var busyStarts: Int = 0
+  /** readPending calls that fail 57P03. */
+  @volatile var recoveryReads: Int = 0
+  /** WAL beyond the last deliverable chunk (other tables, vacuum, ...). */
+  @volatile var keepalivePadding: Long = 0L
+
+  private val slots = scala.collection.mutable.Map.empty[String, Long]
+  private val active = scala.collection.mutable.Set.empty[String]
+
+  def confirmedFlushLsn(slot: String): Long = synchronized(slots(slot))
+  def slotExists(slot: String): Boolean = synchronized(slots.contains(slot))
+
+  def shim(): PgReplicationShim = new Shim
+
+  private final class Shim extends PgReplicationShim {
+    override def createLogicalSlot(slotName: String, plugin: String): Unit =
+      FakePgServer.this.synchronized {
+        if (slots.contains(slotName))
+          throw new SQLException(
+            s"""replication slot "$slotName" already exists""", "42710")
+        slots(slotName) = 0L
+      }
+
+    override def startStream(slotName: String,
+        slotOptions: Map[String, String],
+        statusIntervalMs: Long): PgReplicationStreamShim =
+      FakePgServer.this.synchronized {
+        require(slots.contains(slotName), s"no slot '$slotName'")
+        require(slotOptions.contains("include-xids"),
+          "the wal2json options must reach START_REPLICATION")
+        if (busyStarts > 0) {
+          busyStarts -= 1
+          throw new SQLException(
+            s"""replication slot "$slotName" is active for PID 4242""", "55006")
+        }
+        if (active(slotName))
+          throw new SQLException(
+            s"""replication slot "$slotName" is active for PID 4242""", "55006")
+        active += slotName
+        new Stream(slotName)
+      }
+
+    override def close(): Unit = ()
+  }
+
+  private final class Stream(slotName: String) extends PgReplicationStreamShim {
+    /** next txn ordinal to deliver (txn ids are lsn-1). */
+    private var cursor: Long = FakePgServer.this.synchronized(slots(slotName))
+    private var lastReceive: Long = cursor
+    private var flushed: Long = -1L
+    private var closed = false
+
+    override def readPending(): ByteBuffer = FakePgServer.this.synchronized {
+      require(!closed, "stream closed")
+      if (recoveryReads > 0) {
+        recoveryReads -= 1
+        throw new SQLException(
+          "the database system is in recovery mode", "57P03")
+      }
+      if (cursor >= nTxns) {
+        // keepalive: the server's sent-WAL position covers only WAL this
+        // stream has fully seen — safe to advance past the padding
+        lastReceive = math.max(lastReceive, nTxns + keepalivePadding)
+        null
+      } else {
+        val t = ChangeStreamGen.txn(genCfg, cursor)
+        cursor += 1
+        lastReceive = t.lsn
+        ByteBuffer.wrap(
+          ChangeStreamGen.renderLine(genCfg, t).getBytes("UTF-8"))
+      }
+    }
+
+    override def getLastReceiveLSN(): Long =
+      FakePgServer.this.synchronized(lastReceive)
+
+    override def setAppliedLSN(lsn: Long): Unit = ()
+    override def setFlushedLSN(lsn: Long): Unit =
+      FakePgServer.this.synchronized { flushed = math.max(flushed, lsn) }
+
+    /** Only HERE does the server's confirmed-flush move (monotone). */
+    override def forceUpdateStatus(): Unit = FakePgServer.this.synchronized {
+      require(!closed, "stream closed")
+      if (flushed >= 0)
+        slots(slotName) = math.max(slots(slotName), flushed)
+    }
+
+    override def close(): Unit = FakePgServer.this.synchronized {
+      if (!closed) { closed = true; active -= slotName }
+    }
+  }
+}
+
+/**
+ * The live-binding contract suite: [[JdbcReplicationConnector]] over the
+ * pgjdbc-shaped [[FakePgServer]] must satisfy every protocol contract the
+ * synthetic connector satisfies — SQLSTATE taxonomy mapping, slot-busy
+ * retry budget, recovery-mode healing, ack-after-publish durability on
+ * the server, idle fast-forward that never skips an undelivered commit,
+ * and crash redelivery that stays exactly-once through the lake.
+ */
+class JdbcReplicationSpec extends SparkSpec {
+
+  private val genCfg = GenConfig(seed = 13L, nRepos = 12, pathsPerRepo = 4,
+    maxChangesPerTxn = 3)
+  private val nTxns = 300L
+
+  private val conn = ConnectionConfig(host = "db.example.org",
+    database = "graft", username = "replicator", password = "s3cret")
+  private def slotCfg = SlotConfig("graft_slot",
+    slotBusyRetrySleepMs = 0L, idleSlotIntervalMs = 1000L)
+
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  private def connector(server: FakePgServer): JdbcReplicationConnector =
+    new JdbcReplicationConnector(conn, slotCfg, () => server.shim())
+
+  private def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def expected: Map[(String, String), (String, String)] =
+    ChangeStreamGen.expectedFinalState(genCfg, nTxns).map { case (k, ch) =>
+      k -> (ch.commit, sha256(ch.content))
+    }
+
+  private def applyStaged(walDir: String): Map[(String, String), (String, String)] = {
+    val t = new LakeTable(spark, tmpDir("jdbc-table"))
+    t.create(Main.reposSchema, Seq("repo", "path"), nBuckets = 8, Main.reposRenameMap)
+    new CdcPipeline(spark, walDir, tmpDir("jdbc-ckpt"),
+      Seq(TableTarget("repos", t, Main.reposSchema, Seq("repo", "path"), 8,
+        Main.reposRenameMap)), Set("repos")).runAvailable()
+    t.read().select(col("repo"), col("path"), col("commit"),
+      sha2(col("content"), 256).as("sha")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getString(3))).toMap
+  }
+
+  test("SQLSTATE taxonomy maps exactly as the reference pins it") {
+    val server = new FakePgServer(genCfg, 5L)
+    val c = connector(server)
+    assert(c.createSlotIfAbsent() === true)
+    assert(c.createSlotIfAbsent() === false) // 42710 -> idempotent, not an error
+
+    server.busyStarts = 1
+    val busy = intercept[SlotBusyException] { c.openStream() }
+    assert(busy.getMessage.contains("active for PID"))
+    assert(CdcPipeline.classify(busy) === CdcPipeline.FailureKind.Contention)
+
+    c.openStream()
+    server.recoveryReads = 1
+    val rec = intercept[RecoveryModeException] { c.readPending() }
+    assert(rec.getMessage.contains("recovery"))
+    assert(CdcPipeline.classify(rec) === CdcPipeline.FailureKind.Transient)
+    // recovery heals in place: the same stream keeps delivering
+    assert(c.readPending().isDefined)
+    c.close()
+  }
+
+  test("an un-forced ack never reaches the server (status updates are explicit)") {
+    // The binding must force the status update inside ack(): pgjdbc's
+    // set*LSN only record positions locally. A shim stream that never
+    // sees forceUpdateStatus keeps confirmed-flush at 0 — and the
+    // connector's ack must move it.
+    val server = new FakePgServer(genCfg, 10L)
+    val c = connector(server)
+    c.createSlotIfAbsent(); c.openStream()
+    var n = 0
+    while (c.readPending().isDefined) n += 1
+    assert(n === 10)
+    assert(server.confirmedFlushLsn("graft_slot") === 0L)
+    c.ack(10L)
+    assert(server.confirmedFlushLsn("graft_slot") === 10L,
+      "ack must setFlushed AND force the update out")
+    c.close()
+  }
+
+  test("live ingest end-to-end through the JDBC binding == oracle") {
+    val server = new FakePgServer(genCfg, nTxns)
+    val walDir = tmpDir("jdbc-wal")
+    val ingest = new ReplicationIngest(connector(server), walDir, hconf,
+      slotCfg, flushChunks = 70L)
+    ingest.start()
+    assert(server.slotExists("graft_slot"))
+    val stats = ingest.pump()
+    ingest.close()
+    assert(stats.chunks === nTxns)
+    assert(server.confirmedFlushLsn("graft_slot") === nTxns)
+    assert(WalSource.listSegments(walDir).size === stats.segments)
+    assert(applyStaged(walDir) === expected)
+  }
+
+  test("slot-busy starts retry within the budget and fail loudly beyond it") {
+    val server = new FakePgServer(genCfg, nTxns)
+    var sleeps = 0
+    server.busyStarts = 3
+    val ingest = new ReplicationIngest(connector(server), tmpDir("jdbc-wal"),
+      hconf, slotCfg.copy(slotBusyRetryLimit = 5), sleepMs = _ => sleeps += 1)
+    ingest.start()
+    assert(sleeps === 3)
+    ingest.close()
+
+    server.busyStarts = 5
+    val tight = new ReplicationIngest(connector(server), tmpDir("jdbc-wal"),
+      hconf, slotCfg.copy(slotBusyRetryLimit = 3), sleepMs = _ => ())
+    intercept[SlotBusyException] { tight.start() }
+
+    // a genuinely held slot stays busy until the holder's stream closes
+    server.busyStarts = 0
+    val holder = connector(server)
+    holder.createSlotIfAbsent(); holder.openStream()
+    val contender = connector(server)
+    intercept[SlotBusyException] { contender.openStream() }
+    holder.close()
+    contender.openStream(); contender.close()
+  }
+
+  test("idle fast-forward acks keepalive positions past the last delivery") {
+    val server = new FakePgServer(genCfg, 10L)
+    var now = 0L
+    val ingest = new ReplicationIngest(connector(server), tmpDir("jdbc-idle"),
+      hconf, slotCfg, nowMs = () => now)
+    ingest.start()
+    assert(ingest.pump().ackedLsn === 10L)
+
+    // keepalives past slot-irrelevant WAL: the drained stream's
+    // getLastReceiveLSN advances with them, and after the idle window the
+    // fast-forward acks it so the server can reclaim WAL
+    server.keepalivePadding = 500L
+    now += slotCfg.idleSlotIntervalMs + 1
+    assert(ingest.pump().ackedLsn === 510L)
+    assert(server.confirmedFlushLsn("graft_slot") === 510L)
+    ingest.close()
+  }
+
+  test("idle fast-forward never acks past an undelivered commit (receipt-driven LSN)") {
+    // A commit that lands between the drain's final empty read and the
+    // idle probe: getLastReceiveLSN only advances on message RECEIPT, so
+    // the probe structurally cannot see the new commit — unlike the
+    // reference's out-of-band `select pg_current_wal_lsn()`, which returns
+    // the new insert position and would ack past the undelivered commit
+    // (permanent loss: slots never resend below confirmed-flush).
+    val server = new FakePgServer(genCfg, 10L)
+    val real = connector(server)
+    val racing = new ReplicationConnector {
+      def createSlotIfAbsent(): Boolean = real.createSlotIfAbsent()
+      def openStream(): Unit = real.openStream()
+      def readPending(): Option[WalChunk] = real.readPending()
+      def currentLsn(): Long = {
+        server.nTxns += 1 // the commit lands inside the idle window
+        real.currentLsn()
+      }
+      def ack(lsn: Long): Unit = real.ack(lsn)
+      def close(): Unit = real.close()
+    }
+    var now = 0L
+    val ingest = new ReplicationIngest(racing, tmpDir("jdbc-race"), hconf,
+      slotCfg, nowMs = () => now)
+    ingest.start()
+    assert(ingest.pump().ackedLsn === 10L)
+    now += slotCfg.idleSlotIntervalMs + 1
+    val idle = ingest.pump() // idle branch fires; commit 11 lands mid-probe
+    assert(idle.ackedLsn === 10L,
+      "fast-forward must not ack past the undelivered commit")
+    val after = ingest.pump()
+    assert(after.chunks === 11L, "the late commit must be delivered, not skipped")
+    assert(after.ackedLsn === 11L)
+    ingest.close()
+    assert(server.confirmedFlushLsn("graft_slot") === 11L)
+  }
+
+  test("crash between publish and ack redelivers a suffix; lake state stays exactly-once") {
+    val server = new FakePgServer(genCfg, nTxns)
+    val walDir = tmpDir("jdbc-crash")
+    val real = connector(server)
+    val crashing = new ReplicationConnector {
+      private var reads = 0
+      def createSlotIfAbsent(): Boolean = real.createSlotIfAbsent()
+      def openStream(): Unit = real.openStream()
+      def currentLsn(): Long = real.currentLsn()
+      def readPending(): Option[WalChunk] = {
+        reads += 1
+        if (reads > 200) { real.close(); throw new RuntimeException("process died") }
+        real.readPending()
+      }
+      def ack(lsn: Long): Unit = if (reads <= 100) real.ack(lsn)
+      def close(): Unit = real.close()
+    }
+    val ingest = new ReplicationIngest(crashing, walDir, hconf, slotCfg,
+      flushChunks = 50L)
+    ingest.start()
+    intercept[RuntimeException] { ingest.pump() }
+
+    val resumed = new ReplicationIngest(connector(server), walDir, hconf,
+      slotCfg, flushChunks = 50L)
+    resumed.start()
+    resumed.pump()
+    resumed.close()
+    assert(server.confirmedFlushLsn("graft_slot") === nTxns)
+
+    val lsns = WalSource.listSegments(walDir)
+      .flatMap(n => scala.io.Source.fromFile(s"$walDir/$n").getLines())
+      .map(l => """"lsn":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+    assert(lsns.size > lsns.distinct.size, "crash redelivery stages duplicates")
+    assert(lsns.distinct.sorted === (1L to nTxns), "and loses nothing")
+    assert(applyStaged(walDir) === expected)
+  }
+
+  test("absent pgjdbc driver fails fast with an informative message") {
+    val c = new JdbcReplicationConnector(conn, slotCfg,
+      () => new PgjdbcShim(conn))
+    val e = intercept[IllegalStateException] { c.createSlotIfAbsent() }
+    assert(e.getMessage.contains("org.postgresql"))
+    assert(e.getMessage.contains("pgjdbc"))
+  }
+}
