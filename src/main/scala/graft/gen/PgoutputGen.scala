@@ -1,0 +1,74 @@
+package graft.gen
+
+import graft.decode.Pgoutput
+import graft.decode.Pgoutput._
+
+/**
+ * Renders the [[ChangeStreamGen]] formula stream as pgoutput BINARY
+ * message sequences — the deterministic generator behind the
+ * second-plugin decode parity tests and the fake server's pgoutput mode.
+ * A Relation message is (re)emitted exactly when the schema era changes
+ * (additive column at `addColumnAtLsn`, rename at `renameAtLsn`) and at
+ * stream start — precisely how pgoutput manifests DDL mid-stream: no
+ * out-of-band event, just new metadata ahead of the next DML.
+ */
+object PgoutputGen {
+
+  /** Stable OID for the single generated relation. */
+  val RelationOid = 54321
+
+  /** Schema era: (renamed?, withSizeColumn?). */
+  type Era = (Boolean, Boolean)
+
+  def era(cfg: GenConfig, lsn: Long): Era =
+    (lsn >= cfg.renameAtLsn, lsn >= cfg.addColumnAtLsn)
+
+  def relationFor(cfg: GenConfig, lsn: Long): Relation = {
+    val (renamed, withSize) = era(cfg, lsn)
+    val langCol = if (renamed) "language" else "lang"
+    val cols = IndexedSeq(
+      RelationColumn(1, "repo", 25, -1),   // key columns: flags bit 0
+      RelationColumn(1, "path", 25, -1),
+      RelationColumn(0, "commit", 25, -1),
+      RelationColumn(0, langCol, 25, -1),
+      RelationColumn(0, "content", 25, -1)) ++
+      (if (withSize) IndexedSeq(RelationColumn(0, "size_bytes", 20, -1))
+       else IndexedSeq.empty)
+    Relation(RelationOid, "public", "repos", 'd'.toByte, cols)
+  }
+
+  /**
+   * Binary messages for one transaction: Begin, [Relation when the era
+   * differs from `lastEra` — None at stream start always emits], one DML
+   * per change, Commit. Returns the messages and the era to thread to the
+   * next call.
+   */
+  def txnMessages(cfg: GenConfig, t: ChangeStreamGen.GenTxn,
+                  lastEra: Option[Era]): (Seq[Array[Byte]], Era) = {
+    val e = era(cfg, t.lsn)
+    val withSize = e._2
+    val msgs = scala.collection.mutable.ArrayBuffer.empty[Message]
+    msgs += Begin(t.lsn, 1234567L, t.xid)
+    if (!lastEra.contains(e)) msgs += relationFor(cfg, t.lsn)
+    t.changes.foreach { c =>
+      val newTuple: IndexedSeq[TupleValue] =
+        IndexedSeq[TupleValue](TextValue(c.repo), TextValue(c.path),
+          TextValue(c.commit), TextValue(c.lang), TextValue(c.content)) ++
+          (if (withSize) IndexedSeq[TupleValue](TextValue(c.sizeBytes.toString))
+           else IndexedSeq.empty[TupleValue])
+      // 'K' tuple: replica-identity columns populated, the rest null
+      val keyTuple: IndexedSeq[TupleValue] =
+        IndexedSeq[TupleValue](TextValue(c.repo), TextValue(c.path),
+          NullValue, NullValue, NullValue) ++
+          (if (withSize) IndexedSeq[TupleValue](NullValue)
+           else IndexedSeq.empty[TupleValue])
+      msgs += (c.kind match {
+        case "insert" => Insert(RelationOid, newTuple)
+        case "update" => Update(RelationOid, Some('K'), Some(keyTuple), newTuple)
+        case "delete" => Delete(RelationOid, 'K', keyTuple)
+      })
+    }
+    msgs += Commit(0, t.lsn, t.lsn + 1, 1234567L)
+    (msgs.map(Pgoutput.write).toSeq, e)
+  }
+}

@@ -113,14 +113,45 @@ final class JdbcReplicationConnector(
   private def requireOpen(): Unit =
     require(stream != null, "stream not open")
 
+  /** pgoutput transcoder state (relation metadata, open transaction) —
+    * the output plugin manifests HERE, at the sequential wire boundary;
+    * everything downstream consumes plugin-agnostic wal2json-parity
+    * lines (the engine analog of the reference's getSlotMessage
+    * extension point, README.md:101-104). */
+  private val pgoutputTranscoder: Option[graft.decode.PgoutputTranscoder] =
+    if (slot.outputPlugin == "pgoutput") Some(new graft.decode.PgoutputTranscoder)
+    else None
+
   override def readPending(): Option[WalChunk] = mapped {
     requireOpen()
-    Option(stream.readPending()).map { buf =>
-      val bytes = new Array[Byte](buf.remaining())
-      buf.get(bytes)
-      // getLastReceiveLSN after a successful read is the position of the
-      // message just read (pgjdbc advances it on receipt)
-      WalChunk(stream.getLastReceiveLSN(), new String(bytes, StandardCharsets.UTF_8))
+    pgoutputTranscoder match {
+      case None =>
+        Option(stream.readPending()).map { buf =>
+          val bytes = new Array[Byte](buf.remaining())
+          buf.get(bytes)
+          // getLastReceiveLSN after a successful read is the position of
+          // the message just read (pgjdbc advances it on receipt)
+          WalChunk(stream.getLastReceiveLSN(),
+            new String(bytes, StandardCharsets.UTF_8))
+        }
+      case Some(transcoder) =>
+        // one WalChunk per committed TRANSACTION: pump binary messages
+        // through the transcoder until a Commit completes a line (matching
+        // wal2json's one-chunk-per-txn default) or the stream is caught up
+        // mid-transaction (state is retained; the next call resumes)
+        var out: Option[WalChunk] = None
+        var buf = stream.readPending()
+        while (out.isEmpty && buf != null) {
+          val bytes = new Array[Byte](buf.remaining())
+          buf.get(bytes)
+          transcoder.feed(bytes) match {
+            case Some(line) =>
+              out = Some(WalChunk(stream.getLastReceiveLSN(), line))
+            case None =>
+              buf = stream.readPending()
+          }
+        }
+        out
     }
   }
 

@@ -98,7 +98,10 @@ final case class SlotConfig(
     statusIntervalMs: Long = 20000L,
     idleSlotIntervalMs: Long = 300000L,
     slotBusyRetryLimit: Int = 30,
-    slotBusyRetrySleepMs: Long = 30000L) {
+    slotBusyRetrySleepMs: Long = 30000L,
+    // pgoutput only: the publication whose tables the slot streams
+    // (defaults to the slot name when unset)
+    publication: Option[String] = None) {
 
   def validate(): this.type = {
     def bad(msg: String) = throw new IllegalArgumentException(
@@ -115,8 +118,12 @@ final case class SlotConfig(
     this
   }
 
-  /** Plugin options sent at stream start (wal2json's include-xids, matching
-    * ReplicationConfiguration.getSlotOptions). */
+  /** Plugin options sent at stream start: wal2json's include-xids
+    * (matching ReplicationConfiguration.getSlotOptions), or pgoutput's
+    * proto_version + publication_names (public protocol surface). */
   def slotOptions: Map[String, String] =
-    Map("include-xids" -> includeXids.toString)
+    if (outputPlugin == "pgoutput")
+      Map("proto_version" -> "1",
+        "publication_names" -> publication.getOrElse(slotName))
+    else Map("include-xids" -> includeXids.toString)
 }

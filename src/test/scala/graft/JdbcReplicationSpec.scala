@@ -28,7 +28,8 @@ import graft.streaming.{CdcPipeline, TableTarget}
  *    slot-irrelevant WAL only when the stream is fully drained — never
  *    past an undelivered commit.
  */
-final class FakePgServer(genCfg: GenConfig, initialTxns: Long) {
+final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
+                         plugin: String = "wal2json") {
   @volatile var nTxns: Long = initialTxns
   /** startStream attempts that fail 55006 before succeeding. */
   @volatile var busyStarts: Int = 0
@@ -59,7 +60,12 @@ final class FakePgServer(genCfg: GenConfig, initialTxns: Long) {
         statusIntervalMs: Long): PgReplicationStreamShim =
       FakePgServer.this.synchronized {
         require(slots.contains(slotName), s"no slot '$slotName'")
-        require(slotOptions.contains("include-xids"),
+        // the plugin's options must reach START_REPLICATION
+        if (plugin == "pgoutput")
+          require(slotOptions.get("proto_version").contains("1") &&
+            slotOptions.contains("publication_names"),
+            "pgoutput needs proto_version + publication_names")
+        else require(slotOptions.contains("include-xids"),
           "the wal2json options must reach START_REPLICATION")
         if (busyStarts > 0) {
           busyStarts -= 1
@@ -83,6 +89,11 @@ final class FakePgServer(genCfg: GenConfig, initialTxns: Long) {
     private var flushed: Long = -1L
     private var closed = false
 
+    /** pgoutput mode: queued binary messages of the in-flight txn. */
+    private val msgQueue = scala.collection.mutable.Queue.empty[Array[Byte]]
+    private var pendingCommitLsn = -1L
+    private var lastEra: Option[graft.gen.PgoutputGen.Era] = None
+
     override def readPending(): ByteBuffer = FakePgServer.this.synchronized {
       require(!closed, "stream closed")
       if (recoveryReads > 0) {
@@ -90,7 +101,25 @@ final class FakePgServer(genCfg: GenConfig, initialTxns: Long) {
         throw new SQLException(
           "the database system is in recovery mode", "57P03")
       }
-      if (cursor >= nTxns) {
+      if (plugin == "pgoutput") {
+        if (msgQueue.isEmpty) {
+          if (cursor >= nTxns) {
+            lastReceive = math.max(lastReceive, nTxns + keepalivePadding)
+            return null
+          }
+          val t = ChangeStreamGen.txn(genCfg, cursor)
+          cursor += 1
+          val (msgs, e) = graft.gen.PgoutputGen.txnMessages(genCfg, t, lastEra)
+          lastEra = Some(e)
+          msgQueue ++= msgs
+          pendingCommitLsn = t.lsn
+        }
+        val m = msgQueue.dequeue()
+        // receipt-driven: the stream position reaches the commit LSN when
+        // the txn's LAST message (Commit) is handed out, not before
+        if (msgQueue.isEmpty) lastReceive = pendingCommitLsn
+        ByteBuffer.wrap(m)
+      } else if (cursor >= nTxns) {
         // keepalive: the server's sent-WAL position covers only WAL this
         // stream has fully seen — safe to advance past the padding
         lastReceive = math.max(lastReceive, nTxns + keepalivePadding)
