@@ -254,7 +254,7 @@ object MergeEngine {
       .repartition(col("_bucket")) // one delta file per touched bucket
     val newId = snap.snapshotId + 1
     val deltaDir = table.newCommitDirName(newId, "delta")
-    val writtenDeltas = table.writeBucketed(deltaRows, deltaDir)
+    val (writtenDeltas, deltaBytes) = table.writeBucketedSized(deltaRows, deltaDir)
     val attemptDirs = scala.collection.mutable.ListBuffer(deltaDir)
 
     try {
@@ -323,16 +323,29 @@ object MergeEngine {
         b -> (snap.bucketDeltas.getOrElse(b, Nil) ++ fs)
       }
 
-      // 7. Bounded read amplification: buckets whose delta chain reached
-      //    maxDeltasPerBucket are compacted back to a fresh base WITHIN this
-      //    commit (read base+deltas, keep-last, drop delete markers). Cost
-      //    is amortized: each bucket compacts once every maxDeltas batches.
+      // 7. Bounded read amplification, SIZE-TIERED: a bucket compacts back
+      //    to a fresh base WITHIN this commit once its accumulated delta
+      //    BYTES reach maxDeltaBytesPerBucket (sizes ride the snapshot,
+      //    recorded from the write listing) — many tiny deltas defer the
+      //    full bucket rewrite until it is worth paying, while one huge
+      //    delta triggers promptly. maxDeltasPerBucket stays as the hard
+      //    FILE-COUNT cap bounding per-read open/listing fan-in. A file
+      //    with no recorded size (pre-upgrade snapshot) counts as large,
+      //    preserving the old count-triggered eagerness.
+      val knownBytes = snap.fileBytes ++ deltaBytes
+      def deltaByteSum(fs: Seq[String]): Long =
+        fs.iterator.map(f =>
+          knownBytes.getOrElse(f, table.maxDeltaBytesPerBucket)).sum
       val toCompact = deltasAfter.collect {
-        case (b, fs) if fs.size >= table.maxDeltasPerBucket => b
+        case (b, fs) if fs.nonEmpty &&
+          (fs.size >= table.maxDeltasPerBucket ||
+            deltaByteSum(fs) >= table.maxDeltaBytesPerBucket) => b
       }.toSet
-      val (bucketFiles, bucketDeltas, compactFileStats) =
+      val (bucketFiles, bucketDeltas, compactFileStats, compactBytes) =
         if (toCompact.isEmpty)
-          (snap.bucketFiles, deltasAfter, Map.empty[String, Map[String, (String, String)]])
+          (snap.bucketFiles, deltasAfter,
+            Map.empty[String, Map[String, (String, String)]],
+            Map.empty[String, Long])
         else {
           val compactBuckets = toCompact.toSeq.sorted
           // Exchange-free compaction: the shuffle-free per-bucket merge
@@ -357,7 +370,7 @@ object MergeEngine {
                 .sortWithinPartitions(keyCols.map(col): _*)
           val compactDir = table.newCommitDirName(newId, "compact")
           attemptDirs += compactDir
-          val w = table.writeBucketed(mergedRows, compactDir)
+          val (w, cBytes) = table.writeBucketedSized(mergedRows, compactDir)
           val newBase = snap.bucketFiles ++
             toCompact.map(b => b -> w.getOrElse(b, Nil)).toMap
           // per-file key ranges for the fresh base files (small job over
@@ -369,7 +382,8 @@ object MergeEngine {
             else fileStatsJob(table, compactDir, keyCols, withTypes = false)
           (newBase.filter(_._2.nonEmpty), // a fully-deleted bucket vanishes
             deltasAfter ++ toCompact.map(b => b -> Seq.empty[String]).toMap,
-            perFileKeyRanges(compactRows, compactDir, keyCols))
+            perFileKeyRanges(compactRows, compactDir, keyCols),
+            cBytes)
         }
       val bucketWatermarks = snap.bucketWatermarks ++
         perBucketMax.map { case (b, w) =>
@@ -408,6 +422,8 @@ object MergeEngine {
         bucketDeltas.values.flatten).toSet
       val fileStats = (snap.fileStats ++ deltaFileStats ++ compactFileStats)
         .filter { case (f, _) => liveFiles.contains(f) }
+      val fileBytes = (knownBytes ++ compactBytes)
+        .filter { case (f, _) => liveFiles.contains(f) }
       val next = snap.copy(
         schema = schema,
         bucketFiles = bucketFiles,
@@ -416,7 +432,8 @@ object MergeEngine {
         bucketLineage = bucketLineage,
         lsnHighWatermark = math.max(snap.lsnHighWatermark, maxLsn),
         lineage = lineage,
-        fileStats = fileStats)
+        fileStats = fileStats,
+        fileBytes = fileBytes)
       table.commit(next, expectedSnapshotId = snap.snapshotId,
         prev = Some(snap)) // lets manifest mode diff-reuse untouched buckets
 

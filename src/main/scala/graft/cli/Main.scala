@@ -49,7 +49,8 @@ object Main {
       "max-bytes-per-trigger" -> (false, "admission control: cumulative WAL bytes per micro-batch (>=1 segment always admitted)"),
       "retention" -> (false, "delete|retain consumed WAL segments (default retain)"),
       "split-bytes" -> (false, "byte-range split size for large segments (default 64MiB)"),
-      "max-deltas" -> (false, "delta files per bucket before compaction (default 8)"),
+      "max-deltas" -> (false, "hard cap on delta files per bucket (read fan-in bound, default 64)"),
+      "max-delta-bytes" -> (false, "accumulated delta bytes per bucket before compaction (size-tiered trigger, default 33554432)"),
       "manifest-threshold" -> (false, "live files before the snapshot spills to per-bucket manifests (default 4096)"),
       "salt-buckets" -> (false, "two-phase salted dedup for hot keys (default off)"),
       "strict" -> (false, "true|false: abort batches with malformed lines (default true)"),
@@ -234,7 +235,9 @@ object Main {
         val renameMap = if (kv.contains("schema")) Map.empty[String, String]
           else reposRenameMap
         val table = new LakeTable(spark, root,
-          maxDeltasPerBucket = kv.getOrElse("max-deltas", "8").toInt,
+          maxDeltasPerBucket = kv.getOrElse("max-deltas", "64").toInt,
+          maxDeltaBytesPerBucket =
+            kv.getOrElse("max-delta-bytes", (32L * 1024 * 1024).toString).toLong,
           manifestThresholdFiles = kv.getOrElse("manifest-threshold", "4096").toInt)
         val target = TableTarget(tableName, table, schema, keys,
           nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap)
@@ -296,7 +299,9 @@ object Main {
                 .option("relevantTables", relevant.mkString(","))
                 .option("strict", kv.getOrElse("strict", "true"))
                 .option("saltBuckets", kv.getOrElse("salt-buckets", "0"))
-                .option("maxDeltas", kv.getOrElse("max-deltas", "8"))
+                .option("maxDeltas", kv.getOrElse("max-deltas", "64"))
+                .option("maxDeltaBytes",
+                  kv.getOrElse("max-delta-bytes", (32L * 1024 * 1024).toString))
                 .option("manifestThreshold", kv.getOrElse("manifest-threshold", "4096"))
                 .option("checkpointLocation", kv("checkpoint"))
                 .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -92,6 +92,11 @@ final case class Snapshot(
     // data file path -> per-KEY-column min/max (as strings, compared via the
     // key's declared type) — read-side file pruning inside a bucket
     fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
+    // data file path -> byte size, recorded from the commit listing (zero
+    // extra IO) — drives the SIZE-TIERED compaction trigger. Files from
+    // pre-upgrade snapshots may be absent; the trigger treats unknown
+    // sizes as large (compact), preserving the old eagerness.
+    fileBytes: Map[String, Long] = Map.empty,
     // When the snapshot was stored in DISTRIBUTED-MANIFEST form: bucket ->
     // relative path of the immutable per-bucket manifest file holding that
     // bucket's files/deltas/watermark/lineage/stats. Empty for inline
@@ -117,7 +122,8 @@ final case class Snapshot(
     val inBucket = (files ++ deltas).toSet
     BucketManifest(files, deltas,
       bucketWatermarks.get(b), bucketLineage.getOrElse(b, Map.empty),
-      fileStats.view.filterKeys(inBucket).toMap)
+      fileStats.view.filterKeys(inBucket).toMap,
+      fileBytes.view.filterKeys(inBucket).toMap)
   }
 }
 
@@ -127,10 +133,16 @@ final case class BucketManifest(
     deltas: Seq[String],
     watermark: Option[Long],
     lineage: Map[String, Long],
-    fileStats: Map[String, Map[String, (String, String)]])
+    fileStats: Map[String, Map[String, (String, String)]],
+    fileBytes: Map[String, Long] = Map.empty)
 
 class LakeTable(val spark: SparkSession, val root: String,
-                val maxDeltasPerBucket: Int = 8,
+                // HARD CAP on delta files per bucket (read/listing fan-in
+                // bound). The PRIMARY compaction trigger is the size-tiered
+                // maxDeltaBytesPerBucket below — counting files alone made
+                // eight 1 KB deltas compact as eagerly as eight 1 GB ones,
+                // paying a full bucket rewrite to fold kilobytes.
+                val maxDeltasPerBucket: Int = 64,
                 // plan-size guard for the shuffle-free per-bucket merge:
                 // past this many delta-carrying buckets in one read, fall
                 // back to the shuffle merge (each bucket contributes its own
@@ -150,7 +162,12 @@ class LakeTable(val spark: SparkSession, val root: String,
                 // noise of snappy/lz4, reads fastest, and is ~39% smaller —
                 // at the target scale the table's storage and read IO
                 // dominate the one-time write cost.
-                val compressionCodec: String = "zstd") {
+                val compressionCodec: String = "zstd",
+                // Compact a bucket once its accumulated delta BYTES reach
+                // this — the size-tiered PRIMARY trigger (sizes ride the
+                // snapshot, recorded at write time). Placed last to keep
+                // positional construction stable.
+                val maxDeltaBytesPerBucket: Long = 32L * 1024 * 1024) {
   import LakeTable._
 
   private val rootPath = new HPath(root)
@@ -538,6 +555,7 @@ class LakeTable(val spark: SparkSession, val root: String,
               bucketWatermarks = m.watermark.map(b -> _).toMap,
               bucketLineage = if (m.lineage.nonEmpty) Map(b -> m.lineage) else Map.empty,
               fileStats = m.fileStats,
+              fileBytes = m.fileBytes,
               bucketManifests = pointers)
         }
     }
@@ -1023,19 +1041,30 @@ class LakeTable(val spark: SparkSession, val root: String,
     * them. On HDFS the pipeline ack on close is the durability barrier
     * (dfs.datanode.synconclose for strict power-loss guarantees); on
     * object stores the PUT is atomic — visible means whole. */
-  def writeBucketed(df: DataFrame, commitDir: String): Map[Int, Seq[String]] = {
+  def writeBucketed(df: DataFrame, commitDir: String): Map[Int, Seq[String]] =
+    writeBucketedSized(df, commitDir)._1
+
+  /** [[writeBucketed]] plus each file's byte size, read from the SAME
+    * commit-listing FileStatus objects (zero extra IO) — the snapshot
+    * records them to drive size-tiered compaction. */
+  def writeBucketedSized(df: DataFrame,
+      commitDir: String): (Map[Int, Seq[String]], Map[String, Long]) = {
     val outPath = s"$root/data/$commitDir"
     df.write.partitionBy("_bucket").option("compression", compressionCodec)
       .mode("overwrite").parquet(outPath)
     val base = new HPath(dataDir, commitDir)
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
     val byBucket = fs.listStatus(base).toSeq
       .filter(_.getPath.getName.startsWith("_bucket="))
       .map { st =>
         val b = st.getPath.getName.stripPrefix("_bucket=").toInt
         val names = fs.listStatus(st.getPath).toSeq
-          .map(_.getPath.getName)
-          .filter(_.endsWith(".parquet"))
-          .map(n => s"data/$commitDir/_bucket=$b/$n")
+          .filter(f => f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val rel = s"data/$commitDir/_bucket=$b/${f.getPath.getName}"
+            sizes(rel) = f.getLen
+            rel
+          }
           .sorted
         b -> names
       }.toMap
@@ -1060,7 +1089,7 @@ class LakeTable(val spark: SparkSession, val root: String,
       fsyncDir(localFile(base))
       fsyncDir(localFile(dataDir))
     }
-    byBucket
+    (byBucket, sizes.toMap)
   }
 }
 
@@ -1150,6 +1179,7 @@ object LakeTable {
       putLongMap(bl, b.toString, m)
     }
     putFileStats(n, "fileStats", s.fileStats)
+    putLongMap(n, "fileBytes", s.fileBytes)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
@@ -1173,6 +1203,7 @@ object LakeTable {
     m.watermark.foreach(n.put("watermark", _))
     putLongMap(n, "lineage", m.lineage)
     putFileStats(n, "fileStats", m.fileStats)
+    putLongMap(n, "fileBytes", m.fileBytes)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(n)
   }
 
@@ -1183,7 +1214,8 @@ object LakeTable {
       deltas = strSeq(n.get("deltas")),
       watermark = Option(n.get("watermark")).map(_.asLong()),
       lineage = objToMap(n, "lineage").map { case (k, v) => k -> v.asLong() },
-      fileStats = fileStatsOf(n, "fileStats"))
+      fileStats = fileStatsOf(n, "fileStats"),
+      fileBytes = objToMap(n, "fileBytes").map { case (k, v) => k -> v.asLong() })
   }
 
   /** Parse ONLY the root document: the root-level fields plus, when the
@@ -1238,6 +1270,7 @@ object LakeTable {
           bucketWatermarks = slices.collect { case (b, m) if m.watermark.isDefined => b -> m.watermark.get },
           bucketLineage = slices.collect { case (b, m) if m.lineage.nonEmpty => b -> m.lineage },
           fileStats = slices.values.flatMap(_.fileStats).toMap,
+          fileBytes = slices.values.flatMap(_.fileBytes).toMap,
           bucketManifests = pointers)
       case None => base.copy(
       bucketFiles = objToMap(n, "bucketFiles").map { case (k, v) =>
@@ -1252,7 +1285,8 @@ object LakeTable {
       bucketLineage = objToMap(n, "bucketLineage").map { case (b, o) =>
         b.toInt -> o.fieldNames().asScala.map(k => k -> o.get(k).asLong()).toMap
       },
-      fileStats = fileStatsOf(n, "fileStats"))
+      fileStats = fileStatsOf(n, "fileStats"),
+      fileBytes = objToMap(n, "fileBytes").map { case (k, v) => k -> v.asLong() })
     }
   }
 }

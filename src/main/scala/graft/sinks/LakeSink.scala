@@ -55,7 +55,9 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
     val tableName = parameters.getOrElse("table",
       throw new IllegalArgumentException("graft-lake sink requires option 'table'"))
     val table = new LakeTable(sqlContext.sparkSession, root,
-      maxDeltasPerBucket = parameters.get("maxDeltas").map(_.toInt).getOrElse(8),
+      maxDeltasPerBucket = parameters.get("maxDeltas").map(_.toInt).getOrElse(64),
+      maxDeltaBytesPerBucket = parameters.get("maxDeltaBytes").map(_.toLong)
+        .getOrElse(32L * 1024 * 1024),
       manifestThresholdFiles =
         parameters.get("manifestThreshold").map(_.toInt).getOrElse(4096))
     val snap = table.currentSnapshot.getOrElse(throw new IllegalArgumentException(

@@ -32,6 +32,52 @@ class MergeOnReadSpec extends SparkSpec {
     t
   }
 
+  test("size-tiered compaction: tiny deltas defer, large deltas compact early") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType)))
+    def ins(lsn: Long, id: Int, v: String): String =
+      s"""{"lsn":$lsn,"xid":$lsn,"change":[{"kind":"insert","schema":"public","table":"t",""" +
+        s""""columnnames":["id","v"],"columntypes":["integer","text"],""" +
+        s""""columnvalues":[$id,"$v"]}]}"""
+    def applyLines(t: LakeTable, ls: Seq[String]): Unit =
+      MergeEngine.applyBatch(t,
+        ChangeDecoder.decode(spark.createDataset(ls).toDF("value")))
+
+    // MANY TINY deltas: past the old count-8 trigger but far below the
+    // byte cap — a full bucket rewrite to fold kilobytes is the waste the
+    // size-tiered trigger exists to avoid, so compaction must DEFER
+    val tiny = new LakeTable(spark, tmpDir("tiny"),
+      maxDeltasPerBucket = 64, maxDeltaBytesPerBucket = 1L * 1024 * 1024)
+    tiny.create(schema, Seq("id"), 1)
+    (1 to 10).foreach(i => applyLines(tiny, Seq(ins(i, i, s"x$i"))))
+    val ts = tiny.currentSnapshot.get
+    assert(ts.bucketDeltas(0).size === 10,
+      "tiny deltas must accumulate, not compact")
+    assert(ts.fileBytes.keySet === ts.allFiles.toSet,
+      "every live file's size rides the snapshot")
+    assert(LakeTable.fromJson(LakeTable.toJson(ts)) === ts,
+      "fileBytes must round-trip the snapshot JSON")
+
+    // LARGE deltas: the byte cap triggers well under the file-count cap
+    val big = new LakeTable(spark, tmpDir("big"),
+      maxDeltasPerBucket = 64, maxDeltaBytesPerBucket = 2000L)
+    big.create(schema, Seq("id"), 1)
+    applyLines(big, (1 to 40).map(i => ins(i, i, "v" * 50)))
+    applyLines(big, (41 to 80).map(i => ins(i.toLong, i, "w" * 50)))
+    val bs = big.currentSnapshot.get
+    assert(bs.bucketDeltas.values.forall(_.isEmpty),
+      "large deltas must compact promptly")
+    assert(bs.bucketFiles(0).size === 1)
+    assert(big.read().count() === 80)
+    // and the file-count HARD CAP still bounds fan-in on its own
+    val capped = new LakeTable(spark, tmpDir("capped"),
+      maxDeltasPerBucket = 3, maxDeltaBytesPerBucket = Long.MaxValue)
+    capped.create(schema, Seq("id"), 1)
+    (1 to 3).foreach(i => applyLines(capped, Seq(ins(i, i, "z"))))
+    assert(capped.currentSnapshot.get.bucketDeltas.values.forall(_.isEmpty))
+  }
+
   test("an upsert batch appends deltas and does NOT rewrite base files") {
     val t = newTable(maxDeltas = 100) // threshold out of the way
     MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 100)))
