@@ -125,6 +125,38 @@ final case class Snapshot(
       fileStats.view.filterKeys(inBucket).toMap,
       fileBytes.view.filterKeys(inBucket).toMap)
   }
+
+  /** ALL slices in ONE pass over the file maps. [[bucketSlice]] filters
+    * the full O(files) stats maps per call, so slicing every bucket that
+    * way is O(buckets x files) of pure metadata CPU — measured ~3 s PER
+    * COMMIT at 50k files / 512 buckets (MetaBench); this builds the same
+    * slices in O(files). The commit path's manifest reuse diff uses it. */
+  def bucketSlices: Map[Int, BucketManifest] = {
+    val fileToBucket = scala.collection.mutable.HashMap.empty[String, Int]
+    bucketFiles.foreach { case (b, fs) => fs.foreach(f => fileToBucket(f) = b) }
+    bucketDeltas.foreach { case (b, fs) => fs.foreach(f => fileToBucket(f) = b) }
+    val statsBy = scala.collection.mutable.HashMap
+      .empty[Int, scala.collection.mutable.HashMap[String, Map[String, (String, String)]]]
+    fileStats.foreach { case (f, st) =>
+      fileToBucket.get(f).foreach(b =>
+        statsBy.getOrElseUpdate(b,
+          scala.collection.mutable.HashMap.empty).update(f, st))
+    }
+    val bytesBy = scala.collection.mutable.HashMap
+      .empty[Int, scala.collection.mutable.HashMap[String, Long]]
+    fileBytes.foreach { case (f, n) =>
+      fileToBucket.get(f).foreach(b =>
+        bytesBy.getOrElseUpdate(b,
+          scala.collection.mutable.HashMap.empty).update(f, n))
+    }
+    manifestBuckets.iterator.map { b =>
+      b -> BucketManifest(
+        bucketFiles.getOrElse(b, Nil), bucketDeltas.getOrElse(b, Nil),
+        bucketWatermarks.get(b), bucketLineage.getOrElse(b, Map.empty),
+        statsBy.get(b).map(_.toMap).getOrElse(Map.empty),
+        bytesBy.get(b).map(_.toMap).getOrElse(Map.empty))
+    }.toMap
+  }
 }
 
 /** One bucket's persisted metadata slice (see [[Snapshot.bucketSlice]]). */
@@ -167,7 +199,19 @@ class LakeTable(val spark: SparkSession, val root: String,
                 // this — the size-tiered PRIMARY trigger (sizes ride the
                 // snapshot, recorded at write time). Placed last to keep
                 // positional construction stable.
-                val maxDeltaBytesPerBucket: Long = 32L * 1024 * 1024) {
+                val maxDeltaBytesPerBucket: Long = 32L * 1024 * 1024,
+                // Buckets whose merge-read input (ON-DISK bytes, from the
+                // snapshot) exceeds this take the key-hash SHUFFLE merge
+                // instead of the zero-Exchange per-bucket local merge
+                // (whose unit of parallelism is one core per bucket): a
+                // pathologically hot bucket becomes a straggler task
+                // exactly when its BYTES — not the table's bucket count —
+                // are outsized. Default 256 MiB ≈ a ~3 s single-task bound
+                // at the measured ~90 MB/s per-core merge rate
+                // (HotBucketBench); deliberately high because on a CLUSTER
+                // the Exchange this avoids costs network per byte, while
+                // the single-box bench where shuffle looks cheap has none.
+                val maxLocalMergeBytesPerBucket: Long = 256L * 1024 * 1024) {
   import LakeTable._
 
   private val rootPath = new HPath(root)
@@ -295,10 +339,15 @@ class LakeTable(val spark: SparkSession, val root: String,
         .orElse(if (expectedSnapshotId >= 0) Some(readSnapshot(expectedSnapshotId))
                 else None)
       val written = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      // One-pass slice maps for the reuse diff: per-bucket bucketSlice()
+      // calls are O(buckets x files) in aggregate (MetaBench measured ~3 s
+      // of metadata CPU per commit at 50k files) — these are O(files).
+      val nextSlices = stamped0.bucketSlices
+      val prevSlices = prevSnap.map(_.bucketSlices).getOrElse(Map.empty)
       val pointers = stamped0.manifestBuckets.toSeq.sorted.map { b =>
-        val slice = stamped0.bucketSlice(b)
+        val slice = nextSlices(b)
         val reused = prevSnap.flatMap(p =>
-          p.bucketManifests.get(b).filter(_ => p.bucketSlice(b) == slice))
+          p.bucketManifests.get(b).filter(_ => prevSlices.get(b).contains(slice)))
         b -> reused.getOrElse {
           val rel = f"meta/manifests/manifest-$newId%012d-b$b-" +
             s"${java.util.UUID.randomUUID().toString.take(8)}.json"
@@ -494,15 +543,35 @@ class LakeTable(val spark: SparkSession, val root: String,
       snap.schema, snap.renameMap)
     if (withDeltas.isEmpty) cleanDf
     else {
-      val merged =
-        if (withDeltas.size <= maxLocalMergeBuckets)
-          mergedViewLocal(snap.schema, snap.keyColumns, snap.renameMap,
-            withDeltas.map(b => (snap.bucketFiles.getOrElse(b, Nil),
-              snap.bucketDeltas.getOrElse(b, Nil))))
-        else mergedView(snap.schema, snap.keyColumns, snap.renameMap,
-          withDeltas.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
-          withDeltas.flatMap(b => snap.bucketDeltas.getOrElse(b, Nil)))
-      cleanDf.unionByName(merged)
+      // DATA-AWARE merge-shape choice, per bucket: the zero-Exchange local
+      // merge serializes each bucket onto one core, so a bucket whose
+      // merge input BYTES (recorded in the snapshot) exceed
+      // maxLocalMergeBytesPerBucket would run as a straggler task — those
+      // buckets take the key-hash shuffle merge while the rest keep the
+      // local merge. Unknown sizes (pre-upgrade snapshots) count zero,
+      // preserving the old always-local choice. The bucket-COUNT guard
+      // stays as the plan-size bound: past it, everything shuffles.
+      def bucketBytes(b: Int): Long =
+        (snap.bucketFiles.getOrElse(b, Nil).iterator ++
+          snap.bucketDeltas.getOrElse(b, Nil).iterator)
+          .map(f => snap.fileBytes.getOrElse(f, 0L)).sum
+      val (big, small) =
+        withDeltas.partition(b => bucketBytes(b) > maxLocalMergeBytesPerBucket)
+      val (localBuckets, shuffleBuckets) =
+        if (small.size <= maxLocalMergeBuckets) (small, big)
+        else (Seq.empty[Int], withDeltas)
+      val parts = Seq(
+        if (localBuckets.nonEmpty)
+          Some(mergedViewLocal(snap.schema, snap.keyColumns, snap.renameMap,
+            localBuckets.map(b => (snap.bucketFiles.getOrElse(b, Nil),
+              snap.bucketDeltas.getOrElse(b, Nil)))))
+        else None,
+        if (shuffleBuckets.nonEmpty)
+          Some(mergedView(snap.schema, snap.keyColumns, snap.renameMap,
+            shuffleBuckets.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
+            shuffleBuckets.flatMap(b => snap.bucketDeltas.getOrElse(b, Nil))))
+        else None).flatten
+      (cleanDf +: parts).reduce(_.unionByName(_))
     }
   }
 

@@ -32,6 +32,31 @@ class MergeOnReadSpec extends SparkSpec {
     t
   }
 
+  test("data-aware hybrid read: local/shuffle split agrees with all-local") {
+    // the merge-shape choice is now per BUCKET (on-disk bytes vs
+    // maxLocalMergeBytesPerBucket); whatever mix of local and shuffle
+    // subtrees a snapshot resolves to, the merged state must be identical
+    val t = newTable(maxDeltas = 100)
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 120)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(120, 200)))
+    val allLocal = state(t)
+    val allShuffle = new LakeTable(spark, t.root,
+      maxLocalMergeBytesPerBucket = 0L)
+    assert(state(allShuffle) === allLocal)
+    // a threshold between the smallest and largest bucket => genuine split
+    val snap = t.currentSnapshot.get
+    def bb(b: Int): Long =
+      (snap.bucketFiles.getOrElse(b, Nil) ++ snap.bucketDeltas.getOrElse(b, Nil))
+        .map(snap.fileBytes(_)).sum
+    val sizes = snap.dataBuckets.toSeq.map(bb).sorted
+    assert(sizes.head < sizes.last, "fixture must have uneven buckets")
+    val split = new LakeTable(spark, t.root,
+      maxLocalMergeBytesPerBucket = sizes(sizes.size / 2))
+    assert(state(split) === allLocal)
+    val plan = split.read().queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"), "the big buckets must take the shuffle merge")
+  }
+
   test("size-tiered compaction: tiny deltas defer, large deltas compact early") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
