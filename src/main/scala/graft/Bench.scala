@@ -63,9 +63,16 @@ object Bench {
     val results = headline.filter(queries.contains).map { name =>
       val fn = queries(name)
       checksum(fn(spark, sfDir)) // warm (parquet footer cache, codegen)
-      val t0 = System.nanoTime()
-      checksum(fn(spark, sfDir))
-      name -> (System.nanoTime() - t0) / 1e9
+      // BEST-OF-2 timed reps: this host's noisy-neighbor variance
+      // (documented 5-10x, observed 10x WITHIN one process on identical
+      // plans) makes a single timed sample useless for round-over-round
+      // comparison
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        checksum(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> t
     }
 
     // CDC apply throughput: WAL segments on disk -> decode -> MERGE -> lake.

@@ -66,7 +66,7 @@ object CdcBench {
   def runStreaming(spark: SparkSession, nTxns: Long, txnsPerSegment: Long,
                    segmentsPerTrigger: Int, nBuckets: Int = 32,
                    walDirOverride: Option[String] = None,
-                   maxDeltasPerBucket: Int = 8): Result = {
+                   maxDeltasPerBucket: Int = 64): Result = {
     val cfg = GenConfig(seed = 42L, nRepos = 5000, pathsPerRepo = 500)
     val walDir = walDirOverride.getOrElse {
       val d = graft.util.TempDirs.scratch("graft-bench-wal")

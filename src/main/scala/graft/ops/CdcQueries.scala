@@ -70,6 +70,54 @@ object CdcQueries {
        |  CASE WHEN $kindSql = 'delete' THEN NULL ELSE value END AS val
        |FROM events ORDER BY lsn""".stripMargin
 
+  /** O4 through the SECOND plugin grammar: each event rendered as its
+    * transaction's pgoutput BINARY message sequence (Begin / Relation /
+    * Insert|Update|Delete / Commit — one txn per event, Relation re-sent
+    * per txn, which pgoutput permits), transcoded to the wal2json-parity
+    * line, then decoded by the SAME ChangeDecoder and projected exactly
+    * like [[decodeRoundtrip]] — so the DuckDB oracle is IDENTICAL: the
+    * driver-verified half of the plugin-parity story (PgoutputSpec pins
+    * the grammar level). Distributed: each partition transcodes its own
+    * rows; no driver-side loop. */
+  def decodePgoutput(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.decode.Pgoutput
+    import graft.decode.Pgoutput._
+    val relOid = 777
+    val lines = events(spark, dir)
+      .withColumn("kind", kindCol)
+      .withColumn("tbl", tblCol)
+      .select(col("event_id"), col("kind"), col("tbl"), col("user_id"),
+        col("value").cast("string"))
+      .as[(Long, String, String, Long, String)]
+      .mapPartitions { it =>
+        it.map { case (lsn, kind, tbl, uid, v) =>
+          val rel = Relation(relOid, "public", tbl, 'd'.toByte, IndexedSeq(
+            RelationColumn(1, "user_id", 20, -1),    // bigint key
+            RelationColumn(0, "value", 701, -1)))    // double precision
+          val vVal: TupleValue = if (v == null) NullValue else TextValue(v)
+          val newT = IndexedSeq[TupleValue](TextValue(uid.toString), vVal)
+          val keyT = IndexedSeq[TupleValue](TextValue(uid.toString), NullValue)
+          val dml = kind match {
+            case "insert" => Insert(relOid, newT)
+            case "delete" => Delete(relOid, 'K', keyT)
+            case _ => Update(relOid, Some('K'), Some(keyT), newT)
+          }
+          val t = new graft.decode.PgoutputTranscoder
+          Seq(Begin(lsn, 0L, lsn + 3000000000L), rel, dml,
+            Commit(0, lsn, lsn + 1, 0L))
+            .flatMap(m => t.feed(Pgoutput.write(m))).head
+        }
+      }.toDF("value")
+    ChangeDecoder.decode(lines)
+      .select(
+        col("lsn"), col("xid"), col("kind"), col("table").as("tbl"),
+        ChangeDecoder.keyValue("user_id").cast("long").as("key"),
+        when(col("kind") =!= "delete",
+          ChangeDecoder.columnValue("value").cast("double")).as("val"))
+      .orderBy("lsn")
+  }
+
   /** O5: relevant-table predicate inside the decoder. */
   def tableFilter(spark: SparkSession, dir: String): DataFrame =
     ChangeDecoder.decode(walLines(spark, dir), relevantTables = Set("events_a"))
@@ -195,6 +243,7 @@ object CdcQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "cdc_decode_roundtrip" -> (decodeRoundtrip _, decodeRoundtripSql),
+    "cdc_decode_pgoutput" -> (decodePgoutput _, decodeRoundtripSql),
     "cdc_table_filter" -> (tableFilter _, tableFilterSql),
     "cdc_dedup_keeplast" -> (dedupKeepLast _, dedupKeepLastSql),
     "cdc_merge_final_state" -> (mergeFinalState _, mergeFinalStateSql),
