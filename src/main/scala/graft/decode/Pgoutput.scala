@@ -78,9 +78,15 @@ object Pgoutput {
       s"$msg (message ${bytes.length} bytes)")
     def cstring(): String = {
       val start = buf.position()
-      while (buf.hasRemaining && buf.get() != 0) {}
-      if (!buf.hasRemaining && bytes(buf.position() - 1) != 0)
-        fail("unterminated string")
+      var terminated = false
+      while (!terminated && buf.hasRemaining) {
+        if (buf.get() == 0) terminated = true
+      }
+      // an explicit flag, not a position-based heuristic: a message
+      // truncated right AFTER some earlier NUL byte would otherwise pass
+      // the check and slice with negative length (raw SIOOBE escaping the
+      // malformed taxonomy)
+      if (!terminated) fail("unterminated string")
       new String(bytes, start, buf.position() - 1 - start, StandardCharsets.UTF_8)
     }
     def tuple(): IndexedSeq[TupleValue] = {
@@ -239,30 +245,21 @@ final class PgoutputTranscoder {
   private var inTxn = false
   private val changes = new StringBuilder
 
-  private def esc(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      i += 1
-    }
-    sb.toString
-  }
+  private def esc(s: String): String = graft.util.Json.escape(s)
 
   private def rel(id: Int): Relation =
     relations.getOrElse(id, throw new Pgoutput.MalformedPgoutputException(
       s"DML for relation $id before its Relation message"))
 
   private def renderValue(c: RelationColumn, v: String): String =
-    if (isJsonNumber(c.typeOid)) v
+    if (c.typeOid == 114 || c.typeOid == 3802) v // json/jsonb: wal2json
+      // embeds the value as RAW nested JSON, never a quoted string (the
+      // native parser's nested-JSON capture is parity-tested on this)
+    else if (isJsonNumber(c.typeOid))
+      // NaN/±Infinity are legal float/numeric text values but not legal
+      // bare JSON tokens — wal2json quotes them
+      if (v == "NaN" || v == "Infinity" || v == "-Infinity") "\"" + v + "\""
+      else v
     else if (isJsonBool(c.typeOid)) if (v == "t" || v == "true") "true" else "false"
     else "\"" + esc(v) + "\""
 
@@ -310,8 +307,16 @@ final class PgoutputTranscoder {
     case Update(oid, _, old, nt) =>
       val r = rel(oid)
       // no old tuple on the wire = key unchanged: wal2json still prints
-      // oldkeys (the identity), recoverable from the NEW tuple's key columns
+      // oldkeys (the identity), recoverable from the NEW tuple's key
+      // columns — UNLESS a key column arrived as unchanged-TOAST, whose
+      // value the wire simply does not carry: reconstructing a null key
+      // there would corrupt row identity silently (the lesson-14 class),
+      // so fail loudly instead
       val oldT = old.getOrElse(r.columns.zip(nt).map {
+        case (c, UnchangedToast) if c.isKey =>
+          throw new Pgoutput.MalformedPgoutputException(
+            s"key column ${c.name} of ${r.name} is unchanged-TOAST with no " +
+              "old tuple — replica identity unrecoverable")
         case (c, v) if c.isKey => v
         case _ => NullValue
       })

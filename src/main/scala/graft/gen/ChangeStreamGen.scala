@@ -115,23 +115,7 @@ object ChangeStreamGen {
 
   // ---------------------------------------------------------------- JSON
 
-  private def esc(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
-        case '"' => sb.append("\\\"")
-        case '\\' => sb.append("\\\\")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-        case c => sb.append(c)
-      }
-      i += 1
-    }
-    sb.toString
-  }
+  private def esc(s: String): String = graft.util.Json.escape(s)
 
   /**
    * Render one transaction as a WAL line: the wal2json SlotMessage JSON with

@@ -488,7 +488,21 @@ class LakeTable(val spark: SparkSession, val root: String,
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException if ok => throw conflict()
         case e: java.io.IOException if ok => guardExisting(e)
-        case e: Throwable => try out.close() catch { case _: Exception => () }; throw e
+        case e: Throwable =>
+          // ABORT the upload, never close() it: close completes the
+          // conditional PUT, so a failed publish could still materialize
+          // the snapshot — torn content would wedge every later read, and
+          // full content would commit while commit() reports failure.
+          try { out.abort(); () }
+          catch {
+            case _: Throwable =>
+              try out.close() catch { case _: Exception => () }
+          }
+          // our create claimed the target name (no concurrent writer can
+          // hold it); release the claim so a torn/empty object cannot
+          // become the latest snapshot and a retry can re-attempt
+          try { fs.delete(target, false); () } catch { case _: Exception => () }
+          throw e
       }
     } catch { case Won => () }
   }

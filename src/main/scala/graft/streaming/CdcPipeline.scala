@@ -239,6 +239,11 @@ object CdcPipeline {
       c match {
         case _: graft.decode.MalformedBatchException =>
           return FailureKind.DataError
+        // malformed BINARY plugin input (pgoutput codec/transcoder) is as
+        // deterministic as malformed wal2json: the slot redelivers the
+        // same bytes on every retry — repair-then-retry, never Transient
+        case _: graft.decode.Pgoutput.MalformedPgoutputException =>
+          return FailureKind.DataError
         // fallback for malformed input surfaced by the IN-PLAN raise_error
         // guard (decode(strict=true) without the explicit validation pass):
         // Spark raises its own exception type there, so the message text is

@@ -42,6 +42,24 @@ class LwwObjectStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
     }
   }
 
+  /** Fault injection: conditional-create streams throw on write while
+    * this is > 0 (decremented per failing stream). */
+  @volatile var failingCreateWrites: Int = 0
+
+  private def maybeFailing(
+      s: org.apache.hadoop.fs.FSDataOutputStream): org.apache.hadoop.fs.FSDataOutputStream =
+    if (failingCreateWrites <= 0) s
+    else {
+      failingCreateWrites -= 1
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.FilterOutputStream(s) {
+          override def write(b: Int): Unit =
+            throw new java.io.IOException("injected write failure")
+          override def write(b: Array[Byte], off: Int, len: Int): Unit =
+            throw new java.io.IOException("injected write failure")
+        }, null)
+    }
+
   override def create(f: org.apache.hadoop.fs.Path,
       permission: org.apache.hadoop.fs.permission.FsPermission,
       overwrite: Boolean, bufferSize: Int, replication: Short,
@@ -49,7 +67,8 @@ class LwwObjectStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
       progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
     if (!overwrite) {
       claim(f)
-      super.create(f, permission, true, bufferSize, replication, blockSize, progress)
+      maybeFailing(
+        super.create(f, permission, true, bufferSize, replication, blockSize, progress))
     } else super.create(f, permission, overwrite, bufferSize, replication,
       blockSize, progress)
   }
@@ -59,7 +78,7 @@ class LwwObjectStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
       progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
     if (!overwrite) {
       claim(f)
-      super.create(f, true, bufferSize, replication, blockSize, progress)
+      maybeFailing(super.create(f, true, bufferSize, replication, blockSize, progress))
     } else super.create(f, overwrite, bufferSize, replication, blockSize, progress)
   }
 }
@@ -173,6 +192,33 @@ class CommitFencingSpec extends SparkSpec {
       val winner = Seq("A", "B")(outcomes.indexOf("won"))
       assert(survivor === winner.hashCode.toLong, s"round $round clobbered")
     }
+  }
+
+  test("a failed conditional-put ABORTS and releases the claim — never publishes torn content") {
+    // close() would COMPLETE the conditional PUT: a failed publish could
+    // materialize a torn snapshot as the latest (wedging every read) or a
+    // full one while commit() reports failure. The failure path must leave
+    // NO target object and allow a clean retry.
+    registerLww(mode = "conditional-put")
+    val t = new LakeTable(spark, s"graftlww:${tmpDir("lwwabort")}")
+    t.create(schema, Seq("id"), 2)
+    val base = t.currentSnapshot.get
+    val fs = new org.apache.hadoop.fs.Path("graftlww:/x")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .asInstanceOf[LwwObjectStoreFileSystem]
+    fs.failingCreateWrites = 1
+    try {
+      val e = intercept[java.io.IOException] {
+        t.commit(base.copy(lineage = Map("writer" -> 1L)), base.snapshotId)
+      }
+      assert(e.getMessage.contains("injected"))
+    } finally fs.failingCreateWrites = 0
+    // no torn snapshot-1 left behind; the table still reads its old state
+    assert(t.currentSnapshot.get.snapshotId === base.snapshotId)
+    // and the claim is released: the retry succeeds
+    val again = t.commit(base.copy(lineage = Map("writer" -> 2L)), base.snapshotId)
+    assert(again.snapshotId === base.snapshotId + 1)
+    assert(t.currentSnapshot.get.lineage("writer") === 2L)
   }
 
   test("object-store schemes default to conditional-put without configuration") {

@@ -124,6 +124,48 @@ class PgoutputSpec extends SparkSpec {
     assert(!line.contains("big"), "unchanged TOAST column must be absent")
   }
 
+  test("json/jsonb render RAW; non-finite floats are quoted; truncation after a NUL fails typed") {
+    val t = new PgoutputTranscoder
+    t.feed(Pgoutput.write(Begin(5, 0, 42)))
+    t.feed(Pgoutput.write(Relation(7, "public", "things", 'd'.toByte, IndexedSeq(
+      RelationColumn(1, "id", 23, -1), RelationColumn(0, "doc", 3802, -1),
+      RelationColumn(0, "x", 701, -1)))))
+    t.feed(Pgoutput.write(Insert(7, IndexedSeq(TextValue("9"),
+      TextValue("""{"a": [1, "b"]}"""), TextValue("NaN")))))
+    val line = t.feed(Pgoutput.write(Commit(0, 5, 6, 0))).get
+    // wal2json embeds json/jsonb verbatim as nested JSON, not as a string
+    assert(line.contains(""""columnvalues":[9,{"a": [1, "b"]},"NaN"]"""), line)
+    // and the line must parse through the engine's own decoder
+    import spark.implicits._
+    val rows = ChangeDecoder.decode(Seq(line).toDS().toDF("value")).collect()
+    assert(rows.length === 1)
+
+    // a Relation truncated right AFTER a NUL terminator must fail TYPED
+    val rel = Pgoutput.write(Relation(7, "public", "t", 'd'.toByte, IndexedSeq.empty))
+    val cut = rel.take(1 + 4 + "public".length + 1) // ends exactly at the NUL
+    intercept[MalformedPgoutputException] { Pgoutput.parse(cut) }
+  }
+
+  test("unchanged-TOAST KEY column without an old tuple fails loudly (identity unrecoverable)") {
+    val t = new PgoutputTranscoder
+    t.feed(Pgoutput.write(Begin(5, 0, 42)))
+    t.feed(Pgoutput.write(Relation(7, "public", "things", 'd'.toByte, IndexedSeq(
+      RelationColumn(1, "big_key", 25, -1), RelationColumn(0, "v", 25, -1)))))
+    val e = intercept[MalformedPgoutputException] {
+      t.feed(Pgoutput.write(Update(7, None, None,
+        IndexedSeq(UnchangedToast, TextValue("x")))))
+    }
+    assert(e.getMessage.contains("big_key"))
+  }
+
+  test("malformed pgoutput classifies as DataError in the supervision taxonomy") {
+    import graft.streaming.CdcPipeline
+    val e = new MalformedPgoutputException("DML for relation 9 before its Relation message")
+    assert(CdcPipeline.classify(e) === CdcPipeline.FailureKind.DataError)
+    assert(CdcPipeline.classify(new RuntimeException("wrapped", e))
+      === CdcPipeline.FailureKind.DataError)
+  }
+
   test("live pgoutput ingest through the JDBC binding == wal2json oracle state") {
     val genCfg = GenConfig(seed = 17L, nRepos = 10, pathsPerRepo = 4,
       maxChangesPerTxn = 3, addColumnAtLsn = 60L, renameAtLsn = 100L)
