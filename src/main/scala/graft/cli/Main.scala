@@ -92,6 +92,7 @@ object Main {
       "ssl-password" -> (false, "client key passphrase (requires --ssl-key)"),
       "slot" -> (false, "replication slot name (default graft_slot)"),
       "plugin" -> (false, "logical decoding output plugin (default wal2json)"),
+      "proto-version" -> (false, "pgoutput protocol version 1|2 (2 = streamed in-progress txns; default 1)"),
       "include-xids" -> (false, "true|false plugin option (default true)"),
       "status-interval-s" -> (false, "standby status-update cadence (default 20)"),
       "idle-slot-interval-s" -> (false, "idle fast-forward threshold (default 300)"),
@@ -175,6 +176,7 @@ object Main {
     val slot = SlotConfig(
       slotName = kv.getOrElse("slot", "graft_slot"),
       outputPlugin = kv.getOrElse("plugin", "wal2json"),
+      protoVersion = kv.getOrElse("proto-version", "1").toInt,
       includeXids = kv.getOrElse("include-xids", "true").toBoolean,
       statusIntervalMs = kv.getOrElse("status-interval-s", "20").toLong * 1000,
       idleSlotIntervalMs = kv.getOrElse("idle-slot-interval-s", "300").toLong * 1000,

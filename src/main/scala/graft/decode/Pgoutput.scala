@@ -15,11 +15,17 @@ import java.nio.charset.StandardCharsets
  * and parity is structural rather than re-implemented.
  *
  * Wire layout follows the public PostgreSQL logical replication message
- * format documentation (protocol version 1): single-byte message tag,
- * network byte order, NUL-terminated UTF-8 strings, text-format tuple
- * values. Message types covered: Begin 'B', Commit 'C', Relation 'R',
- * Insert 'I', Update 'U', Delete 'D' (Origin/Type/Truncate are
- * recognized-and-skipped — they carry nothing the CDC apply consumes).
+ * format documentation: single-byte message tag, network byte order,
+ * NUL-terminated UTF-8 strings, text-format tuple values. Protocol v1
+ * message types covered: Begin 'B', Commit 'C', Relation 'R', Insert 'I',
+ * Update 'U', Delete 'D' (Origin/Type/Truncate are recognized-and-skipped
+ * — they carry nothing the CDC apply consumes). Protocol v2 (PostgreSQL
+ * 14+) adds STREAMED in-progress transactions: Stream Start 'S' / Stop
+ * 'E' / Commit 'c' / Abort 'A', with every message between Start and Stop
+ * carrying an extra Int32 xid after its tag (the xid of the transaction
+ * or SUBtransaction that made the change) — which makes parsing
+ * context-dependent: [[parse]] takes an `inStream` flag and wraps
+ * xid-prefixed messages in [[Streamed]].
  *
  * The crucial semantic difference from wal2json: pgoutput is STATEFUL —
  * Insert/Update/Delete name their relation by OID only, and the column
@@ -67,15 +73,39 @@ object Pgoutput {
   /** Recognized non-DML messages (Origin 'O', Type 'Y', Truncate 'T'). */
   final case class Skipped(tag: Char) extends Message
 
+  // ----------------------------------------------- protocol v2: streaming
+
+  /** Opens one stream segment of an in-progress transaction; `xid` is the
+    * TOPLEVEL transaction, `firstSegment` marks its first segment. */
+  final case class StreamStart(xid: Long, firstSegment: Boolean) extends Message
+  /** Closes the current stream segment (no payload). */
+  case object StreamStop extends Message
+  /** Commits a previously streamed transaction. */
+  final case class StreamCommit(xid: Long, flags: Int, commitLsn: Long,
+                                endLsn: Long, commitTimeMicros: Long)
+      extends Message
+  /** Aborts a streamed (sub)transaction: `subXid == xid` aborts the whole
+    * transaction, otherwise ROLLBACK TO SAVEPOINT of subtransaction
+    * `subXid`. */
+  final case class StreamAbort(xid: Long, subXid: Long) extends Message
+  /** A message that arrived inside a stream segment, carrying the xid of
+    * the (sub)transaction that produced it. */
+  final case class Streamed(xid: Long, inner: Message) extends Message
+
   // ------------------------------------------------------------- parsing
 
   final class MalformedPgoutputException(msg: String)
       extends IllegalArgumentException(msg)
 
-  def parse(bytes: Array[Byte]): Message = {
+  /** Parse one message. `inStream` = the transcoder is between a Stream
+    * Start and Stream Stop, where Relation/Insert/Update/Delete/Type/
+    * Truncate carry an Int32 xid right after the tag (protocol v2) — the
+    * wire format itself is context-dependent there. */
+  def parse(bytes: Array[Byte], inStream: Boolean = false): Message = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     def fail(msg: String) = throw new MalformedPgoutputException(
       s"$msg (message ${bytes.length} bytes)")
+    def u32(): Long = java.lang.Integer.toUnsignedLong(buf.getInt())
     def cstring(): String = {
       val start = buf.position()
       var terminated = false
@@ -106,13 +136,32 @@ object Pgoutput {
       }
     }
     if (bytes.isEmpty) fail("empty message")
-    try buf.get().toChar match {
+    try {
+    val tag = buf.get().toChar
+    // inside a stream segment, the content-carrying messages are
+    // xid-prefixed (protocol v2); transaction-control messages are not
+    val streamedXid: Option[Long] =
+      if (inStream && (tag == 'R' || tag == 'I' || tag == 'U' || tag == 'D' ||
+        tag == 'Y' || tag == 'T')) Some(u32())
+      else None
+    val inner = tag match {
       case 'B' =>
-        val m = Begin(buf.getLong(), buf.getLong(),
-          java.lang.Integer.toUnsignedLong(buf.getInt()))
+        val m = Begin(buf.getLong(), buf.getLong(), u32())
         m
       case 'C' =>
         Commit(buf.get().toInt, buf.getLong(), buf.getLong(), buf.getLong())
+      case 'S' =>
+        val x = u32()
+        buf.get().toInt match {
+          case 1 => StreamStart(x, firstSegment = true)
+          case 0 => StreamStart(x, firstSegment = false)
+          case other => fail(s"Stream Start first_segment flag $other")
+        }
+      case 'E' => StreamStop
+      case 'c' =>
+        StreamCommit(u32(), buf.get().toInt, buf.getLong(), buf.getLong(),
+          buf.getLong())
+      case 'A' => StreamAbort(u32(), u32())
       case 'R' =>
         val oid = buf.getInt()
         val ns = cstring(); val name = cstring()
@@ -142,6 +191,8 @@ object Pgoutput {
         Delete(oid, tag, tuple())
       case t @ ('O' | 'Y' | 'T') => Skipped(t)
       case t => fail(s"unknown message tag '$t'")
+    }
+    streamedXid.fold(inner)(Streamed(_, inner))
     } catch {
       case _: java.nio.BufferUnderflowException => fail("truncated message")
     }
@@ -186,6 +237,16 @@ object Pgoutput {
         u8('N'); tuple(nt)
       case Delete(oid, tag, old) => u8('D'); u32(oid); u8(tag); tuple(old)
       case Skipped(t) => u8(t)
+      case StreamStart(xid, first) =>
+        u8('S'); u32(xid.toInt); u8(if (first) 1 else 0)
+      case StreamStop => u8('E')
+      case StreamCommit(xid, flags, c, e, ts) =>
+        u8('c'); u32(xid.toInt); u8(flags); u64(c); u64(e); u64(ts)
+      case StreamAbort(xid, sub) => u8('A'); u32(xid.toInt); u32(sub.toInt)
+      case Streamed(xid, inner) =>
+        // xid splices in right after the inner message's tag byte
+        val b = write(inner)
+        u8(b(0)); u32(xid.toInt); out.write(b, 1, b.length - 1)
     }
     out.toByteArray
   }
@@ -236,14 +297,32 @@ object Pgoutput {
  * relation id until re-sent. The state lives HERE — at the single-threaded
  * ingest boundary where the protocol itself is sequential — never in the
  * distributed decode.
+ *
+ * Protocol v2 STREAMED transactions are supported: segments of concurrent
+ * in-progress transactions interleave (Stream Start/Stop bracket each
+ * segment), changes accumulate per toplevel xid in a [[ChangeSpool]]
+ * (heap-bounded — spills to disk past `spillThresholdBytes`, the point of
+ * streaming being larger-than-memory transactions), subtransaction aborts
+ * truncate ROLLBACK-TO-SAVEPOINT style, and Stream Commit folds the
+ * surviving changes into the same wal2json-parity line a non-streamed
+ * Commit produces — downstream cannot tell the two apart.
  */
-final class PgoutputTranscoder {
+final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
   import Pgoutput._
 
   private val relations = scala.collection.mutable.Map.empty[Int, Relation]
   private var xid: Long = -1L
   private var inTxn = false
   private val changes = new StringBuilder
+
+  /** Toplevel xid of the OPEN stream segment, if any — decides whether
+    * the next message parses with the xid-prefixed streamed layout. */
+  private var streamXid: Option[Long] = None
+  /** In-flight streamed transactions: toplevel xid -> change spool. */
+  private val spools = scala.collection.mutable.LinkedHashMap.empty[Long, ChangeSpool]
+
+  private def fail(msg: String): Nothing =
+    throw new Pgoutput.MalformedPgoutputException(msg)
 
   private def esc(s: String): String = graft.util.Json.escape(s)
 
@@ -293,17 +372,12 @@ final class PgoutputTranscoder {
     changes.append(body)
   }
 
-  /** Feed one binary message; returns the finished WAL line at Commit. */
-  def feed(bytes: Array[Byte]): Option[String] = Pgoutput.parse(bytes) match {
-    case Begin(_, _, x) =>
-      xid = x; inTxn = true; changes.clear(); None
-    case r: Relation =>
-      relations(r.relationId) = r; None
+  /** The wal2json change fragment for one DML message. */
+  private def renderDml(m: Message): String = m match {
     case Insert(oid, nt) =>
       val r = rel(oid)
-      appendChange(s"""{"kind":"insert","schema":"${esc(r.namespace)}",""" +
-        s""""table":"${esc(r.name)}",${newTupleArrays(r, nt)}}""")
-      None
+      s"""{"kind":"insert","schema":"${esc(r.namespace)}",""" +
+        s""""table":"${esc(r.name)}",${newTupleArrays(r, nt)}}"""
     case Update(oid, _, old, nt) =>
       val r = rel(oid)
       // no old tuple on the wire = key unchanged: wal2json still prints
@@ -314,25 +388,83 @@ final class PgoutputTranscoder {
       // so fail loudly instead
       val oldT = old.getOrElse(r.columns.zip(nt).map {
         case (c, UnchangedToast) if c.isKey =>
-          throw new Pgoutput.MalformedPgoutputException(
-            s"key column ${c.name} of ${r.name} is unchanged-TOAST with no " +
-              "old tuple — replica identity unrecoverable")
+          fail(s"key column ${c.name} of ${r.name} is unchanged-TOAST with " +
+            "no old tuple — replica identity unrecoverable")
         case (c, v) if c.isKey => v
         case _ => NullValue
       })
-      appendChange(s"""{"kind":"update","schema":"${esc(r.namespace)}",""" +
-        s""""table":"${esc(r.name)}",${newTupleArrays(r, nt)},${oldKeys(r, oldT)}}""")
-      None
+      s"""{"kind":"update","schema":"${esc(r.namespace)}",""" +
+        s""""table":"${esc(r.name)}",${newTupleArrays(r, nt)},${oldKeys(r, oldT)}}"""
     case Delete(oid, _, old) =>
       val r = rel(oid)
-      appendChange(s"""{"kind":"delete","schema":"${esc(r.namespace)}",""" +
-        s""""table":"${esc(r.name)}",${oldKeys(r, old)}}""")
-      None
-    case Commit(_, commitLsn, _, _) =>
-      if (!inTxn) throw new Pgoutput.MalformedPgoutputException(
-        "Commit outside a transaction")
-      inTxn = false
-      Some(s"""{"lsn":$commitLsn,"xid":$xid,"change":[$changes]}""")
-    case Skipped(_) => None
+      s"""{"kind":"delete","schema":"${esc(r.namespace)}",""" +
+        s""""table":"${esc(r.name)}",${oldKeys(r, old)}}"""
+    case other => fail(s"not a DML message: $other")
+  }
+
+  /** Feed one binary message; returns the finished WAL line at (Stream)
+    * Commit. */
+  def feed(bytes: Array[Byte]): Option[String] =
+    Pgoutput.parse(bytes, inStream = streamXid.isDefined) match {
+      case Begin(_, _, x) =>
+        xid = x; inTxn = true; changes.clear(); None
+      case r: Relation =>
+        relations(r.relationId) = r; None
+      case m @ (_: Insert | _: Update | _: Delete) =>
+        appendChange(renderDml(m)); None
+      case Commit(_, commitLsn, _, _) =>
+        if (!inTxn) fail("Commit outside a transaction")
+        inTxn = false
+        Some(s"""{"lsn":$commitLsn,"xid":$xid,"change":[$changes]}""")
+      case Skipped(_) => None
+
+      // ------------------------------------- protocol v2 streamed txns
+      case StreamStart(x, first) =>
+        if (inTxn) fail("Stream Start inside a non-streamed transaction")
+        if (first && spools.contains(x))
+          fail(s"Stream Start first_segment=1 for already-open txn $x")
+        if (!first && !spools.contains(x))
+          fail(s"Stream Start continuation for unknown txn $x")
+        if (first) spools(x) = new ChangeSpool(spillThresholdBytes)
+        streamXid = Some(x); None
+      case StreamStop =>
+        if (streamXid.isEmpty) fail("Stream Stop without an open segment")
+        streamXid = None; None
+      case Streamed(_, r: Relation) =>
+        relations(r.relationId) = r; None
+      case Streamed(sub, m @ (_: Insert | _: Update | _: Delete)) =>
+        val top = streamXid.getOrElse(
+          fail("streamed DML outside a stream segment"))
+        spools(top).append(sub, renderDml(m)); None
+      case Streamed(_, Skipped(_)) => None
+      case Streamed(_, other) => fail(s"unexpected streamed message $other")
+      case StreamAbort(x, sub) =>
+        if (streamXid.isDefined) fail("Stream Abort inside an open segment")
+        val spool = spools.getOrElse(x, fail(s"Stream Abort for unknown txn $x"))
+        if (sub == x) { spool.close(); spools.remove(x); () }
+        else spool.truncateFrom(sub)
+        None
+      case StreamCommit(x, _, commitLsn, _, _) =>
+        if (streamXid.isDefined) fail("Stream Commit inside an open segment")
+        val spool = spools.remove(x).getOrElse(
+          fail(s"Stream Commit for unknown txn $x"))
+        try {
+          val sb = new StringBuilder
+          sb.append(s"""{"lsn":$commitLsn,"xid":$x,"change":[""")
+          var sep = false
+          spool.changes().foreach { c =>
+            if (sep) sb.append(',')
+            sb.append(c); sep = true
+          }
+          sb.append("]}")
+          Some(sb.toString)
+        } finally spool.close()
+    }
+
+  /** Releases any spilled in-flight streamed-transaction state. */
+  def close(): Unit = {
+    spools.valuesIterator.foreach(_.close())
+    spools.clear()
+    streamXid = None
   }
 }

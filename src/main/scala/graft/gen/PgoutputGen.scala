@@ -71,4 +71,53 @@ object PgoutputGen {
     msgs += Commit(0, t.lsn, t.lsn + 1, 1234567L)
     (msgs.map(Pgoutput.write).toSeq, e)
   }
+
+  /**
+   * The same transaction as protocol-v2 STREAMED segments: the DML is
+   * split into stream segments of `changesPerSegment` changes, each
+   * bracketed by Stream Start / Stream Stop, every content message
+   * xid-prefixed ([[Pgoutput.Streamed]]), and the commit shipped as a
+   * separate Stream Commit message. Segments and commit return separately
+   * so callers can interleave segments of CONCURRENT streamed transactions
+   * — the scenario the protocol exists for.
+   */
+  def streamedTxnMessages(cfg: GenConfig, t: ChangeStreamGen.GenTxn,
+                          lastEra: Option[Era], changesPerSegment: Int):
+      (Seq[Seq[Array[Byte]]], Array[Byte], Era) = {
+    val e = era(cfg, t.lsn)
+    val withSize = e._2
+    val dml: Seq[Message] = t.changes.map { c =>
+      val newTuple: IndexedSeq[TupleValue] =
+        IndexedSeq[TupleValue](TextValue(c.repo), TextValue(c.path),
+          TextValue(c.commit), TextValue(c.lang), TextValue(c.content)) ++
+          (if (withSize) IndexedSeq[TupleValue](TextValue(c.sizeBytes.toString))
+           else IndexedSeq.empty[TupleValue])
+      val keyTuple: IndexedSeq[TupleValue] =
+        IndexedSeq[TupleValue](TextValue(c.repo), TextValue(c.path),
+          NullValue, NullValue, NullValue) ++
+          (if (withSize) IndexedSeq[TupleValue](NullValue)
+           else IndexedSeq.empty[TupleValue])
+      c.kind match {
+        case "insert" => Insert(RelationOid, newTuple)
+        case "update" => Update(RelationOid, Some('K'), Some(keyTuple), newTuple)
+        case "delete" => Delete(RelationOid, 'K', keyTuple)
+      }
+    }
+    val groups =
+      if (dml.isEmpty) Seq(Seq.empty[Message])
+      else dml.grouped(changesPerSegment.max(1)).toSeq
+    val segments = groups.zipWithIndex.map { case (g, i) =>
+      val body = scala.collection.mutable.ArrayBuffer.empty[Message]
+      body += StreamStart(t.xid, firstSegment = i == 0)
+      // relation metadata rides inside the stream, xid-prefixed, exactly
+      // when the schema era changes (and always in the first segment)
+      if (i == 0 && !lastEra.contains(e))
+        body += Streamed(t.xid, relationFor(cfg, t.lsn))
+      g.foreach(m => body += Streamed(t.xid, m))
+      body += StreamStop
+      body.map(Pgoutput.write).toSeq
+    }
+    val commit = Pgoutput.write(StreamCommit(t.xid, 0, t.lsn, t.lsn + 1, 1234567L))
+    (segments, commit, e)
+  }
 }

@@ -118,6 +118,54 @@ object CdcQueries {
       .orderBy("lsn")
   }
 
+  /** O4 through pgoutput PROTOCOL V2: each transaction shipped as a
+    * STREAMED in-progress txn (Stream Start / xid-prefixed Relation+DML /
+    * Stream Stop / Stream Commit — PostgreSQL 14+ larger-than-memory txn
+    * streaming), transcoded and decoded identically to
+    * [[decodePgoutput]], so the DuckDB oracle is again IDENTICAL — the
+    * driver-verified half of the v2 parity story (PgoutputSpec pins the
+    * interleaving/abort/spill semantics). */
+  def decodePgoutputStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.decode.Pgoutput
+    import graft.decode.Pgoutput._
+    val relOid = 778
+    val lines = events(spark, dir)
+      .withColumn("kind", kindCol)
+      .withColumn("tbl", tblCol)
+      .select(col("event_id"), col("kind"), col("tbl"), col("user_id"),
+        col("value").cast("string"))
+      .as[(Long, String, String, Long, String)]
+      .mapPartitions { it =>
+        it.map { case (lsn, kind, tbl, uid, v) =>
+          val xid = lsn + 3000000000L
+          val rel = Relation(relOid, "public", tbl, 'd'.toByte, IndexedSeq(
+            RelationColumn(1, "user_id", 20, -1),
+            RelationColumn(0, "value", 701, -1)))
+          val vVal: TupleValue = if (v == null) NullValue else TextValue(v)
+          val newT = IndexedSeq[TupleValue](TextValue(uid.toString), vVal)
+          val keyT = IndexedSeq[TupleValue](TextValue(uid.toString), NullValue)
+          val dml = kind match {
+            case "insert" => Insert(relOid, newT)
+            case "delete" => Delete(relOid, 'K', keyT)
+            case _ => Update(relOid, Some('K'), Some(keyT), newT)
+          }
+          val t = new graft.decode.PgoutputTranscoder
+          Seq(StreamStart(xid, firstSegment = true),
+            Streamed(xid, rel), Streamed(xid, dml), StreamStop,
+            StreamCommit(xid, 0, lsn, lsn + 1, 0L))
+            .flatMap(m => t.feed(Pgoutput.write(m))).head
+        }
+      }.toDF("value")
+    ChangeDecoder.decode(lines)
+      .select(
+        col("lsn"), col("xid"), col("kind"), col("table").as("tbl"),
+        ChangeDecoder.keyValue("user_id").cast("long").as("key"),
+        when(col("kind") =!= "delete",
+          ChangeDecoder.columnValue("value").cast("double")).as("val"))
+      .orderBy("lsn")
+  }
+
   /** O5: relevant-table predicate inside the decoder. */
   def tableFilter(spark: SparkSession, dir: String): DataFrame =
     ChangeDecoder.decode(walLines(spark, dir), relevantTables = Set("events_a"))
@@ -244,6 +292,7 @@ object CdcQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "cdc_decode_roundtrip" -> (decodeRoundtrip _, decodeRoundtripSql),
     "cdc_decode_pgoutput" -> (decodePgoutput _, decodeRoundtripSql),
+    "cdc_decode_pgoutput_streamed" -> (decodePgoutputStreamed _, decodeRoundtripSql),
     "cdc_table_filter" -> (tableFilter _, tableFilterSql),
     "cdc_dedup_keeplast" -> (dedupKeepLast _, dedupKeepLastSql),
     "cdc_merge_final_state" -> (mergeFinalState _, mergeFinalStateSql),

@@ -168,6 +168,9 @@ final class JdbcReplicationConnector(
   }
 
   override def close(): Unit = {
+    // release any spilled streamed-transaction state (protocol v2); the
+    // slot redelivers unacked streams from the start on reconnect
+    pgoutputTranscoder.foreach(t => try t.close() catch { case _: Exception => () })
     if (stream != null) {
       // flush any recorded-but-unsent positions, like the reference's
       // close (PostgresConnector.java:138-141); best-effort — the slot

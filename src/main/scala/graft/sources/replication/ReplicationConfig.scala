@@ -101,7 +101,12 @@ final case class SlotConfig(
     slotBusyRetrySleepMs: Long = 30000L,
     // pgoutput only: the publication whose tables the slot streams
     // (defaults to the slot name when unset)
-    publication: Option[String] = None) {
+    publication: Option[String] = None,
+    // pgoutput only: logical replication protocol version. 1 = whole
+    // transactions at commit; 2 (PostgreSQL 14+) adds STREAMED in-progress
+    // transactions (larger-than-memory txns ship before commit) — the
+    // engine requests streaming when this is 2
+    protoVersion: Int = 1) {
 
   def validate(): this.type = {
     def bad(msg: String) = throw new IllegalArgumentException(
@@ -115,6 +120,10 @@ final case class SlotConfig(
     if (idleSlotIntervalMs <= 0) bad("idle slot interval must be positive")
     if (slotBusyRetryLimit < 1) bad("slot-busy retry limit must be >= 1")
     if (slotBusyRetrySleepMs < 0) bad("slot-busy retry sleep must be >= 0")
+    if (protoVersion < 1 || protoVersion > 2)
+      bad(s"proto version $protoVersion not one of 1, 2")
+    if (protoVersion != 1 && outputPlugin != "pgoutput")
+      bad("proto version applies to the pgoutput plugin only")
     this
   }
 
@@ -123,7 +132,8 @@ final case class SlotConfig(
     * proto_version + publication_names (public protocol surface). */
   def slotOptions: Map[String, String] =
     if (outputPlugin == "pgoutput")
-      Map("proto_version" -> "1",
-        "publication_names" -> publication.getOrElse(slotName))
+      Map("proto_version" -> protoVersion.toString,
+        "publication_names" -> publication.getOrElse(slotName)) ++
+        (if (protoVersion >= 2) Map("streaming" -> "on") else Map.empty)
     else Map("include-xids" -> includeXids.toString)
 }

@@ -29,7 +29,8 @@ import graft.streaming.{CdcPipeline, TableTarget}
  *    past an undelivered commit.
  */
 final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
-                         plugin: String = "wal2json") {
+                         plugin: String = "wal2json",
+                         protoVersion: Int = 1) {
   @volatile var nTxns: Long = initialTxns
   /** startStream attempts that fail 55006 before succeeding. */
   @volatile var busyStarts: Int = 0
@@ -61,10 +62,15 @@ final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
       FakePgServer.this.synchronized {
         require(slots.contains(slotName), s"no slot '$slotName'")
         // the plugin's options must reach START_REPLICATION
-        if (plugin == "pgoutput")
-          require(slotOptions.get("proto_version").contains("1") &&
+        if (plugin == "pgoutput") {
+          require(slotOptions.get("proto_version")
+              .contains(protoVersion.toString) &&
             slotOptions.contains("publication_names"),
             "pgoutput needs proto_version + publication_names")
+          if (protoVersion >= 2)
+            require(slotOptions.get("streaming").contains("on"),
+              "protocol v2 sessions must request streaming")
+        }
         else require(slotOptions.contains("include-xids"),
           "the wal2json options must reach START_REPLICATION")
         if (busyStarts > 0) {
@@ -89,10 +95,60 @@ final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
     private var flushed: Long = -1L
     private var closed = false
 
-    /** pgoutput mode: queued binary messages of the in-flight txn. */
-    private val msgQueue = scala.collection.mutable.Queue.empty[Array[Byte]]
-    private var pendingCommitLsn = -1L
+    /** pgoutput mode: queued binary messages of in-flight txns, paired
+      * with the receive-LSN the stream reaches once each is handed out
+      * (-1 = position unchanged) — receipt-driven like pgjdbc. */
+    private val msgQueue =
+      scala.collection.mutable.Queue.empty[(Array[Byte], Long)]
     private var lastEra: Option[graft.gen.PgoutputGen.Era] = None
+
+    /** v1: one whole txn at commit. v2: a PAIR of concurrent transactions
+      * as protocol-v2 streamed segments, interleaved segment-by-segment
+      * (the wire pattern streaming exists for), Stream Commits in commit
+      * order — falling back to a single streamed txn at the tail or when
+      * the pair straddles a schema era (DDL takes an exclusive lock;
+      * concurrent txns cannot observe different schemas). */
+    private def enqueueNextTxns(): Unit = {
+      import graft.gen.PgoutputGen
+      if (protoVersion >= 2) {
+        val t1 = ChangeStreamGen.txn(genCfg, cursor); cursor += 1
+        val e1 = PgoutputGen.era(genCfg, t1.lsn)
+        val t2opt =
+          if (cursor < nTxns) {
+            val t2 = ChangeStreamGen.txn(genCfg, cursor)
+            if (PgoutputGen.era(genCfg, t2.lsn) == e1) {
+              cursor += 1; Some(t2)
+            } else None
+          } else None
+        val (seg1, commit1, e1b) =
+          PgoutputGen.streamedTxnMessages(genCfg, t1, lastEra, 1)
+        t2opt match {
+          case Some(t2) =>
+            val (seg2, commit2, e2) =
+              PgoutputGen.streamedTxnMessages(genCfg, t2, Some(e1b), 1)
+            lastEra = Some(e2)
+            seg1.zipAll(seg2, Seq.empty[Array[Byte]], Seq.empty[Array[Byte]])
+              .foreach { case (a, b) =>
+                a.foreach(m => msgQueue += ((m, -1L)))
+                b.foreach(m => msgQueue += ((m, -1L)))
+              }
+            msgQueue += ((commit1, t1.lsn))
+            msgQueue += ((commit2, t2.lsn))
+          case None =>
+            lastEra = Some(e1b)
+            seg1.foreach(_.foreach(m => msgQueue += ((m, -1L))))
+            msgQueue += ((commit1, t1.lsn))
+        }
+      } else {
+        val t = ChangeStreamGen.txn(genCfg, cursor); cursor += 1
+        val (msgs, e) = PgoutputGen.txnMessages(genCfg, t, lastEra)
+        lastEra = Some(e)
+        // receipt-driven: the stream position reaches the commit LSN when
+        // the txn's LAST message (Commit) is handed out, not before
+        msgs.dropRight(1).foreach(m => msgQueue += ((m, -1L)))
+        msgQueue += ((msgs.last, t.lsn))
+      }
+    }
 
     override def readPending(): ByteBuffer = FakePgServer.this.synchronized {
       require(!closed, "stream closed")
@@ -107,17 +163,10 @@ final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
             lastReceive = math.max(lastReceive, nTxns + keepalivePadding)
             return null
           }
-          val t = ChangeStreamGen.txn(genCfg, cursor)
-          cursor += 1
-          val (msgs, e) = graft.gen.PgoutputGen.txnMessages(genCfg, t, lastEra)
-          lastEra = Some(e)
-          msgQueue ++= msgs
-          pendingCommitLsn = t.lsn
+          enqueueNextTxns()
         }
-        val m = msgQueue.dequeue()
-        // receipt-driven: the stream position reaches the commit LSN when
-        // the txn's LAST message (Commit) is handed out, not before
-        if (msgQueue.isEmpty) lastReceive = pendingCommitLsn
+        val (m, lsnAfter) = msgQueue.dequeue()
+        if (lsnAfter >= 0) lastReceive = math.max(lastReceive, lsnAfter)
         ByteBuffer.wrap(m)
       } else if (cursor >= nTxns) {
         // keepalive: the server's sent-WAL position covers only WAL this

@@ -166,6 +166,226 @@ class PgoutputSpec extends SparkSpec {
       === CdcPipeline.FailureKind.DataError)
   }
 
+  // ------------------------------------------ protocol v2: streamed txns
+
+  test("v2 codec: stream messages and xid-prefixed streamed content roundtrip") {
+    val msgs: Seq[Message] = Seq(
+      StreamStart(3000000005L, firstSegment = true),
+      StreamStart(7L, firstSegment = false),
+      StreamStop,
+      StreamCommit(3000000005L, 0, 987654322L, 987654323L, 1699999999000001L),
+      StreamAbort(3000000005L, 3000000006L))
+    msgs.foreach(m => assert(Pgoutput.parse(Pgoutput.write(m)) === m, m.toString))
+    // streamed layout: content messages carry an Int32 xid after the tag,
+    // and parsing them REQUIRES the in-stream context
+    val streamed: Seq[Message] = Seq(
+      Streamed(9L, Relation(7, "public", "t", 'd'.toByte,
+        IndexedSeq(RelationColumn(1, "id", 23, -1)))),
+      Streamed(4000000000L, Insert(7, IndexedSeq(TextValue("1")))),
+      Streamed(9L, Update(7, None, None, IndexedSeq(TextValue("2")))),
+      Streamed(9L, Delete(7, 'K', IndexedSeq(TextValue("3")))),
+      Streamed(9L, Skipped('T')))
+    streamed.foreach { m =>
+      assert(Pgoutput.parse(Pgoutput.write(m), inStream = true) === m, m.toString)
+    }
+    // the wire format is genuinely context-dependent: the same bytes
+    // OUTSIDE a stream misparse (the xid shifts the whole body) — and
+    // must fail TYPED, not leak a raw buffer error
+    val ins = Pgoutput.write(Streamed(9L, Insert(7, IndexedSeq(TextValue("1")))))
+    intercept[MalformedPgoutputException] {
+      Pgoutput.parse(ins, inStream = false)
+    }
+  }
+
+  test("v2 PARITY: a streamed transaction folds into the identical line as its non-streamed render") {
+    val cfg = GenConfig(seed = 31L, nRepos = 20, pathsPerRepo = 6,
+      maxChangesPerTxn = 3, addColumnAtLsn = 80L, renameAtLsn = 140L)
+    val n = 200L
+
+    val plain = {
+      val t = new PgoutputTranscoder
+      var era: Option[PgoutputGen.Era] = None
+      (0L until n).flatMap { i =>
+        val (msgs, e) = PgoutputGen.txnMessages(cfg, ChangeStreamGen.txn(cfg, i), era)
+        era = Some(e)
+        msgs.flatMap(t.feed)
+      }
+    }
+    val streamed = {
+      val t = new PgoutputTranscoder
+      var era: Option[PgoutputGen.Era] = None
+      (0L until n).flatMap { i =>
+        val (segs, commit, e) = PgoutputGen.streamedTxnMessages(
+          cfg, ChangeStreamGen.txn(cfg, i), era, changesPerSegment = 1)
+        era = Some(e)
+        segs.flatMap(_.flatMap(t.feed)) ++ t.feed(commit)
+      }
+    }
+    assert(streamed === plain,
+      "streamed and whole-txn renders must be byte-identical lines")
+  }
+
+  test("v2: interleaved segments of concurrent transactions commit independently") {
+    val cfg = GenConfig(seed = 11L, nRepos = 8, pathsPerRepo = 3,
+      maxChangesPerTxn = 4, addColumnAtLsn = 1000L, renameAtLsn = 2000L)
+    val t0 = ChangeStreamGen.txn(cfg, 0L)
+    val t1 = ChangeStreamGen.txn(cfg, 1L)
+    val (s0, c0, e0) = PgoutputGen.streamedTxnMessages(cfg, t0, None, 1)
+    val (s1, c1, _) = PgoutputGen.streamedTxnMessages(cfg, t1, Some(e0), 1)
+
+    val tr = new PgoutputTranscoder
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    s0.zipAll(s1, Seq.empty[Array[Byte]], Seq.empty[Array[Byte]]).foreach {
+      case (a, b) =>
+        a.foreach(m => lines ++= tr.feed(m))
+        b.foreach(m => lines ++= tr.feed(m))
+    }
+    lines ++= tr.feed(c0)
+    lines ++= tr.feed(c1)
+
+    val plainT = new PgoutputTranscoder
+    val expected = {
+      val (m0, e) = PgoutputGen.txnMessages(cfg, t0, None)
+      val (m1, _) = PgoutputGen.txnMessages(cfg, t1, Some(e))
+      (m0 ++ m1).flatMap(plainT.feed)
+    }
+    assert(lines.toSeq === expected,
+      "interleaving must not bleed changes across transactions")
+  }
+
+  test("v2: spools past the threshold spill to disk, commit identically, and clean up") {
+    def spoolFiles(): Set[String] =
+      new java.io.File(System.getProperty("java.io.tmpdir")).list()
+        .filter(_.startsWith("graft-stream-spool-")).toSet
+
+    val cfg = GenConfig(seed = 13L, nRepos = 10, pathsPerRepo = 4,
+      maxChangesPerTxn = 5, addColumnAtLsn = 1000L, renameAtLsn = 2000L)
+    def run(threshold: Long): Seq[String] = {
+      val t = new PgoutputTranscoder(threshold)
+      var era: Option[PgoutputGen.Era] = None
+      (0L until 30L).flatMap { i =>
+        val (segs, commit, e) = PgoutputGen.streamedTxnMessages(
+          cfg, ChangeStreamGen.txn(cfg, i), era, 1)
+        era = Some(e)
+        segs.flatMap(_.flatMap(t.feed)) ++ t.feed(commit)
+      }
+    }
+    val before = spoolFiles()
+    // 256 bytes: every txn spills (content alone is bigger)
+    assert(run(256L) === run(1L << 20),
+      "spilled and in-memory spools must render identical lines")
+    assert(spoolFiles() === before,
+      "every spill file must be deleted at (stream) commit")
+  }
+
+  test("v2: subtransaction abort is ROLLBACK TO SAVEPOINT; toplevel abort discards the txn") {
+    val rel = Relation(7, "public", "things", 'd'.toByte, IndexedSeq(
+      RelationColumn(1, "id", 23, -1), RelationColumn(0, "v", 25, -1)))
+    def ins(id: Int, v: String) =
+      Insert(7, IndexedSeq(TextValue(id.toString), TextValue(v)))
+
+    // run at both thresholds: the tiny one exercises FILE truncation
+    Seq(1L << 20, 64L).foreach { threshold =>
+      val t = new PgoutputTranscoder(threshold)
+      t.feed(Pgoutput.write(StreamStart(9L, firstSegment = true)))
+      t.feed(Pgoutput.write(Streamed(9L, rel)))
+      t.feed(Pgoutput.write(Streamed(9L, ins(1, "keep-a"))))
+      // SAVEPOINT -> subxact 10 writes, incl. a nested subxact 11
+      t.feed(Pgoutput.write(Streamed(10L, ins(2, "rollback-b"))))
+      t.feed(Pgoutput.write(Streamed(11L, ins(3, "rollback-c"))))
+      t.feed(Pgoutput.write(StreamStop))
+      t.feed(Pgoutput.write(StreamAbort(9L, 10L))) // ROLLBACK TO SAVEPOINT
+      t.feed(Pgoutput.write(StreamStart(9L, firstSegment = false)))
+      t.feed(Pgoutput.write(Streamed(9L, ins(4, "keep-d"))))
+      t.feed(Pgoutput.write(StreamStop))
+      val line = t.feed(Pgoutput.write(StreamCommit(9L, 0, 500L, 501L, 0L))).get
+      assert(line.contains("keep-a") && line.contains("keep-d"), line)
+      assert(!line.contains("rollback-b") && !line.contains("rollback-c"),
+        s"aborted subxact changes must not survive (threshold $threshold): $line")
+    }
+
+    // toplevel abort: the whole transaction vanishes; a later commit for
+    // that xid is a protocol violation
+    val t2 = new PgoutputTranscoder
+    t2.feed(Pgoutput.write(StreamStart(20L, firstSegment = true)))
+    t2.feed(Pgoutput.write(Streamed(20L, rel)))
+    t2.feed(Pgoutput.write(Streamed(20L, ins(9, "gone"))))
+    t2.feed(Pgoutput.write(StreamStop))
+    t2.feed(Pgoutput.write(StreamAbort(20L, 20L)))
+    intercept[MalformedPgoutputException] {
+      t2.feed(Pgoutput.write(StreamCommit(20L, 0, 600L, 601L, 0L)))
+    }
+  }
+
+  test("v2: stream protocol violations fail typed") {
+    val t = new PgoutputTranscoder
+    intercept[MalformedPgoutputException] { // stop without start
+      t.feed(Pgoutput.write(StreamStop))
+    }
+    intercept[MalformedPgoutputException] { // continuation of unknown txn
+      t.feed(Pgoutput.write(StreamStart(5L, firstSegment = false)))
+    }
+    t.feed(Pgoutput.write(StreamStart(5L, firstSegment = true)))
+    t.feed(Pgoutput.write(StreamStop))
+    intercept[MalformedPgoutputException] { // re-begin of an open txn
+      t.feed(Pgoutput.write(StreamStart(5L, firstSegment = true)))
+    }
+    intercept[MalformedPgoutputException] { // commit of a never-begun txn
+      t.feed(Pgoutput.write(StreamCommit(99L, 0, 1L, 2L, 0L)))
+    }
+    intercept[MalformedPgoutputException] { // abort of a never-begun txn
+      t.feed(Pgoutput.write(StreamAbort(99L, 99L)))
+    }
+    val t3 = new PgoutputTranscoder
+    t3.feed(Pgoutput.write(Begin(1L, 0L, 1L)))
+    intercept[MalformedPgoutputException] { // stream start inside a txn
+      t3.feed(Pgoutput.write(StreamStart(5L, firstSegment = true)))
+    }
+  }
+
+  test("v2 slot options request streaming; v2 outside pgoutput is rejected") {
+    val s = SlotConfig("graft_slot", outputPlugin = "pgoutput", protoVersion = 2)
+    s.validate()
+    assert(s.slotOptions === Map("proto_version" -> "2",
+      "publication_names" -> "graft_slot", "streaming" -> "on"))
+    intercept[IllegalArgumentException] {
+      SlotConfig("s1", outputPlugin = "wal2json", protoVersion = 2).validate()
+    }
+    intercept[IllegalArgumentException] {
+      SlotConfig("s1", outputPlugin = "pgoutput", protoVersion = 3).validate()
+    }
+  }
+
+  test("live v2 STREAMED ingest through the JDBC binding == wal2json oracle") {
+    val genCfg = GenConfig(seed = 23L, nRepos = 10, pathsPerRepo = 4,
+      maxChangesPerTxn = 3, addColumnAtLsn = 60L, renameAtLsn = 100L)
+    val nTxns = 150L
+    val conn = ConnectionConfig(host = "db.example.org", database = "graft",
+      username = "replicator", password = "s3cret")
+    val slot = SlotConfig("graft_slot_v2", outputPlugin = "pgoutput",
+      protoVersion = 2, slotBusyRetrySleepMs = 0L, idleSlotIntervalMs = 1000L)
+
+    // the fake server interleaves segment PAIRS of concurrent streamed
+    // txns — the wire pattern protocol v2 exists for
+    val server = new FakePgServer(genCfg, nTxns, plugin = "pgoutput",
+      protoVersion = 2)
+    val walDir = tmpDir("pgout2-wal")
+    val ingest = new ReplicationIngest(
+      new JdbcReplicationConnector(conn, slot, () => server.shim()),
+      walDir, spark.sessionState.newHadoopConf(), slot, flushChunks = 40L)
+    ingest.start()
+    val stats = ingest.pump()
+    ingest.close()
+    assert(stats.chunks === nTxns, "one staged line per committed txn")
+    assert(server.confirmedFlushLsn("graft_slot_v2") === nTxns)
+
+    val staged = graft.sources.WalSource.listSegments(walDir)
+      .flatMap(s => scala.io.Source.fromFile(s"$walDir/$s").getLines())
+    val viaWal2json = (0L until nTxns).map(i =>
+      ChangeStreamGen.renderLine(genCfg, ChangeStreamGen.txn(genCfg, i)))
+    assert(decodedRows(staged) === decodedRows(viaWal2json))
+  }
+
   test("live pgoutput ingest through the JDBC binding == wal2json oracle state") {
     val genCfg = GenConfig(seed = 17L, nRepos = 10, pathsPerRepo = 4,
       maxChangesPerTxn = 3, addColumnAtLsn = 60L, renameAtLsn = 100L)
