@@ -98,13 +98,26 @@ final class SyntheticReplicationServer(genCfg: GenConfig, initialTxns: Long) {
 
   def connect(conn: ConnectionConfig, slot: SlotConfig): ReplicationConnector = {
     conn.validate(); slot.validate()
-    new Connector(slot.slotName)
+    new Connector(slot)
   }
 
-  private final class Connector(slotName: String) extends ReplicationConnector {
+  private final class Connector(slot: SlotConfig) extends ReplicationConnector {
+    private val slotName = slot.slotName
     private var open = false
     /** next txn id to deliver on this stream. */
     private var cursor: Long = _
+
+    /** With `--plugin pgoutput` the synthetic server HONORS the plugin:
+      * each txn is rendered as its binary pgoutput message sequence
+      * (protocol v2 streams it segment-wise when requested) and folded
+      * through the real [[graft.decode.PgoutputTranscoder]] — the same
+      * code path a live binary stream takes, not a silent wal2json
+      * fallback. */
+    private val transcoder: Option[graft.decode.PgoutputTranscoder] =
+      if (slot.outputPlugin == "pgoutput")
+        Some(new graft.decode.PgoutputTranscoder)
+      else None
+    private var lastEra: Option[graft.gen.PgoutputGen.Era] = None
 
     override def createSlotIfAbsent(): Boolean =
       SyntheticReplicationServer.this.synchronized {
@@ -139,7 +152,28 @@ final class SyntheticReplicationServer(genCfg: GenConfig, initialTxns: Long) {
         else {
           val t = ChangeStreamGen.txn(genCfg, cursor)
           cursor += 1
-          Some(WalChunk(t.lsn, ChangeStreamGen.renderLine(genCfg, t)))
+          val line = transcoder match {
+            case Some(tr) =>
+              import graft.gen.PgoutputGen
+              val msgs =
+                if (slot.protoVersion >= 2) {
+                  val (segs, commit, e) =
+                    PgoutputGen.streamedTxnMessages(genCfg, t, lastEra, 2)
+                  lastEra = Some(e)
+                  segs.flatten :+ commit
+                } else {
+                  val (m, e) = PgoutputGen.txnMessages(genCfg, t, lastEra)
+                  lastEra = Some(e)
+                  m
+                }
+              msgs.flatMap(tr.feed) match {
+                case Seq(l) => l
+                case other => throw new IllegalStateException(
+                  s"txn must fold into exactly one line, got ${other.size}")
+              }
+            case None => ChangeStreamGen.renderLine(genCfg, t)
+          }
+          Some(WalChunk(t.lsn, line))
         }
       }
 
@@ -165,6 +199,7 @@ final class SyntheticReplicationServer(genCfg: GenConfig, initialTxns: Long) {
 
     override def close(): Unit =
       SyntheticReplicationServer.this.synchronized {
+        transcoder.foreach(t => try t.close() catch { case _: Exception => () })
         if (open) { inUse -= slotName; open = false }
       }
   }

@@ -117,6 +117,24 @@ class ReplicationSpec extends SparkSpec {
     assert(applyStaged(walDir) === expected)
   }
 
+  test("synthetic endpoint honors --plugin pgoutput at protocol v2: streamed binary -> same final state") {
+    // the same formula stream served as protocol-v2 STREAMED pgoutput
+    // segments, folded through the real transcoder server-side — the
+    // plugin is exercised, not silently swapped for wal2json lines
+    val slotV2 = SlotConfig("graft_slot", outputPlugin = "pgoutput",
+      protoVersion = 2, slotBusyRetrySleepMs = 0L, idleSlotIntervalMs = 1000L)
+    val server = new SyntheticReplicationServer(genCfg, nTxns)
+    val walDir = tmpDir("repl-wal-pgout2")
+    val ingest = new ReplicationIngest(server.connect(conn, slotV2), walDir,
+      hconf, slotV2, flushChunks = 90L)
+    ingest.start()
+    val stats = ingest.pump()
+    ingest.close()
+    assert(stats.chunks === nTxns)
+    assert(server.confirmedFlushLsn("graft_slot") === nTxns)
+    assert(applyStaged(walDir) === expected)
+  }
+
   test("crash between publish and ack redelivers a suffix; end state stays exactly-once") {
     val server = new SyntheticReplicationServer(genCfg, nTxns)
     val walDir = tmpDir("repl-wal")
