@@ -78,7 +78,7 @@ object Main {
       "limit" -> (false, "rows to print (default 20)")),
     "stage" -> Map(
       "wal-dir" -> (true, "staging directory to publish WAL segments into"),
-      "txns" -> (true, "synthetic-server transactions to stream (ignored with --endpoint jdbc)"),
+      "txns" -> (false, "synthetic-server transactions to stream (required with --endpoint synthetic; meaningless with jdbc)"),
       "endpoint" -> (false, "synthetic|jdbc: jdbc binds to a live PostgreSQL via pgjdbc (driver jar required on the classpath; default synthetic)"),
       "host" -> (false, "server host (default localhost)"),
       "port" -> (false, "server port (default 5432)"),
@@ -185,11 +185,15 @@ object Main {
       .validate()
     val connector = kv.getOrElse("endpoint", "synthetic") match {
       case "jdbc" =>
+        if (kv.contains("txns") || kv.contains("seed"))
+          throw new IllegalArgumentException(
+            "--txns/--seed apply to --endpoint synthetic only")
         // the live pgjdbc binding (reflection-bound; fails fast without
         // the driver jar) — the reference's PostgresConnector run mode
         new JdbcReplicationConnector(conn, slot, () => new PgjdbcShim(conn))
       case "synthetic" =>
-        val nTxns = kv("txns").toLong
+        val nTxns = kv.getOrElse("txns", throw new IllegalArgumentException(
+          "--txns is required with --endpoint synthetic")).toLong
         new SyntheticReplicationServer(
           GenConfig(seed = kv.getOrElse("seed", "42").toLong), nTxns)
           .connect(conn, slot)

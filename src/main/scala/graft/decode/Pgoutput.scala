@@ -407,13 +407,21 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
   def feed(bytes: Array[Byte]): Option[String] =
     Pgoutput.parse(bytes, inStream = streamXid.isDefined) match {
       case Begin(_, _, x) =>
+        // a Begin with a txn already open means its Commit was lost — the
+        // buffered changes would vanish silently if we just clear()ed
+        if (inTxn) fail(s"Begin $x inside an open transaction $xid")
+        if (streamXid.isDefined) fail(s"Begin $x inside an open stream segment")
         xid = x; inTxn = true; changes.clear(); None
       case r: Relation =>
         relations(r.relationId) = r; None
       case m @ (_: Insert | _: Update | _: Delete) =>
+        // a lost/reordered Begin must not silently drop changes into a
+        // stale buffer the next Begin clears
+        if (!inTxn) fail("DML outside a transaction")
         appendChange(renderDml(m)); None
       case Commit(_, commitLsn, _, _) =>
         if (!inTxn) fail("Commit outside a transaction")
+        if (streamXid.isDefined) fail("Commit inside an open stream segment")
         inTxn = false
         Some(s"""{"lsn":$commitLsn,"xid":$xid,"change":[$changes]}""")
       case Skipped(_) => None
@@ -421,6 +429,10 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
       // ------------------------------------- protocol v2 streamed txns
       case StreamStart(x, first) =>
         if (inTxn) fail("Stream Start inside a non-streamed transaction")
+        // a lost Stream Stop must fail loudly, not silently re-bucket the
+        // following changes under the new segment's txn
+        if (streamXid.isDefined) fail(
+          s"Stream Start for $x inside the open segment of txn ${streamXid.get}")
         if (first && spools.contains(x))
           fail(s"Stream Start first_segment=1 for already-open txn $x")
         if (!first && !spools.contains(x))
@@ -440,12 +452,14 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
       case Streamed(_, other) => fail(s"unexpected streamed message $other")
       case StreamAbort(x, sub) =>
         if (streamXid.isDefined) fail("Stream Abort inside an open segment")
+        if (inTxn) fail("Stream Abort inside a non-streamed transaction")
         val spool = spools.getOrElse(x, fail(s"Stream Abort for unknown txn $x"))
         if (sub == x) { spool.close(); spools.remove(x); () }
         else spool.truncateFrom(sub)
         None
       case StreamCommit(x, _, commitLsn, _, _) =>
         if (streamXid.isDefined) fail("Stream Commit inside an open segment")
+        if (inTxn) fail("Stream Commit inside a non-streamed transaction")
         val spool = spools.remove(x).getOrElse(
           fail(s"Stream Commit for unknown txn $x"))
         try {

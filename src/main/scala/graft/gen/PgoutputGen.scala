@@ -37,6 +37,27 @@ object PgoutputGen {
     Relation(RelationOid, "public", "repos", 'd'.toByte, cols)
   }
 
+  /** The DML message for one change (shared by the v1 and v2 renderings —
+    * the same logical stream must produce the same tuples in both). */
+  private def dmlFor(withSize: Boolean, c: ChangeStreamGen.GenChange): Message = {
+    val newTuple: IndexedSeq[TupleValue] =
+      IndexedSeq[TupleValue](TextValue(c.repo), TextValue(c.path),
+        TextValue(c.commit), TextValue(c.lang), TextValue(c.content)) ++
+        (if (withSize) IndexedSeq[TupleValue](TextValue(c.sizeBytes.toString))
+         else IndexedSeq.empty[TupleValue])
+    // 'K' tuple: replica-identity columns populated, the rest null
+    val keyTuple: IndexedSeq[TupleValue] =
+      IndexedSeq[TupleValue](TextValue(c.repo), TextValue(c.path),
+        NullValue, NullValue, NullValue) ++
+        (if (withSize) IndexedSeq[TupleValue](NullValue)
+         else IndexedSeq.empty[TupleValue])
+    c.kind match {
+      case "insert" => Insert(RelationOid, newTuple)
+      case "update" => Update(RelationOid, Some('K'), Some(keyTuple), newTuple)
+      case "delete" => Delete(RelationOid, 'K', keyTuple)
+    }
+  }
+
   /**
    * Binary messages for one transaction: Begin, [Relation when the era
    * differs from `lastEra` — None at stream start always emits], one DML
@@ -46,28 +67,10 @@ object PgoutputGen {
   def txnMessages(cfg: GenConfig, t: ChangeStreamGen.GenTxn,
                   lastEra: Option[Era]): (Seq[Array[Byte]], Era) = {
     val e = era(cfg, t.lsn)
-    val withSize = e._2
     val msgs = scala.collection.mutable.ArrayBuffer.empty[Message]
     msgs += Begin(t.lsn, 1234567L, t.xid)
     if (!lastEra.contains(e)) msgs += relationFor(cfg, t.lsn)
-    t.changes.foreach { c =>
-      val newTuple: IndexedSeq[TupleValue] =
-        IndexedSeq[TupleValue](TextValue(c.repo), TextValue(c.path),
-          TextValue(c.commit), TextValue(c.lang), TextValue(c.content)) ++
-          (if (withSize) IndexedSeq[TupleValue](TextValue(c.sizeBytes.toString))
-           else IndexedSeq.empty[TupleValue])
-      // 'K' tuple: replica-identity columns populated, the rest null
-      val keyTuple: IndexedSeq[TupleValue] =
-        IndexedSeq[TupleValue](TextValue(c.repo), TextValue(c.path),
-          NullValue, NullValue, NullValue) ++
-          (if (withSize) IndexedSeq[TupleValue](NullValue)
-           else IndexedSeq.empty[TupleValue])
-      msgs += (c.kind match {
-        case "insert" => Insert(RelationOid, newTuple)
-        case "update" => Update(RelationOid, Some('K'), Some(keyTuple), newTuple)
-        case "delete" => Delete(RelationOid, 'K', keyTuple)
-      })
-    }
+    t.changes.foreach(c => msgs += dmlFor(e._2, c))
     msgs += Commit(0, t.lsn, t.lsn + 1, 1234567L)
     (msgs.map(Pgoutput.write).toSeq, e)
   }
@@ -85,24 +88,7 @@ object PgoutputGen {
                           lastEra: Option[Era], changesPerSegment: Int):
       (Seq[Seq[Array[Byte]]], Array[Byte], Era) = {
     val e = era(cfg, t.lsn)
-    val withSize = e._2
-    val dml: Seq[Message] = t.changes.map { c =>
-      val newTuple: IndexedSeq[TupleValue] =
-        IndexedSeq[TupleValue](TextValue(c.repo), TextValue(c.path),
-          TextValue(c.commit), TextValue(c.lang), TextValue(c.content)) ++
-          (if (withSize) IndexedSeq[TupleValue](TextValue(c.sizeBytes.toString))
-           else IndexedSeq.empty[TupleValue])
-      val keyTuple: IndexedSeq[TupleValue] =
-        IndexedSeq[TupleValue](TextValue(c.repo), TextValue(c.path),
-          NullValue, NullValue, NullValue) ++
-          (if (withSize) IndexedSeq[TupleValue](NullValue)
-           else IndexedSeq.empty[TupleValue])
-      c.kind match {
-        case "insert" => Insert(RelationOid, newTuple)
-        case "update" => Update(RelationOid, Some('K'), Some(keyTuple), newTuple)
-        case "delete" => Delete(RelationOid, 'K', keyTuple)
-      }
-    }
+    val dml: Seq[Message] = t.changes.map(dmlFor(e._2, _))
     val groups =
       if (dml.isEmpty) Seq(Seq.empty[Message])
       else dml.grouped(changesPerSegment.max(1)).toSeq

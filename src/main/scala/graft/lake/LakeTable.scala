@@ -114,23 +114,13 @@ final case class Snapshot(
   /** Every bucket with any per-bucket state to persist. */
   def manifestBuckets: Set[Int] =
     dataBuckets ++ bucketWatermarks.keySet ++ bucketLineage.keySet
-  /** The per-bucket slice a manifest stores — manifests are reused across
-    * commits exactly when this value is unchanged. */
-  def bucketSlice(b: Int): BucketManifest = {
-    val files = bucketFiles.getOrElse(b, Nil)
-    val deltas = bucketDeltas.getOrElse(b, Nil)
-    val inBucket = (files ++ deltas).toSet
-    BucketManifest(files, deltas,
-      bucketWatermarks.get(b), bucketLineage.getOrElse(b, Map.empty),
-      fileStats.view.filterKeys(inBucket).toMap,
-      fileBytes.view.filterKeys(inBucket).toMap)
-  }
-
-  /** ALL slices in ONE pass over the file maps. [[bucketSlice]] filters
-    * the full O(files) stats maps per call, so slicing every bucket that
-    * way is O(buckets x files) of pure metadata CPU — measured ~3 s PER
-    * COMMIT at 50k files / 512 buckets (MetaBench); this builds the same
-    * slices in O(files). The commit path's manifest reuse diff uses it. */
+  /** The per-bucket slices manifests store, ALL in ONE pass over the file
+    * maps — manifests are reused across commits exactly when a bucket's
+    * slice is unchanged. (A per-bucket slicer filtering the full O(files)
+    * stats maps per call is O(buckets x files) of pure metadata CPU —
+    * measured ~3 s PER COMMIT at 50k files / 512 buckets before this
+    * replaced it, MetaBench; anything needing even one slice should take
+    * it from here so that trap cannot be re-entered.) */
   def bucketSlices: Map[Int, BucketManifest] = {
     val fileToBucket = scala.collection.mutable.HashMap.empty[String, Int]
     bucketFiles.foreach { case (b, fs) => fs.foreach(f => fileToBucket(f) = b) }
@@ -159,7 +149,7 @@ final case class Snapshot(
   }
 }
 
-/** One bucket's persisted metadata slice (see [[Snapshot.bucketSlice]]). */
+/** One bucket's persisted metadata slice (see [[Snapshot.bucketSlices]]). */
 final case class BucketManifest(
     files: Seq[String],
     deltas: Seq[String],
@@ -384,7 +374,10 @@ class LakeTable(val spark: SparkSession, val root: String,
       val out = fs.create(p, false)
       try {
         out.write(content.getBytes(StandardCharsets.UTF_8))
-        out.hsync()
+        // object-store connectors without sync support (GCS, pre-3.3.1
+        // S3A) must not fail every manifest write: PUT-on-close is their
+        // durability barrier
+        try out.hsync() catch { case _: UnsupportedOperationException => () }
       } finally out.close()
     }
   }
@@ -479,30 +472,66 @@ class LakeTable(val spark: SparkSession, val root: String,
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => throw conflict()
           case e: java.io.IOException => guardExisting(e)
         }
+      // After a mid-write failure: decide from the target's ACTUAL state
+      // whose bytes (if any) landed. A claim-at-create FileSystem (the
+      // local double, RawLocalFileSystem overrides) can leave OUR torn
+      // bytes at the target; a condition-at-close store (real S3/GCS
+      // conditional PUT) leaves either nothing, our completed PUT, or a
+      // CONCURRENT committer's object — which we must never delete (their
+      // commit succeeded; unconditionally deleting here would silently
+      // revert the table under them). Our content is known, and a torn
+      // write of ours is a strict PREFIX of it (sequential writes; a
+      // prefix of snapshot JSON is truncated, so no other committer's
+      // COMPLETE snapshot can be one) — that prefix test is the
+      // discriminator.
+      def resolveFailedPut(e: Throwable): Nothing = {
+        val existing =
+          try {
+            if (!fs.exists(target)) None
+            else {
+              val in = fs.open(target)
+              try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+              finally in.close()
+            }
+          } catch { case _: Exception => throw e } // target unreadable:
+            // propagate the original failure; the retry re-enters the
+            // create/guard path which re-classifies
+        existing match {
+          case None => throw e
+          case Some(s) if s == content => throw Won // our PUT completed
+          case Some(s) if content.startsWith(s) =>
+            // our torn bytes: release the name so a torn object cannot
+            // become the latest snapshot, then surface the failure
+            try { fs.delete(target, false); () } catch { case _: Exception => () }
+            throw e
+          case Some(_) => throw conflict() // a concurrent committer's
+            // COMMITTED snapshot — leave it untouched
+        }
+      }
       var ok = false
       try {
         out.write(content.getBytes(StandardCharsets.UTF_8))
-        out.hsync()
+        // PUT-on-close is the durability barrier on real object stores;
+        // hsync is extra safety where supported, and an
+        // UnsupportedOperationException on connectors without it (GCS,
+        // pre-3.3.1 S3A) — which must not fail every publish
+        try out.hsync() catch { case _: UnsupportedOperationException => () }
         ok = true
         out.close() // conditional PUT evaluated here on real object stores
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException if ok => throw conflict()
         case e: java.io.IOException if ok => guardExisting(e)
         case e: Throwable =>
-          // ABORT the upload, never close() it: close completes the
-          // conditional PUT, so a failed publish could still materialize
-          // the snapshot — torn content would wedge every later read, and
-          // full content would commit while commit() reports failure.
+          // ABORT the upload where the stream supports it, so nothing
+          // materializes; streams without Abortable semantics fall back to
+          // close() — which may COMPLETE the conditional PUT — and the
+          // read-back below classifies whatever actually landed
           try { out.abort(); () }
           catch {
             case _: Throwable =>
               try out.close() catch { case _: Exception => () }
           }
-          // our create claimed the target name (no concurrent writer can
-          // hold it); release the claim so a torn/empty object cannot
-          // become the latest snapshot and a retry can re-attempt
-          try { fs.delete(target, false); () } catch { case _: Exception => () }
-          throw e
+          resolveFailedPut(e)
       }
     } catch { case Won => () }
   }

@@ -70,20 +70,19 @@ object CdcQueries {
        |  CASE WHEN $kindSql = 'delete' THEN NULL ELSE value END AS val
        |FROM events ORDER BY lsn""".stripMargin
 
-  /** O4 through the SECOND plugin grammar: each event rendered as its
-    * transaction's pgoutput BINARY message sequence (Begin / Relation /
-    * Insert|Update|Delete / Commit — one txn per event, Relation re-sent
-    * per txn, which pgoutput permits), transcoded to the wal2json-parity
-    * line, then decoded by the SAME ChangeDecoder and projected exactly
-    * like [[decodeRoundtrip]] — so the DuckDB oracle is IDENTICAL: the
-    * driver-verified half of the plugin-parity story (PgoutputSpec pins
-    * the grammar level). Distributed: each partition transcodes its own
-    * rows; no driver-side loop. */
-  def decodePgoutput(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared body of the pgoutput decode queries: each event rendered as
+    * its transaction's pgoutput BINARY message sequence (`frame` decides
+    * the protocol — v1 whole-txn vs v2 streamed), transcoded to the
+    * wal2json-parity line, then decoded by the SAME ChangeDecoder and
+    * projected exactly like [[decodeRoundtrip]] — so the DuckDB oracle is
+    * IDENTICAL for all three decode queries. Distributed: each partition
+    * transcodes its own rows; no driver-side loop. */
+  private def decodeViaPgoutput(spark: SparkSession, dir: String, relOid: Int)(
+      frame: (Long, graft.decode.Pgoutput.Relation, graft.decode.Pgoutput.Message,
+              Long) => Seq[graft.decode.Pgoutput.Message]): DataFrame = {
     import spark.implicits._
     import graft.decode.Pgoutput
     import graft.decode.Pgoutput._
-    val relOid = 777
     val lines = events(spark, dir)
       .withColumn("kind", kindCol)
       .withColumn("tbl", tblCol)
@@ -104,8 +103,7 @@ object CdcQueries {
             case _ => Update(relOid, Some('K'), Some(keyT), newT)
           }
           val t = new graft.decode.PgoutputTranscoder
-          Seq(Begin(lsn, 0L, lsn + 3000000000L), rel, dml,
-            Commit(0, lsn, lsn + 1, 0L))
+          frame(lsn + 3000000000L, rel, dml, lsn)
             .flatMap(m => t.feed(Pgoutput.write(m))).head
         }
       }.toDF("value")
@@ -118,53 +116,28 @@ object CdcQueries {
       .orderBy("lsn")
   }
 
+  /** O4 through the SECOND plugin grammar (one whole txn per event,
+    * Relation re-sent per txn, which pgoutput permits) — the
+    * driver-verified half of the plugin-parity story (PgoutputSpec pins
+    * the grammar level). */
+  def decodePgoutput(spark: SparkSession, dir: String): DataFrame =
+    decodeViaPgoutput(spark, dir, relOid = 777) { (xid, rel, dml, lsn) =>
+      import graft.decode.Pgoutput._
+      Seq(Begin(lsn, 0L, xid), rel, dml, Commit(0, lsn, lsn + 1, 0L))
+    }
+
   /** O4 through pgoutput PROTOCOL V2: each transaction shipped as a
     * STREAMED in-progress txn (Stream Start / xid-prefixed Relation+DML /
     * Stream Stop / Stream Commit — PostgreSQL 14+ larger-than-memory txn
-    * streaming), transcoded and decoded identically to
-    * [[decodePgoutput]], so the DuckDB oracle is again IDENTICAL — the
-    * driver-verified half of the v2 parity story (PgoutputSpec pins the
-    * interleaving/abort/spill semantics). */
-  def decodePgoutputStreamed(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import graft.decode.Pgoutput
-    import graft.decode.Pgoutput._
-    val relOid = 778
-    val lines = events(spark, dir)
-      .withColumn("kind", kindCol)
-      .withColumn("tbl", tblCol)
-      .select(col("event_id"), col("kind"), col("tbl"), col("user_id"),
-        col("value").cast("string"))
-      .as[(Long, String, String, Long, String)]
-      .mapPartitions { it =>
-        it.map { case (lsn, kind, tbl, uid, v) =>
-          val xid = lsn + 3000000000L
-          val rel = Relation(relOid, "public", tbl, 'd'.toByte, IndexedSeq(
-            RelationColumn(1, "user_id", 20, -1),
-            RelationColumn(0, "value", 701, -1)))
-          val vVal: TupleValue = if (v == null) NullValue else TextValue(v)
-          val newT = IndexedSeq[TupleValue](TextValue(uid.toString), vVal)
-          val keyT = IndexedSeq[TupleValue](TextValue(uid.toString), NullValue)
-          val dml = kind match {
-            case "insert" => Insert(relOid, newT)
-            case "delete" => Delete(relOid, 'K', keyT)
-            case _ => Update(relOid, Some('K'), Some(keyT), newT)
-          }
-          val t = new graft.decode.PgoutputTranscoder
-          Seq(StreamStart(xid, firstSegment = true),
-            Streamed(xid, rel), Streamed(xid, dml), StreamStop,
-            StreamCommit(xid, 0, lsn, lsn + 1, 0L))
-            .flatMap(m => t.feed(Pgoutput.write(m))).head
-        }
-      }.toDF("value")
-    ChangeDecoder.decode(lines)
-      .select(
-        col("lsn"), col("xid"), col("kind"), col("table").as("tbl"),
-        ChangeDecoder.keyValue("user_id").cast("long").as("key"),
-        when(col("kind") =!= "delete",
-          ChangeDecoder.columnValue("value").cast("double")).as("val"))
-      .orderBy("lsn")
-  }
+    * streaming) — the driver-verified half of the v2 parity story
+    * (PgoutputSpec pins the interleaving/abort/spill semantics). */
+  def decodePgoutputStreamed(spark: SparkSession, dir: String): DataFrame =
+    decodeViaPgoutput(spark, dir, relOid = 778) { (xid, rel, dml, lsn) =>
+      import graft.decode.Pgoutput._
+      Seq(StreamStart(xid, firstSegment = true),
+        Streamed(xid, rel), Streamed(xid, dml), StreamStop,
+        StreamCommit(xid, 0, lsn, lsn + 1, 0L))
+    }
 
   /** O5: relevant-table predicate inside the decoder. */
   def tableFilter(spark: SparkSession, dir: String): DataFrame =

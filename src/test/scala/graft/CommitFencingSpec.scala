@@ -83,6 +83,87 @@ class LwwObjectStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   }
 }
 
+/** Condition-at-CLOSE object-store double — REAL S3/GCS conditional-PUT
+  * semantics, where the LWW double above is too kind: create(overwrite =
+  * false) holds NO claim (the object materializes all-or-nothing at
+  * close(), where the If-None-Match condition is evaluated), hsync/hflush
+  * throw UnsupportedOperationException (GCS, pre-3.3.1 S3A), and the
+  * stream is not Abortable (abort() falls back to close(), which COMPLETES
+  * the PUT with whatever was buffered). A concurrent committer can
+  * therefore land the target BETWEEN our create() and our failure — the
+  * failure path must never delete that committed object. */
+class CondAtCloseObjectStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftcac:///")
+  override def getScheme: String = "graftcac"
+
+  /** Fault injection: runs once on the next conditional-create stream's
+    * first write (e.g. to land a concurrent committer's object), then the
+    * write fails. */
+  @volatile var onWrite: () => Unit = null
+  /** Fault injection: the next hsync throws a GENERIC IOException (instead
+    * of the usual UnsupportedOperationException) — a failure AFTER the
+    * full content was buffered. */
+  @volatile var failNextSync: Boolean = false
+
+  private class PutOnClose(local: java.nio.file.Path)
+      extends java.io.OutputStream with org.apache.hadoop.fs.Syncable {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var closed = false
+    private def maybeFail(): Unit = {
+      val h = onWrite
+      if (h != null) {
+        onWrite = null
+        h()
+        throw new java.io.IOException("injected write failure")
+      }
+    }
+    override def write(b: Int): Unit = { maybeFail(); buf.write(b) }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      maybeFail(); buf.write(b, off, len)
+    }
+    override def hflush(): Unit =
+      throw new UnsupportedOperationException("hflush not supported")
+    override def hsync(): Unit =
+      if (failNextSync) {
+        failNextSync = false
+        throw new java.io.IOException("injected sync failure")
+      } else throw new UnsupportedOperationException("hsync not supported")
+    override def close(): Unit = {
+      if (closed) return
+      closed = true
+      java.nio.file.Files.createDirectories(local.getParent)
+      try {
+        java.nio.file.Files.write(local, buf.toByteArray,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        ()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(local.toString)
+      }
+    }
+  }
+
+  private def putOnClose(f: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FSDataOutputStream =
+    new org.apache.hadoop.fs.FSDataOutputStream(
+      new PutOnClose(pathToFile(f).toPath), null)
+
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream =
+    if (!overwrite) putOnClose(f)
+    else super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream =
+    if (!overwrite) putOnClose(f)
+    else super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+}
+
 class CommitFencingSpec extends SparkSpec {
 
   private val schema = StructType(Seq(StructField("id", IntegerType)))
@@ -219,6 +300,74 @@ class CommitFencingSpec extends SparkSpec {
     val again = t.commit(base.copy(lineage = Map("writer" -> 2L)), base.snapshotId)
     assert(again.snapshotId === base.snapshotId + 1)
     assert(t.currentSnapshot.get.lineage("writer") === 2L)
+  }
+
+  private def condAtCloseFs(): CondAtCloseObjectStoreFileSystem = {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.graftcac.impl", classOf[CondAtCloseObjectStoreFileSystem].getName)
+    spark.conf.set("spark.hadoop.graft.lake.fencing.graftcac", "conditional-put")
+    new org.apache.hadoop.fs.Path("graftcac:/x")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .asInstanceOf[CondAtCloseObjectStoreFileSystem]
+  }
+
+  test("condition-at-close store: commits succeed without hsync support") {
+    // GCS / pre-3.3.1 S3A throw UnsupportedOperationException from hsync;
+    // PUT-on-close is the durability barrier there — publish must not fail
+    condAtCloseFs()
+    val t = new LakeTable(spark, s"graftcac:${tmpDir("cac")}")
+    t.create(schema, Seq("id"), 2)
+    val base = t.currentSnapshot.get
+    val next = t.commit(base.copy(lineage = Map("writer" -> 7L)), base.snapshotId)
+    assert(next.snapshotId === base.snapshotId + 1)
+    assert(t.currentSnapshot.get.lineage("writer") === 7L)
+  }
+
+  test("condition-at-close store: failure with a CONCURRENT winner never deletes the winner's snapshot") {
+    // On a real store the condition is evaluated at close(), so create()
+    // holds no claim: committer B can land the target BETWEEN A's create()
+    // and A's failure. A's cleanup must classify that as a conflict and
+    // leave B's COMMITTED object untouched — an unconditional delete here
+    // would silently revert the table under B (lost commit).
+    val fs = condAtCloseFs()
+    val root = s"graftcac:${tmpDir("cacrace")}"
+    val t = new LakeTable(spark, root)
+    t.create(schema, Seq("id"), 2)
+    val base = t.currentSnapshot.get
+    fs.onWrite = () => {
+      // committer B: a full commit through its own table handle, landing
+      // while A is mid-upload
+      val tb = new LakeTable(spark, root)
+      tb.commit(base.copy(lineage = Map("writer" -> 2L)), base.snapshotId)
+      ()
+    }
+    try {
+      intercept[CommitConflictException] {
+        t.commit(base.copy(lineage = Map("writer" -> 1L)), base.snapshotId)
+      }
+    } finally fs.onWrite = null
+    // B's snapshot survives A's failure cleanup
+    val surviving = t.currentSnapshot.get
+    assert(surviving.snapshotId === base.snapshotId + 1)
+    assert(surviving.lineage("writer") === 2L, "the concurrent winner was clobbered")
+  }
+
+  test("condition-at-close store: post-write failure whose close() completes the PUT resolves as WON") {
+    // The stream is not Abortable, so after a failure the fallback close()
+    // COMPLETES the conditional PUT with the fully-buffered content. The
+    // read-back must recognize the landed object as our own and report the
+    // commit as SUCCEEDED — not fail the caller while the snapshot
+    // materialized (a retry would then hit a false conflict).
+    val fs = condAtCloseFs()
+    val t = new LakeTable(spark, s"graftcac:${tmpDir("cacwon")}")
+    t.create(schema, Seq("id"), 2)
+    val base = t.currentSnapshot.get
+    fs.failNextSync = true
+    val next =
+      try t.commit(base.copy(lineage = Map("writer" -> 9L)), base.snapshotId)
+      finally fs.failNextSync = false
+    assert(next.snapshotId === base.snapshotId + 1)
+    assert(t.currentSnapshot.get.lineage("writer") === 9L)
   }
 
   test("object-store schemes default to conditional-put without configuration") {

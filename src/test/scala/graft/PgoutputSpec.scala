@@ -57,6 +57,24 @@ class PgoutputSpec extends SparkSpec {
     intercept[MalformedPgoutputException] { t.feed(ins) } // no Relation yet
   }
 
+  test("transaction-framing violations fail typed, never drop changes silently") {
+    val rel = Relation(9, "public", "t", 'd'.toByte,
+      IndexedSeq(RelationColumn(1, "id", 23, -1)))
+    val ins = Insert(9, IndexedSeq(TextValue("1")))
+    // DML with no open transaction (a lost/reordered Begin): appending it
+    // to a stale buffer the next Begin clears would VANISH the change
+    val t1 = new PgoutputTranscoder
+    t1.feed(Pgoutput.write(rel))
+    intercept[MalformedPgoutputException] { t1.feed(Pgoutput.write(ins)) }
+    // Begin while a txn is open (a lost Commit): the buffered changes must
+    // not be silently discarded
+    val t2 = new PgoutputTranscoder
+    t2.feed(Pgoutput.write(Begin(1, 0, 1)))
+    t2.feed(Pgoutput.write(rel))
+    t2.feed(Pgoutput.write(ins))
+    intercept[MalformedPgoutputException] { t2.feed(Pgoutput.write(Begin(2, 0, 2))) }
+  }
+
   test("type OIDs render the SQL names wal2json prints") {
     assert(Pgoutput.typeName(25, -1) === "text")
     assert(Pgoutput.typeName(20, -1) === "bigint")
@@ -340,6 +358,17 @@ class PgoutputSpec extends SparkSpec {
     t3.feed(Pgoutput.write(Begin(1L, 0L, 1L)))
     intercept[MalformedPgoutputException] { // stream start inside a txn
       t3.feed(Pgoutput.write(StreamStart(5L, firstSegment = true)))
+    }
+    val t4 = new PgoutputTranscoder
+    t4.feed(Pgoutput.write(StreamStart(5L, firstSegment = true)))
+    intercept[MalformedPgoutputException] { // lost Stop: a new segment must
+      // not silently re-bucket changes under the new txn
+      t4.feed(Pgoutput.write(StreamStart(6L, firstSegment = true)))
+    }
+    val t5 = new PgoutputTranscoder
+    t5.feed(Pgoutput.write(StreamStart(7L, firstSegment = true)))
+    intercept[MalformedPgoutputException] { // Begin inside an open segment
+      t5.feed(Pgoutput.write(Begin(2L, 0L, 2L)))
     }
   }
 
