@@ -428,6 +428,11 @@ object MergeEngine {
         schema = schema,
         bucketFiles = bucketFiles,
         bucketDeltas = bucketDeltas.filter(_._2.nonEmpty),
+        // change-feed provenance: THIS commit's written deltas (replaces
+        // the previous snapshot's value — per-commit, never cumulative),
+        // referenced even when a bucket compacted them away in the same
+        // commit, so LakeTable.changes never loses a commit's rows
+        commitDeltas = writtenDeltas,
         bucketWatermarks = bucketWatermarks,
         bucketLineage = bucketLineage,
         lsnHighWatermark = math.max(snap.lsnHighWatermark, maxLsn),

@@ -71,6 +71,11 @@ object Main {
       "limit" -> (false, "newest snapshots to list (default 20)")),
     "verify-wal" -> Map(
       "wal-dir" -> (true, "WAL segment directory to audit")),
+    "changes" -> Map(
+      "table-root" -> (true, "lake table root directory"),
+      "from" -> (true, "exclusive lower snapshot id (-1 = since creation)"),
+      "to" -> (false, "inclusive upper snapshot id (default latest)"),
+      "limit" -> (false, "rows to print (default 20)")),
     "sql" -> Map(
       "table-root" -> (true, "lake table root directory"),
       "query" -> (true, "SQL over the view `t` (the table's merged current state)"),
@@ -425,6 +430,27 @@ object Main {
         val t = new LakeTable(spark, kv("table-root"))
         t.createOrReplaceView("t", kv.get("as-of").map(_.toLong))
         spark.sql(kv("query"))
+          .show(kv.getOrElse("limit", "20").toInt, truncate = false)
+
+      case "changes" =>
+        // the lake table as a CDC SOURCE: net row-level changes committed
+        // in snapshot range (from, to] — O(changed bytes), no table scan
+        val t = new LakeTable(spark, kv("table-root"))
+        val cur = t.currentSnapshot.getOrElse(
+          throw new IllegalArgumentException(s"no table at ${kv("table-root")}"))
+        val from = kv("from").toLong
+        val to = kv.get("to").map(_.toLong).getOrElse(cur.snapshotId)
+        val df = t.changes(from, to).persist()
+        val kinds = df.groupBy("_kind").count().collect()
+          .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
+        println(s"""{"from":$from,"to":$to,"changes":${kinds.map(_.split(":")(1).toLong).sum},""" +
+          s""""byKind":{${kinds.mkString(",")}}}""")
+        val feedView =
+          if (df.columns.contains("content"))
+            df.withColumn("content_sha256", sha2(col("content"), 256))
+              .drop("content", "commit")
+          else df
+        feedView.orderBy(col("_snapshot"), col("_lsn"), col("_seq"))
           .show(kv.getOrElse("limit", "20").toInt, truncate = false)
 
       case "verify-wal" =>

@@ -106,9 +106,20 @@ final case class Snapshot(
     // so committing from one would empty its manifest). The pointers exist
     // so a commit can REUSE untouched buckets' manifests instead of
     // rewriting O(files) metadata every batch.
-    bucketManifests: Map[Int, String] = Map.empty) {
+    bucketManifests: Map[Int, String] = Map.empty,
+    // CHANGE DATA FEED provenance: bucket -> the delta files WRITTEN by the
+    // commit that produced THIS snapshot (per-commit, never cumulative —
+    // the committing writer must set it). Distinct from bucketDeltas: a
+    // bucket that compacts within the same commit drops its deltas from
+    // bucketDeltas but its freshly written delta stays recorded here, so
+    // LakeTable.changes never loses a commit's rows to immediate
+    // compaction. Counted into allFiles => retained by expire/orphan
+    // liveness exactly as long as this snapshot. Stored INLINE in the
+    // root even in distributed-manifest form (O(touched buckets) small).
+    commitDeltas: Map[Int, Seq[String]] = Map.empty) {
   def allFiles: Seq[String] =
-    (bucketFiles.values.flatten ++ bucketDeltas.values.flatten).toSeq.sorted
+    (bucketFiles.values.flatten ++ bucketDeltas.values.flatten ++
+      commitDeltas.values.flatten).toSeq.distinct.sorted
   /** Buckets holding any data (base or delta). */
   def dataBuckets: Set[Int] = bucketFiles.keySet ++ bucketDeltas.keySet
   /** Every bucket with any per-bucket state to persist. */
@@ -619,6 +630,50 @@ class LakeTable(val spark: SparkSession, val root: String,
   }
 
   /**
+   * CHANGE DATA FEED: the net row-level changes committed in the snapshot
+   * range `(fromSnapshot, toSnapshot]` — the lake table as a CDC *source*
+   * for downstream incremental consumers (the reference's consumers read
+   * the Kinesis stream; this engine's read the table's own feed). Output:
+   * the table schema (non-key columns null on deletes) plus `_kind`
+   * (insert|update|delete), `_lsn`, `_seq`, and `_snapshot` (the snapshot
+   * whose commit introduced the change).
+   *
+   * Semantics are NET-PER-COMMIT (Delta-CDF-under-MERGE-like): within one
+   * commit the keep-last dedup already collapsed each key to its final
+   * change; across commits, each commit's net change per key appears once.
+   * Cost is O(changed bytes), never a table scan: only the per-commit
+   * delta files recorded by the committing writer
+   * ([[Snapshot.commitDeltas]], inline in the snapshot ROOT — zero
+   * manifest IO even on distributed snapshots) are read, in ONE scan with
+   * rows attributed to snapshots by their commit directory. Immediate
+   * same-commit compaction cannot lose feed rows (the written delta files
+   * stay referenced), and feed history is retained exactly as long as the
+   * snapshots recording it (expireSnapshots GCs both together).
+   */
+  def changes(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    require(fromSnapshot >= -1 && fromSnapshot <= toSnapshot,
+      s"changes range is (from, to] with from >= -1: got ($fromSnapshot, $toSnapshot]")
+    val latest = latestSnapshotId
+    require(toSnapshot <= latest,
+      s"snapshot $toSnapshot does not exist (latest is $latest)")
+    def root(id: Long): Snapshot =
+      LakeTable.parseRootOnly(readMetaFile(f"meta/snapshot-$id%012d.json"))._1
+    val to = root(toSnapshot)
+    val perSnap: Seq[(Long, Seq[String])] =
+      ((fromSnapshot + 1) to toSnapshot).map { s =>
+        s -> root(s).commitDeltas.values.flatten.toSeq.sorted
+      }
+    val fileToSnap: Map[String, Long] = perSnap.flatMap { case (s, fs) =>
+      fs.map(f => f.split("/").last -> s) // keyed by unique parquet file name
+    }.toMap
+    readDeltas(perSnap.flatMap(_._2), to.schema, to.keyColumns,
+        withSourceFile = true)
+      .withColumn("_snapshot",
+        element_at(typedLit(fileToSnap), col("_source_file")))
+      .drop("_source_file")
+  }
+
+  /**
    * Point lookup: prune by (1) the key's storage bucket (hash), then (2)
    * the per-file key min/max ranges recorded in the snapshot, then filter
    * residually. At 10^10 rows this turns "scan the table" into "scan the
@@ -843,10 +898,12 @@ class LakeTable(val spark: SparkSession, val root: String,
     * before a column existed simply yields null for it, and delete markers
     * carry _row = null — the read-time half of schema evolution. */
   private def readDeltas(files: Seq[String], schema: StructType,
-                         keyColumns: Seq[String]): DataFrame = {
+                         keyColumns: Seq[String],
+                         withSourceFile: Boolean = false): DataFrame = {
     if (files.isEmpty) {
       val full = StructType(schema.fields ++ Seq(StructField("_lsn", LongType),
-        StructField("_seq", IntegerType), StructField("_kind", StringType)))
+        StructField("_seq", IntegerType), StructField("_kind", StringType)) ++
+        (if (withSourceFile) Seq(StructField("_source_file", StringType)) else Nil))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     } else {
       // The delta physical schema is FULLY determined by the snapshot
@@ -866,7 +923,15 @@ class LakeTable(val spark: SparkSession, val root: String,
       val cols = schema.fields.map { f =>
         if (keyColumns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else element_at(col("_row"), f.name).cast(f.dataType).as(f.name)
-      } ++ Seq(col("_lsn"), col("_seq"), col("_kind"))
+      } ++ Seq(col("_lsn"), col("_seq"), col("_kind")) ++
+        (if (withSourceFile)
+          // the parquet file NAME a row came from (globally unique — each
+          // write job embeds its own UUID) — lets the change feed attribute
+          // rows to their snapshot in ONE scan, independent of how many
+          // partition-directory levels sit between the commit dir and the
+          // file (delta writes partitionBy(_bucket))
+          Seq(element_at(split(input_file_name(), "/"), -1).as("_source_file"))
+        else Nil)
       df.select(cols.toIndexedSeq: _*)
     }
   }
@@ -1268,6 +1333,14 @@ object LakeTable {
     val rm = n.putObject("renameMap")
     s.renameMap.toSeq.sorted.foreach { case (o, nn) => rm.put(o, nn) }
     putLongMap(n, "lineage", s.lineage)
+    // change-feed provenance rides the ROOT in both forms: O(touched
+    // buckets) small, and the feed reader then needs zero manifest IO
+    if (s.commitDeltas.nonEmpty) {
+      val cd = n.putObject("commitDeltas")
+      s.commitDeltas.toSeq.sortBy(_._1).foreach { case (b, fs) =>
+        putStrSeq(cd, b.toString, fs)
+      }
+    }
     n
   }
 
@@ -1344,7 +1417,10 @@ object LakeTable {
       bucketWatermarks = Map.empty,
       lsnHighWatermark = n.get("lsnHighWatermark").asLong(),
       renameMap = objToMap(n, "renameMap").map { case (k, v) => k -> v.asText() },
-      lineage = objToMap(n, "lineage").map { case (k, v) => k -> v.asLong() })
+      lineage = objToMap(n, "lineage").map { case (k, v) => k -> v.asLong() },
+      commitDeltas = objToMap(n, "commitDeltas").map { case (k, v) =>
+        k.toInt -> strSeq(v)
+      })
     val pointers =
       if (!n.has("bucketManifests")) None
       else Some(objToMap(n, "bucketManifests")

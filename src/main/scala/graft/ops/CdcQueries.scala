@@ -192,6 +192,43 @@ object CdcQueries {
        |      FROM events) WHERE rn = 1 AND $kindSql <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** The lake table as a CDC SOURCE, driven through the REAL engine: the
+    * events WAL (walLines -> ChangeDecoder) applied to a throwaway lake
+    * table in TWO batches split at the stream's midpoint LSN, then the
+    * CHANGE DATA FEED of the second commit ([[graft.lake.LakeTable.changes]]
+    * — reads ONLY that commit's recorded delta files, no table scan) — the
+    * net keep-last change per key including delete tombstones. The DuckDB
+    * oracle recomputes the same net changes relationally over the tail
+    * half of the stream. */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val split = events(spark, dir).agg(max(col("event_id"))).head().getLong(0) / 2
+    val t = new graft.lake.LakeTable(spark,
+      graft.util.TempDirs.scratch("graft-cdc-feed"))
+    t.create(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType))), Seq("user_id"), nBuckets = 8)
+    val decoded = ChangeDecoder.decode(walLines(spark, dir))
+    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") <= split))
+    val mid = t.currentSnapshot.get.snapshotId
+    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") > split))
+    val end = t.currentSnapshot.get.snapshotId
+    t.changes(mid, end)
+      .select(col("user_id").as("key"), col("_lsn").as("lsn"),
+        col("_kind").as("kind"), col("value").as("val"))
+      .orderBy("key")
+  }
+
+  val changeFeedSql: String =
+    s"""SELECT user_id AS key, event_id AS lsn, $kindSql AS kind,
+       |  CASE WHEN $kindSql = 'delete' THEN NULL ELSE value END AS val
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY event_id DESC) rn
+       |      FROM events
+       |      WHERE event_id > (SELECT CAST(max(event_id) // 2 AS BIGINT)
+       |                        FROM events))
+       |WHERE rn = 1 ORDER BY key""".stripMargin
+
   /** Per-batch lineage metrics (north rule: per-partition lineage). */
   def lineageStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -269,6 +306,7 @@ object CdcQueries {
     "cdc_table_filter" -> (tableFilter _, tableFilterSql),
     "cdc_dedup_keeplast" -> (dedupKeepLast _, dedupKeepLastSql),
     "cdc_merge_final_state" -> (mergeFinalState _, mergeFinalStateSql),
+    "cdc_change_feed" -> (changeFeed _, changeFeedSql),
     "cdc_lineage_stats" -> (lineageStats _, lineageStatsSql),
     "cdc_bucket_watermarks" -> (bucketWatermarks _, bucketWatermarksSql),
     "cdc_txn_elision" -> (txnElision _, txnElisionSql),

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.apply.MergeEngine
+import graft.decode.ChangeDecoder
+import graft.gen.{ChangeStreamGen, GenConfig}
+import graft.lake.LakeTable
+import graft.cli.Main
+
+/**
+ * CHANGE DATA FEED ([[LakeTable.changes]]): the lake table as a CDC
+ * *source*. Each commit's net keep-last changes — including delete
+ * tombstones — are readable per snapshot range, attributed to the snapshot
+ * that committed them, immune to immediate same-commit compaction, and
+ * retained exactly as long as the snapshots recording them.
+ */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = GenConfig(seed = 91L, nRepos = 10, pathsPerRepo = 4, maxChangesPerTxn = 3)
+
+  private def lines(from: Long, until: Long) =
+    spark.createDataset((from until until)
+      .map(id => ChangeStreamGen.renderLine(cfg, ChangeStreamGen.txn(cfg, id)))).toDF("value")
+
+  /** Ground truth straight from the generator: the net keep-last change per
+    * key across txns [from, until) — (kind, lsn) of each key's last change. */
+  private def expectedNet(from: Long, until: Long): Map[(String, String), (String, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[(String, String), (String, Long)]
+    (from until until).foreach { id =>
+      val t = ChangeStreamGen.txn(cfg, id)
+      t.changes.foreach(c => m((c.repo, c.path)) = (c.kind, t.lsn))
+    }
+    m.toMap
+  }
+
+  private def feedMap(df: DataFrame): Map[(String, String), (String, Long)] =
+    df.select(col("repo"), col("path"), col("_kind"), col("_lsn")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getLong(3))).toMap
+
+  private def newTable(dir: String, maxDeltas: Int = 64,
+                       manifestThreshold: Int = 4096): LakeTable = {
+    val t = new LakeTable(spark, tmpDir(dir), maxDeltasPerBucket = maxDeltas,
+      manifestThresholdFiles = manifestThreshold)
+    t.create(Main.reposSchema, Seq("repo", "path"), 4, Main.reposRenameMap)
+    t
+  }
+
+  test("changes(from, to) returns each commit's net keep-last changes incl. tombstones") {
+    val t = newTable("feed")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 120)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(120, 240)))
+    assert(feedMap(t.changes(0, 1)) === expectedNet(0, 120))
+    assert(feedMap(t.changes(1, 2)) === expectedNet(120, 240))
+    // full range: one row per (key, snapshot), correctly attributed
+    val both = t.changes(-1, 2)
+    assert(both.count() ===
+      expectedNet(0, 120).size + expectedNet(120, 240).size)
+    assert(feedMap(both.filter(col("_snapshot") === 1L)) === expectedNet(0, 120))
+    assert(feedMap(both.filter(col("_snapshot") === 2L)) === expectedNet(120, 240))
+    // tombstones are IN the feed (deletes are changes), though not in read()
+    val dels = both.filter(col("_kind") === "delete")
+    assert(dels.count() > 0, "the generator stream must contain deletes")
+    // empty range and validation
+    assert(t.changes(2, 2).count() === 0)
+    intercept[IllegalArgumentException] { t.changes(2, 1) }
+    intercept[IllegalArgumentException] { t.changes(0, 99) }
+  }
+
+  test("immediate same-commit compaction cannot lose feed rows; orphan sweep keeps them") {
+    // maxDeltasPerBucket = 1: every commit folds its freshly written delta
+    // into a new base IN THE SAME COMMIT — bucketDeltas ends empty, but the
+    // written delta files stay referenced as commitDeltas
+    val t = newTable("feedc", maxDeltas = 1)
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 120)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(120, 240)))
+    assert(t.currentSnapshot.get.bucketDeltas.isEmpty, "compaction must have fired")
+    assert(feedMap(t.changes(1, 2)) === expectedNet(120, 240))
+    // the compacted-away-but-feed-referenced delta dirs are NOT orphans
+    assert(t.removeOrphans(graceMs = 0L) === 0)
+    assert(feedMap(t.changes(1, 2)) === expectedNet(120, 240))
+  }
+
+  test("feed history is GC'd with its snapshots (retention coupling)") {
+    val t = newTable("feedgc", maxDeltas = 1)
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 80)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(80, 160)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(160, 240)))
+    val lastFeed = feedMap(t.changes(2, 3))
+    val (droppedSnaps, deletedFiles) = t.expireSnapshots(keepLast = 1)
+    assert(droppedSnaps === 3) // snapshots 0..2 (0 = the empty create)
+    assert(deletedFiles > 0, "expired commits' files must be deleted")
+    // the kept snapshot's feed remains intact...
+    assert(feedMap(t.changes(2, 3)) === lastFeed)
+    // ...while expired ranges are gone with their snapshots
+    intercept[Exception] { t.changes(0, 1).count() }
+  }
+
+  test("feed works identically on distributed-manifest snapshots (commitDeltas in the root)") {
+    val t = newTable("feedm", manifestThreshold = 0)
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 120)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(120, 240)))
+    assert(t.currentSnapshot.get.bucketManifests.nonEmpty, "distributed form expected")
+    assert(feedMap(t.changes(1, 2)) === expectedNet(120, 240))
+    assert(feedMap(t.changes(0, 1)) === expectedNet(0, 120))
+  }
+
+  test("feed deletes carry null non-key columns; upserts carry the payload") {
+    val t = newTable("feedp")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 240)))
+    val feed = t.changes(0, 1)
+    val del = feed.filter(col("_kind") === "delete")
+    assert(del.count() > 0)
+    assert(del.filter(col("content").isNotNull).count() === 0,
+      "tombstones must not invent payloads")
+    val up = feed.filter(col("_kind") =!= "delete")
+    assert(up.filter(col("content").isNull).count() === 0,
+      "upserts must carry their payload")
+    // the feed's survivors replayed equal the table: apply(feed) == read()
+    val applied = up.select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val dels = del.select(col("repo"), col("path"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val state = t.read().select(col("repo"), col("path"), sha2(col("content"), 256))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(applied.view.filterKeys(!dels.contains(_)).toMap === state)
+  }
+}
