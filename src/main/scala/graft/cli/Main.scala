@@ -76,6 +76,12 @@ object Main {
       "from" -> (true, "exclusive lower snapshot id (-1 = since creation)"),
       "to" -> (false, "inclusive upper snapshot id (default latest)"),
       "limit" -> (false, "rows to print (default 20)")),
+    "mirror" -> Map(
+      "source-root" -> (true, "source lake table root (must exist)"),
+      "mirror-root" -> (true, "mirror lake table root (created on first run)"),
+      "checkpoint" -> (true, "streaming checkpoint directory (feed offsets)"),
+      "from-snapshot" -> (false, "exclusive lower snapshot bound on FIRST run (default -1 = full history)"),
+      "max-snapshots-per-trigger" -> (false, "admission control: source commits per micro-batch")),
     "sql" -> Map(
       "table-root" -> (true, "lake table root directory"),
       "query" -> (true, "SQL over the view `t` (the table's merged current state)"),
@@ -452,6 +458,27 @@ object Main {
           else df
         feedView.orderBy(col("_snapshot"), col("_lsn"), col("_seq"))
           .show(kv.getOrElse("limit", "20").toInt, truncate = false)
+
+      case "mirror" =>
+        // table→table CDC replication over the engine's own change feed:
+        // stream the source's per-commit net changes (snapshot-id offsets in
+        // the checkpoint) through the LSN-fenced MERGE into the mirror —
+        // exactly-once end-to-end, AvailableNow catch-up then stop
+        val t0 = System.nanoTime()
+        var batches = 0
+        var applied = 0L
+        val q = graft.streaming.Mirror.follow(spark,
+          kv("source-root"), kv("mirror-root"), kv("checkpoint"),
+          fromSnapshot = kv.get("from-snapshot").map(_.toLong).getOrElse(-1L),
+          maxSnapshotsPerTrigger = kv.get("max-snapshots-per-trigger").map(_.toLong),
+          onBatch = s => { batches += 1; applied += s.appliedKeys })
+        q.awaitTermination()
+        val mirror = new LakeTable(spark, kv("mirror-root"))
+        val snap = mirror.currentSnapshot.get
+        println(s"""{"batches":$batches,"appliedKeys":$applied,""" +
+          s""""mirrorSnapshot":${snap.snapshotId},""" +
+          s""""mirrorHighWatermark":${snap.lsnHighWatermark},""" +
+          s""""seconds":${(System.nanoTime() - t0) / 1e9}}""")
 
       case "verify-wal" =>
         // pre-flight audit for the repair workflow: which segments would a

@@ -650,18 +650,23 @@ class LakeTable(val spark: SparkSession, val root: String,
    * stay referenced), and feed history is retained exactly as long as the
    * snapshots recording it (expireSnapshots GCs both together).
    */
+  /** ROOT-only snapshot metadata for a given id — schema, key columns,
+    * watermarks, commit-delta provenance — without touching any per-bucket
+    * manifest (O(buckets) bytes, one metadata-file read). Throws
+    * FileNotFoundException for an expired/never-existed id. */
+  def snapshotAt(id: Long): Snapshot =
+    LakeTable.parseRootOnly(readMetaFile(f"meta/snapshot-$id%012d.json"))._1
+
   def changes(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
     require(fromSnapshot >= -1 && fromSnapshot <= toSnapshot,
       s"changes range is (from, to] with from >= -1: got ($fromSnapshot, $toSnapshot]")
     val latest = latestSnapshotId
     require(toSnapshot <= latest,
       s"snapshot $toSnapshot does not exist (latest is $latest)")
-    def root(id: Long): Snapshot =
-      LakeTable.parseRootOnly(readMetaFile(f"meta/snapshot-$id%012d.json"))._1
-    val to = root(toSnapshot)
+    val to = snapshotAt(toSnapshot)
     val perSnap: Seq[(Long, Seq[String])] =
       ((fromSnapshot + 1) to toSnapshot).map { s =>
-        s -> root(s).commitDeltas.values.flatten.toSeq.sorted
+        s -> snapshotAt(s).commitDeltas.values.flatten.toSeq.sorted
       }
     val fileToSnap: Map[String, Long] = perSnap.flatMap { case (s, fs) =>
       fs.map(f => f.split("/").last -> s) // keyed by unique parquet file name

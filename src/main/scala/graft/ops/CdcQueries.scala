@@ -201,17 +201,7 @@ object CdcQueries {
     * oracle recomputes the same net changes relationally over the tail
     * half of the stream. */
   def changeFeed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val split = events(spark, dir).agg(max(col("event_id"))).head().getLong(0) / 2
-    val t = new graft.lake.LakeTable(spark,
-      graft.util.TempDirs.scratch("graft-cdc-feed"))
-    t.create(StructType(Seq(
-      StructField("user_id", LongType),
-      StructField("value", DoubleType))), Seq("user_id"), nBuckets = 8)
-    val decoded = ChangeDecoder.decode(walLines(spark, dir))
-    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") <= split))
-    val mid = t.currentSnapshot.get.snapshotId
-    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") > split))
+    val (t, mid) = twoCommitTable(spark, dir, "graft-cdc-feed")
     val end = t.currentSnapshot.get.snapshotId
     t.changes(mid, end)
       .select(col("user_id").as("key"), col("_lsn").as("lsn"),
@@ -228,6 +218,71 @@ object CdcQueries {
        |      WHERE event_id > (SELECT CAST(max(event_id) // 2 AS BIGINT)
        |                        FROM events))
        |WHERE rn = 1 ORDER BY key""".stripMargin
+
+  /** Shared setup for the streaming-feed queries: the events WAL applied to
+    * a throwaway lake table in TWO commits split at the midpoint LSN.
+    * Returns (table, mid-snapshot id). */
+  private def twoCommitTable(spark: SparkSession, dir: String,
+                             prefix: String): (graft.lake.LakeTable, Long) = {
+    import org.apache.spark.sql.types._
+    val split = events(spark, dir).agg(max(col("event_id"))).head().getLong(0) / 2
+    val t = new graft.lake.LakeTable(spark, graft.util.TempDirs.scratch(prefix))
+    t.create(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType))), Seq("user_id"), nBuckets = 8)
+    val decoded = ChangeDecoder.decode(walLines(spark, dir))
+    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") <= split))
+    val mid = t.currentSnapshot.get.snapshotId
+    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") > split))
+    (t, mid)
+  }
+
+  /** The change feed consumed through the STREAMING source
+    * (`readStream.format("graft-changes")`, snapshot-id offsets,
+    * Trigger.AvailableNow) instead of the batch [[changeFeed]] path — same
+    * net changes, so the DuckDB oracle is IDENTICAL. Proves the streaming
+    * surface end-to-end under the driver's gate. */
+  def changeFeedStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val (t, mid) = twoCommitTable(spark, dir, "graft-cdc-feedstream")
+    val qn = s"cdc_feed_stream_sink_$mid"
+    val q = spark.readStream.format("graft-changes")
+      .option("path", t.root)
+      .option("fromSnapshot", mid)
+      .option("maxSnapshotsPerTrigger", 1)
+      .load()
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .select(col("user_id").as("key"), col("_lsn").as("lsn"),
+        col("_kind").as("kind"), col("value").as("val"))
+      .orderBy("key")
+  }
+
+  /** Full table→table CDC replication through the engine's own feed:
+    * WAL → primary lake table (two commits) → `graft-changes` stream →
+    * [[graft.streaming.Mirror]] LSN-fenced apply → mirror table. Output is
+    * the MIRROR's final state; the oracle recomputes the keep-last
+    * non-deleted state relationally — the cascade must converge to exactly
+    * the state a direct apply would have produced. */
+  def feedMirror(spark: SparkSession, dir: String): DataFrame = {
+    val (t, _) = twoCommitTable(spark, dir, "graft-cdc-mirrorsrc")
+    val mirrorRoot = graft.util.TempDirs.scratch("graft-cdc-mirrordst")
+    val q = graft.streaming.Mirror.follow(spark, t.root, mirrorRoot,
+      graft.util.TempDirs.scratch("graft-cdc-mirrorckpt"))
+    q.awaitTermination()
+    new graft.lake.LakeTable(spark, mirrorRoot).read()
+      .select(col("user_id"), col("value"))
+      .orderBy("user_id")
+  }
+
+  val feedMirrorSql: String =
+    s"""SELECT user_id, value
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY event_id DESC) rn
+       |      FROM events) WHERE rn = 1 AND $kindSql <> 'delete'
+       |ORDER BY user_id""".stripMargin
 
   /** Per-batch lineage metrics (north rule: per-partition lineage). */
   def lineageStats(spark: SparkSession, dir: String): DataFrame =
@@ -307,6 +362,8 @@ object CdcQueries {
     "cdc_dedup_keeplast" -> (dedupKeepLast _, dedupKeepLastSql),
     "cdc_merge_final_state" -> (mergeFinalState _, mergeFinalStateSql),
     "cdc_change_feed" -> (changeFeed _, changeFeedSql),
+    "cdc_change_feed_streamed" -> (changeFeedStreamed _, changeFeedSql),
+    "cdc_feed_mirror" -> (feedMirror _, feedMirrorSql),
     "cdc_lineage_stats" -> (lineageStats _, lineageStatsSql),
     "cdc_bucket_watermarks" -> (bucketWatermarks _, bucketWatermarksSql),
     "cdc_txn_elision" -> (txnElision _, txnElisionSql),

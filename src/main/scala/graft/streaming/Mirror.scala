@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.apply.MergeEngine
+import graft.lake.{LakeTable, Snapshot}
+
+/**
+ * Table→table CDC replication: the engine consuming its OWN change feed.
+ * A mirror table follows a source lake table by streaming the source's
+ * change data feed (`readStream.format("graft-changes")`) and applying each
+ * micro-batch through the same LSN-fenced MERGE the primary ingest uses —
+ * so the mirror inherits the engine's exactly-once story wholesale: a
+ * replayed feed batch (checkpoint recovery) applies zero rows because every
+ * row sits at or below its bucket's LSN watermark in the mirror.
+ *
+ * This is the downstream half the reference delegates to Kinesis consumers
+ * (reference: README.md "Consumers of the Kinesis stream" — pg2k4j only
+ * publishes; replaying into a second store is the consumer's problem).
+ * Here the feed row format IS re-encodable as the decoder's change-event
+ * schema, so the whole apply pipeline (PK split, keep-last dedup, watermark
+ * fencing, schema-carrying deltas, fenced commits) is reused verbatim —
+ * one code path to trust, not two.
+ *
+ * Scale shape: each hop is O(changed bytes) — the feed reads only commit
+ * deltas, the apply writes only touched buckets. A 100 TB table with a
+ * 10 GB/day change rate mirrors at the change rate, never the table size.
+ */
+object Mirror {
+
+  /** Inverse of [[MergeEngine.pgTypeToSpark]] for every type the lake can
+    * hold — the declared-type string a wal2json producer would emit for the
+    * column. (Unknown/complex Spark types render as "text", matching the
+    * decoder's strings-stay-strings fallback.) */
+  def sparkTypeToPg(dt: DataType): String = dt match {
+    case ShortType => "smallint"
+    case IntegerType => "integer"
+    case LongType => "bigint"
+    case FloatType => "real"
+    case DoubleType => "double precision"
+    case _: DecimalType => "numeric"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case TimestampType => "timestamp without time zone"
+    case _ => "text"
+  }
+
+  /**
+   * Re-encode change-feed rows (the [[LakeTable.changes]] /
+   * `graft-changes` output shape) as decoded change events — the exact
+   * schema [[graft.decode.ChangeDecoder.decode]] produces — so
+   * [[MergeEngine.applyBatch]] can apply them to a downstream table.
+   *
+   * Values go through their canonical string form (wal2json carries all
+   * values as text; the apply side casts back against the target schema),
+   * which is the lossless round trip the primary ingest path already
+   * proves. Deletes carry only `oldkeys` (null column arrays), exactly as
+   * wal2json emits them; updates carry the full new tuple plus `oldkeys`
+   * naming the (unchanged) key — the feed's key columns ARE the row
+   * identity, so a feed row can never be a PK-changing update.
+   */
+  def feedAsChanges(feed: DataFrame, tableSchema: StructType,
+                    keyColumns: Seq[String], tableName: String): DataFrame = {
+    val dataFields = tableSchema.fields.toSeq
+    val names = array(dataFields.map(f => lit(f.name)): _*)
+    val types = array(dataFields.map(f => lit(sparkTypeToPg(f.dataType))): _*)
+    val vals = array(dataFields.map(f => col(f.name).cast(StringType)): _*)
+    val keyFields = dataFields.filter(f => keyColumns.contains(f.name))
+    val oldkeys = struct(
+      array(keyFields.map(f => lit(f.name)): _*).as("keynames"),
+      array(keyFields.map(f => lit(sparkTypeToPg(f.dataType))): _*).as("keytypes"),
+      array(keyFields.map(f => col(f.name).cast(StringType)): _*).as("keyvalues"))
+    feed.select(
+      col("_lsn").as("lsn"),
+      col("_seq").as("seq"),
+      col("_lsn").as("xid"), // the feed does not retain xids; lsn is a
+                             // valid stand-in (apply never reads it)
+      col("_kind").as("kind"),
+      lit("public").as("schema"),
+      lit(tableName).as("table"),
+      when(col("_kind") =!= "delete", names).as("columnnames"),
+      when(col("_kind") =!= "delete", types).as("columntypes"),
+      when(col("_kind") =!= "delete", vals).as("columnvalues"),
+      when(col("_kind") =!= "insert", oldkeys).as("oldkeys"))
+  }
+
+  /** Create the mirror table if absent, cloning the SOURCE's current shape:
+    * schema, key columns, bucket count. The feed carries post-rename column
+    * names, so the mirror needs no rename map of its own. */
+  def ensureMirror(spark: SparkSession, mirrorRoot: String,
+                   source: Snapshot, maxDeltasPerBucket: Int = 64): LakeTable = {
+    val t = new LakeTable(spark, mirrorRoot, maxDeltasPerBucket = maxDeltasPerBucket)
+    if (!t.exists)
+      t.create(source.schema, source.keyColumns, source.nBuckets)
+    t
+  }
+
+  /** Apply one micro-batch of feed rows to the mirror. Idempotent (LSN
+    * watermark fencing), so safe under Structured Streaming's replay. */
+  def applyFeedBatch(mirror: LakeTable, feed: DataFrame,
+                     saltBuckets: Int = 0): MergeEngine.MergeStats = {
+    val snap = mirror.currentSnapshot.getOrElse(throw new IllegalStateException(
+      "mirror table must exist before applying feed batches"))
+    MergeEngine.applyBatch(mirror,
+      feedAsChanges(feed, snap.schema, snap.keyColumns, "mirror"),
+      saltBuckets = saltBuckets)
+  }
+
+  /**
+   * Wire the full replication hop: stream the source table's change feed
+   * into the mirror. `Trigger.AvailableNow` catches the mirror up to the
+   * source's current snapshot and stops; the default processing-time
+   * trigger follows indefinitely. Exactly once end-to-end: feed offsets are
+   * snapshot ids in the checkpoint, and the apply is LSN-fenced on top.
+   */
+  def follow(spark: SparkSession, sourceRoot: String, mirrorRoot: String,
+             checkpoint: String,
+             trigger: Trigger = Trigger.AvailableNow(),
+             fromSnapshot: Long = -1L,
+             maxSnapshotsPerTrigger: Option[Long] = None,
+             onBatch: MergeEngine.MergeStats => Unit = _ => ()): StreamingQuery = {
+    val source = new LakeTable(spark, sourceRoot)
+    val snap = source.currentSnapshot.getOrElse(throw new IllegalArgumentException(
+      s"no source table at $sourceRoot"))
+    val mirror = ensureMirror(spark, mirrorRoot, snap)
+    var reader = spark.readStream.format("graft-changes")
+      .option("path", sourceRoot)
+      .option("fromSnapshot", fromSnapshot)
+    maxSnapshotsPerTrigger.foreach(m =>
+      reader = reader.option("maxSnapshotsPerTrigger", m))
+    reader.load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onBatch(applyFeedBatch(mirror, batch))
+      }
+      .start()
+  }
+}

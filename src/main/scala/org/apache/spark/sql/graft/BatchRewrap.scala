@@ -20,4 +20,17 @@ object BatchRewrap {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
   }
+
+  /** The inverse direction, for a V1 streaming `Source.getBatch`: the engine
+    * asserts the DataFrame a source returns carries `isStreaming = true`
+    * (MicroBatchExecution's runBatch assert), but the batch is *computed* —
+    * a DataFrame query over lake metadata — not a file-stream relation.
+    * Re-wrap the computed plan's rows as a streaming-flagged DataFrame, the
+    * same pattern production lakehouse sources use for their change feeds
+    * (Delta's DeltaSource.getBatch → createDataFrame(isStreaming = true)). */
+  def asStream(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
+  }
 }
