@@ -177,6 +177,45 @@ class ChangeFeedStreamSpec extends SparkSpec {
       "net-deleted keys must not exist in the mirror")
   }
 
+  test("live cascade: streaming WAL ingest and streaming mirror run CONCURRENTLY") {
+    val wal = tmpDir("cascade-wal")
+    ChangeStreamGen.writeSegments(spark, cfg, wal, 300L, txnsPerSegment = 30)
+    val root = tmpDir("cascade-src")
+    new LakeTable(spark, root).create(Main.reposSchema, Seq("repo", "path"), 4,
+      Main.reposRenameMap)
+
+    // primary: one WAL segment per micro-batch => 10 commits landing over
+    // time, through the real DSv2 source + lake sink connector
+    val primary = spark.readStream.format("graft-wal")
+      .option("maxSegmentsPerTrigger", "1").load(wal)
+      .writeStream.format("graft-lake")
+      .option("path", root).option("table", "repos")
+      .option("checkpointLocation", tmpDir("cascade-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    // mirror: follows LIVE while the primary is still committing — feed
+    // reads race the committing writer (snapshot roots are immutable once
+    // published, so a feed batch over (from, to] is stable regardless of
+    // what commits concurrently)
+    val mirrorRoot = tmpDir("cascade-dst")
+    val follow = Mirror.follow(spark, root, mirrorRoot, tmpDir("cascade-mckpt"),
+      trigger = Trigger.ProcessingTime(0L), maxSnapshotsPerTrigger = Some(2L))
+    primary.awaitTermination()
+    follow.processAllAvailable()
+    follow.stop()
+
+    def state(table: LakeTable): Map[(String, String), String] =
+      table.read().select(col("repo"), col("path"), sha2(col("content"), 256))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val src = new LakeTable(spark, root)
+    val dst = new LakeTable(spark, mirrorRoot)
+    assert(state(dst) === state(src), "live mirror must converge to the source state")
+    assert(state(dst).nonEmpty)
+    assert(dst.currentSnapshot.get.snapshotId > 1,
+      "the mirror must have followed incrementally (multiple fenced commits)")
+  }
+
   test("schema evolution mid-stream fails loudly, never drops columns silently") {
     val cfgEvolve = cfg.copy(addColumnAtLsn = 120)
     def evolveLines(from: Long, until: Long) =
