@@ -506,7 +506,12 @@ object MergeEngine {
   def fastForward(table: LakeTable, toLsn: Long): Snapshot = {
     val snap = table.currentSnapshot.get
     if (toLsn <= snap.lsnHighWatermark) snap
-    else table.commit(snap.copy(lsnHighWatermark = toLsn), snap.snapshotId,
-      prev = Some(snap))
+    // commitDeltas is PER-COMMIT provenance (the change feed reads it):
+    // carrying the previous commit's value forward would make the feed
+    // re-deliver that commit's entire change set under this snapshot's id.
+    // An idle fast-forward changes no rows — its feed contribution is empty.
+    else table.commit(
+      snap.copy(lsnHighWatermark = toLsn, commitDeltas = Map.empty),
+      snap.snapshotId, prev = Some(snap))
   }
 }

@@ -447,9 +447,10 @@ object Main {
         val from = kv("from").toLong
         val to = kv.get("to").map(_.toLong).getOrElse(cur.snapshotId)
         val df = t.changes(from, to).persist()
-        val kinds = df.groupBy("_kind").count().collect()
-          .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted
-        println(s"""{"from":$from,"to":$to,"changes":${kinds.map(_.split(":")(1).toLong).sum},""" +
+        val kindCounts = df.groupBy("_kind").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+        val kinds = kindCounts.map { case (k, n) => s""""$k":$n""" }
+        println(s"""{"from":$from,"to":$to,"changes":${kindCounts.map(_._2).sum},""" +
           s""""byKind":{${kinds.mkString(",")}}}""")
         val feedView =
           if (df.columns.contains("content"))
@@ -458,6 +459,7 @@ object Main {
           else df
         feedView.orderBy(col("_snapshot"), col("_lsn"), col("_seq"))
           .show(kv.getOrElse("limit", "20").toInt, truncate = false)
+        df.unpersist(blocking = false)
 
       case "mirror" =>
         // table→table CDC replication over the engine's own change feed:

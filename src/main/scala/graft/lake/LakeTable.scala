@@ -657,7 +657,13 @@ class LakeTable(val spark: SparkSession, val root: String,
   def snapshotAt(id: Long): Snapshot =
     LakeTable.parseRootOnly(readMetaFile(f"meta/snapshot-$id%012d.json"))._1
 
-  def changes(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+  /** @param projectTo read the feed under this (LATER-era) schema instead
+    *        of `toSnapshot`'s own — additive-evolution projection for
+    *        streaming replay: a column absent when a delta was written
+    *        reads as null. Must be a superset of `toSnapshot`'s schema
+    *        (same leading fields); callers enforce that loudly. */
+  def changes(fromSnapshot: Long, toSnapshot: Long,
+              projectTo: Option[StructType] = None): DataFrame = {
     require(fromSnapshot >= -1 && fromSnapshot <= toSnapshot,
       s"changes range is (from, to] with from >= -1: got ($fromSnapshot, $toSnapshot]")
     val latest = latestSnapshotId
@@ -666,13 +672,14 @@ class LakeTable(val spark: SparkSession, val root: String,
     val to = snapshotAt(toSnapshot)
     val perSnap: Seq[(Long, Seq[String])] =
       ((fromSnapshot + 1) to toSnapshot).map { s =>
-        s -> snapshotAt(s).commitDeltas.values.flatten.toSeq.sorted
+        val sn = if (s == toSnapshot) to else snapshotAt(s)
+        s -> sn.commitDeltas.values.flatten.toSeq.sorted
       }
     val fileToSnap: Map[String, Long] = perSnap.flatMap { case (s, fs) =>
       fs.map(f => f.split("/").last -> s) // keyed by unique parquet file name
     }.toMap
-    readDeltas(perSnap.flatMap(_._2), to.schema, to.keyColumns,
-        withSourceFile = true)
+    readDeltas(perSnap.flatMap(_._2), projectTo.getOrElse(to.schema),
+        to.keyColumns, withSourceFile = true)
       .withColumn("_snapshot",
         element_at(typedLit(fileToSnap), col("_source_file")))
       .drop("_source_file")

@@ -155,9 +155,11 @@ class ChangesSource(table: LakeTable, startSchema: StructType,
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val startId = Option(start).map(snapId).getOrElse(fromSnapshot)
     val ceiling = availableNowEnd.getOrElse(latestTableSnapshot)
+    // saturating add: a huge non-sentinel cap (e.g. Long.MaxValue - 1) must
+    // mean "unbounded", not wrap negative and stall the stream forever
     val next =
-      if (maxSnapshotsPerTrigger == Long.MaxValue) ceiling
-      else math.min(ceiling, startId + maxSnapshotsPerTrigger)
+      if (maxSnapshotsPerTrigger >= ceiling - startId) ceiling
+      else startId + maxSnapshotsPerTrigger
     SnapshotOffset(math.max(startId, next)) // never regress below start
   }
 
@@ -171,14 +173,29 @@ class ChangesSource(table: LakeTable, startSchema: StructType,
     val from = start.map(o => snapId(o.asInstanceOf[OffsetV2])).getOrElse(fromSnapshot)
     val to = snapId(end.asInstanceOf[OffsetV2])
     val endSchema = table.snapshotAt(to).schema
-    if (endSchema != startSchema)
+    // Evolution is ADDITIVE (MergeEngine.evolveSchema appends), so every
+    // older snapshot's schema is a PREFIX of every newer one. A batch whose
+    // end era is a prefix of the stream schema replays fine — older deltas
+    // project onto the stream schema with nulls for not-yet-existing
+    // columns. Only an end era NEWER than the stream schema (the table
+    // evolved mid-stream) must fail: replaying it on the stream schema
+    // would silently drop the new columns. This asymmetry is what makes
+    // the "restart" advice actually converge — after a restart the stream
+    // schema is the newest, so every pinned replay batch is a prefix of it
+    // (strict equality would wedge the checkpoint forever if the table
+    // evolved AGAIN between the failure and the restart).
+    val isPrefixOfStream = endSchema.fields.length <= startSchema.fields.length &&
+      endSchema.fields.zip(startSchema.fields).forall { case (e, s) =>
+        e.name == s.name && e.dataType == s.dataType
+      }
+    if (!isPrefixOfStream)
       throw new IllegalStateException(
         s"graft-changes: table schema changed during the stream (snapshot $to " +
           s"has ${endSchema.simpleString}, stream started on " +
           s"${startSchema.simpleString}). Restart the streaming query to pick " +
           "up the evolved schema; the checkpoint offset is preserved.")
     logInfo(s"graft-changes batch: snapshots ($from, $to] of ${table.root}")
-    val feed = table.changes(from, to)
+    val feed = table.changes(from, to, projectTo = Some(startSchema))
     // getBatch must return a streaming-flagged DataFrame (MicroBatchExecution
     // asserts isStreaming); align columns to the declared schema first.
     BatchRewrap.asStream(

@@ -97,14 +97,26 @@ object Mirror {
     t
   }
 
+  /** The feed's data columns: its stream schema minus the feed metadata. */
+  private val feedMetaColumns = Set("_lsn", "_seq", "_kind", "_snapshot")
+
   /** Apply one micro-batch of feed rows to the mirror. Idempotent (LSN
-    * watermark fencing), so safe under Structured Streaming's replay. */
+    * watermark fencing), so safe under Structured Streaming's replay.
+    *
+    * The encoded columns derive from the FEED's own schema, never the
+    * mirror's: after source schema evolution (stream restarted on the
+    * evolved schema), the feed carries the new columns and the normal
+    * apply-side schema observation evolves the mirror to match — encoding
+    * against the mirror's stale schema would silently drop the new
+    * columns' data forever. */
   def applyFeedBatch(mirror: LakeTable, feed: DataFrame,
                      saltBuckets: Int = 0): MergeEngine.MergeStats = {
     val snap = mirror.currentSnapshot.getOrElse(throw new IllegalStateException(
       "mirror table must exist before applying feed batches"))
+    val dataSchema = StructType(
+      feed.schema.fields.filterNot(f => feedMetaColumns.contains(f.name)))
     MergeEngine.applyBatch(mirror,
-      feedAsChanges(feed, snap.schema, snap.keyColumns, "mirror"),
+      feedAsChanges(feed, dataSchema, snap.keyColumns, "mirror"),
       saltBuckets = saltBuckets)
   }
 

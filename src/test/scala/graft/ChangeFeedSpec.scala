@@ -106,6 +106,26 @@ class ChangeFeedSpec extends SparkSpec {
     assert(feedMap(t.changes(0, 1)) === expectedNet(0, 120))
   }
 
+  test("idle fast-forward is feed-empty and never re-delivers the prior commit") {
+    val t = newTable("feedff")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 100)))
+    val afterApply = t.currentSnapshot.get.snapshotId
+    // upstream LSN advances with no changes for this table (reference O12)
+    MergeEngine.fastForward(t, 150L)
+    val afterFf = t.currentSnapshot.get.snapshotId
+    assert(afterFf === afterApply + 1)
+    // the fast-forward commit contributes NOTHING to the feed — carrying
+    // the previous commitDeltas forward would re-deliver commit 1's whole
+    // change set under the new snapshot id
+    assert(t.changes(afterApply, afterFf).count() === 0,
+      "an idle fast-forward must be feed-empty")
+    assert(feedMap(t.changes(-1, afterFf)) === expectedNet(0, 100),
+      "full-range feed must contain each change exactly once")
+    // later real commits feed normally (lsns 201.. clear the 150 watermark)
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(200, 300)))
+    assert(feedMap(t.changes(afterFf, afterFf + 1)) === expectedNet(200, 300))
+  }
+
   test("feed deletes carry null non-key columns; upserts carry the payload") {
     val t = newTable("feedp")
     MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 240)))

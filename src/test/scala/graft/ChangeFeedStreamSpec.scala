@@ -237,5 +237,61 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("schema changed"))
     // ranges entirely before the evolution still read fine on the old schema
     assert(src.getBatch(None, SnapshotOffset(1)).isStreaming)
+
+    // RESTART convergence: a stream restarted on the EVOLVED schema must
+    // replay old-era pinned batches (prefix eras project with nulls for the
+    // not-yet-existing column) — strict schema equality would wedge the
+    // checkpoint forever if the table evolved again before the restart.
+    val evolved = t.currentSnapshot.get.schema
+    val restarted = new graft.sources.ChangesSource(t, evolved, -1L, Long.MaxValue)
+    // guard: old-era pinned batches REPLAY (no throw) on the evolved stream
+    assert(restarted.getBatch(None, SnapshotOffset(1)).isStreaming)
+    assert(restarted.getBatch(Some(SnapshotOffset(1)), SnapshotOffset(2)).isStreaming)
+    // projection: the same read the source performs, via the public API —
+    // pre-evolution rows project null for the later column, evolved-era
+    // rows carry real values
+    val newCol = evolved.fieldNames.diff(startSchema.fieldNames).head
+    val replayOld = t.changes(-1, 1, projectTo = Some(evolved))
+    assert(replayOld.count() > 0)
+    assert(replayOld.filter(col(newCol).isNotNull).count() === 0,
+      "pre-evolution rows must project null for the later column")
+    assert(t.changes(1, 2, projectTo = Some(evolved))
+      .filter(col(newCol).isNotNull).count() > 0)
+  }
+
+  test("mirror picks up source schema evolution on restart (no silent column drop)") {
+    val cfgEvolve = cfg.copy(addColumnAtLsn = 120)
+    def evolveLines(from: Long, until: Long) =
+      spark.createDataset((from until until)
+        .map(id => ChangeStreamGen.renderLine(cfgEvolve, ChangeStreamGen.txn(cfgEvolve, id))))
+        .toDF("value")
+    val t = newTable("mirrevolve")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(evolveLines(0, 100)))
+
+    // follow run 1: mirror created at the pre-evolution schema
+    val mirrorRoot = tmpDir("mirrevolve-dst")
+    val ckpt = tmpDir("mirrevolve-ckpt")
+    Mirror.follow(spark, t.root, mirrorRoot, ckpt).awaitTermination()
+    val mirror = new LakeTable(spark, mirrorRoot)
+    val preFields = mirror.currentSnapshot.get.schema.fieldNames.toSet
+
+    // source evolves (size_bytes appears at lsn 120), stream restarted:
+    // the feed now carries the new column and the mirror must EVOLVE —
+    // encoding against the mirror's stale schema would drop it forever
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(evolveLines(100, 200)))
+    val newCol = t.currentSnapshot.get.schema.fieldNames.toSet.diff(preFields)
+    assert(newCol.nonEmpty, "generator must evolve the source schema")
+    Mirror.follow(spark, t.root, mirrorRoot, ckpt).awaitTermination()
+
+    val evolvedMirror = new LakeTable(spark, mirrorRoot)
+    assert(newCol.subsetOf(evolvedMirror.currentSnapshot.get.schema.fieldNames.toSet),
+      "mirror schema must have evolved with the feed")
+    def state(table: LakeTable): Set[Seq[Any]] = {
+      val cols = t.currentSnapshot.get.schema.fieldNames // source column set
+      table.read().select(cols.map(col).toIndexedSeq: _*)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(state(evolvedMirror) === state(t),
+      "mirror must carry the evolved column's DATA, not just the schema")
   }
 }
