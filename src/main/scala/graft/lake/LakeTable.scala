@@ -669,20 +669,41 @@ class LakeTable(val spark: SparkSession, val root: String,
     val latest = latestSnapshotId
     require(toSnapshot <= latest,
       s"snapshot $toSnapshot does not exist (latest is $latest)")
-    val to = snapshotAt(toSnapshot)
+    // typed retention error, not a raw FileNotFound from a metadata path:
+    // feed history lives exactly as long as its snapshots
+    def snapAtRetained(s: Long): Snapshot =
+      try snapshotAt(s)
+      catch {
+        case e: java.io.FileNotFoundException => throw new IllegalStateException(
+          s"changes($fromSnapshot, $toSnapshot]: snapshot $s has been expired " +
+            "(expireSnapshots) — feed history is retained exactly as long as " +
+            "its snapshots; start from a retained snapshot id", e)
+      }
+    val to = snapAtRetained(toSnapshot)
     val perSnap: Seq[(Long, Seq[String])] =
       ((fromSnapshot + 1) to toSnapshot).map { s =>
-        val sn = if (s == toSnapshot) to else snapshotAt(s)
+        val sn = if (s == toSnapshot) to else snapAtRetained(s)
         s -> sn.commitDeltas.values.flatten.toSeq.sorted
       }
     val fileToSnap: Map[String, Long] = perSnap.flatMap { case (s, fs) =>
       fs.map(f => f.split("/").last -> s) // keyed by unique parquet file name
     }.toMap
-    readDeltas(perSnap.flatMap(_._2), projectTo.getOrElse(to.schema),
-        to.keyColumns, withSourceFile = true)
-      .withColumn("_snapshot",
-        element_at(typedLit(fileToSnap), col("_source_file")))
-      .drop("_source_file")
+    val attributed = readDeltas(perSnap.flatMap(_._2),
+      projectTo.getOrElse(to.schema), to.keyColumns, withSourceFile = true)
+    // Attribution cost matters at scale: element_at on a LITERAL map is a
+    // linear scan per row (ArrayBasedMapData), fine for a micro-batch's
+    // handful of files but O(rows x files) for a long-history read — past a
+    // small threshold, switch to a broadcast hash join (O(1) probe per row).
+    val withSnap =
+      if (fileToSnap.size <= 64)
+        attributed.withColumn("_snapshot",
+          element_at(typedLit(fileToSnap), col("_source_file")))
+      else {
+        val lookup = spark.createDataFrame(fileToSnap.toSeq)
+          .toDF("_source_file", "_snapshot")
+        attributed.join(broadcast(lookup), Seq("_source_file"), "left")
+      }
+    withSnap.drop("_source_file")
   }
 
   /**

@@ -80,6 +80,15 @@ class ChangeFeedSpec extends SparkSpec {
     // the compacted-away-but-feed-referenced delta dirs are NOT orphans
     assert(t.removeOrphans(graceMs = 0L) === 0)
     assert(feedMap(t.changes(1, 2)) === expectedNet(120, 240))
+    // O(changed bytes) pinned at the SCAN level: the feed's input files are
+    // exactly the commit's recorded deltas — never the (larger) compacted
+    // bases the same commit produced, never any other commit's files
+    val scanned = t.changes(1, 2).inputFiles.map(_.split("/").last).toSet
+    val recorded = t.snapshotAt(2).commitDeltas.values.flatten
+      .map(_.split("/").last).toSet
+    assert(scanned === recorded, "feed must scan exactly the commit's delta files")
+    assert(t.changes(1, 2).inputFiles.forall(_.contains("/delta-")),
+      "feed must never read base/compacted files")
   }
 
   test("feed history is GC'd with its snapshots (retention coupling)") {
@@ -93,8 +102,30 @@ class ChangeFeedSpec extends SparkSpec {
     assert(deletedFiles > 0, "expired commits' files must be deleted")
     // the kept snapshot's feed remains intact...
     assert(feedMap(t.changes(2, 3)) === lastFeed)
-    // ...while expired ranges are gone with their snapshots
-    intercept[Exception] { t.changes(0, 1).count() }
+    // ...while expired ranges are gone with their snapshots — and the
+    // failure is TYPED, naming retention, not a raw metadata FileNotFound
+    val ex = intercept[IllegalStateException] { t.changes(0, 1) }
+    assert(ex.getMessage.contains("expired"))
+  }
+
+  test("long-history reads attribute correctly past the broadcast-join threshold") {
+    // >64 referenced delta files forces the attribution off the literal-map
+    // path (linear scan per row) onto the broadcast hash join; both shapes
+    // must attribute identically
+    val t = newTable("feedwide")
+    (0 until 20).foreach { i =>
+      MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(i * 12L, (i + 1) * 12L)))
+    }
+    val nFiles = (1 to 20)
+      .map(s => t.snapshotAt(s).commitDeltas.values.flatten.size).sum
+    assert(nFiles > 64, s"need >64 files to exercise the join path, got $nFiles")
+    val all = t.changes(-1, 20)
+    assert(all.filter(col("_snapshot").isNull).count() === 0,
+      "every feed row must be attributed")
+    (1 to 20).foreach { s =>
+      assert(feedMap(all.filter(col("_snapshot") === s.toLong)) ===
+        expectedNet((s - 1) * 12L, s * 12L), s"snapshot $s attribution")
+    }
   }
 
   test("feed works identically on distributed-manifest snapshots (commitDeltas in the root)") {
