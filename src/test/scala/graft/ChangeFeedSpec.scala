@@ -157,6 +157,51 @@ class ChangeFeedSpec extends SparkSpec {
     assert(feedMap(t.changes(afterFf, afterFf + 1)) === expectedNet(200, 300))
   }
 
+  test("feed torture: random applies, fast-forwards, compaction, then expiration") {
+    // interaction coverage the pairwise tests can't give: a seeded-random
+    // interleaving of real commits and idle fast-forwards on a
+    // compaction-heavy table (maxDeltas=2 folds deltas constantly), ground
+    // truth per snapshot straight from the generator; then retention is
+    // applied and the surviving feed must still match while expired ranges
+    // fail typed
+    val rnd = new scala.util.Random(13)
+    val t = newTable("feedtorture", maxDeltas = 2)
+    var cursor = 0L // generator txn ids consumed so far (lsn = id + 1)
+    val snapNet = scala.collection.mutable.LinkedHashMap[Long, Map[(String, String), (String, Long)]]()
+    (1 to 12).foreach { _ =>
+      if (rnd.nextInt(4) == 0) {
+        // idle fast-forward: upstream lsn advances with no txns for this
+        // table — skip the generator range so ground truth agrees
+        cursor += 5
+        MergeEngine.fastForward(t, cursor) // lsn(cursor-1) = cursor
+        snapNet.getOrElseUpdate(t.currentSnapshot.get.snapshotId, Map.empty)
+        ()
+      } else {
+        val n = 20 + rnd.nextInt(30)
+        MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(cursor, cursor + n)))
+        snapNet(t.currentSnapshot.get.snapshotId) = expectedNet(cursor, cursor + n)
+        cursor += n
+      }
+    }
+    val latest = t.currentSnapshot.get.snapshotId
+    val all = t.changes(-1, latest)
+    assert(all.count() === snapNet.values.map(_.size).sum)
+    snapNet.foreach { case (sid, net) =>
+      assert(feedMap(all.filter(col("_snapshot") === sid)) === net, s"snapshot $sid")
+    }
+    // retention: the kept tail still feeds identically; expired fails typed
+    val keep = 3
+    t.expireSnapshots(keepLast = keep)
+    val oldestKept = latest - keep + 1
+    val tail = t.changes(oldestKept - 1, latest)
+    snapNet.filter(_._1 >= oldestKept).foreach { case (sid, net) =>
+      assert(feedMap(tail.filter(col("_snapshot") === sid)) === net,
+        s"post-expire snapshot $sid")
+    }
+    val ex = intercept[IllegalStateException] { t.changes(-1, latest) }
+    assert(ex.getMessage.contains("expired"))
+  }
+
   test("feed deletes carry null non-key columns; upserts carry the payload") {
     val t = newTable("feedp")
     MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 240)))
