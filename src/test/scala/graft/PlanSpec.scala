@@ -196,4 +196,16 @@ class PlanSpec extends SparkSpec {
       .count(l => l.contains("Exchange hashpartitioning"))
     assert(hashExchanges <= 1, s"$hashExchanges hash exchanges:\n$p")
   }
+
+  test("cdc_change_feed: the feed read is scan+project — no join, no aggregation, no shuffle but output order") {
+    // O(changed bytes) at the PLAN level: attributing rows to snapshots via
+    // the literal map (small ranges) must not introduce joins or shuffles —
+    // the feed is a straight projection over exactly the commit delta files
+    val p = plan("cdc_change_feed")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-ordering exchange in the feed read:\n$p")
+  }
 }
