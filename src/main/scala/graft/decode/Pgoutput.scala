@@ -192,6 +192,17 @@ object Pgoutput {
       case t @ ('O' | 'Y' | 'T') => Skipped(t)
       case t => fail(s"unknown message tag '$t'")
     }
+    // a fully-parsed message must consume its bytes exactly: a valid
+    // prefix followed by garbage is framing/version drift, the same class
+    // as truncation — accepting it silently would mask exactly what the
+    // other guards exist to surface. (Skipped messages — Origin/Type/
+    // Truncate — are exempt: their bodies are intentionally unconsumed.)
+    inner match {
+      case Skipped(_) => ()
+      case _ if buf.hasRemaining =>
+        fail(s"${buf.remaining()} trailing bytes after '$tag' message")
+      case _ => ()
+    }
     streamedXid.fold(inner)(Streamed(_, inner))
     } catch {
       case _: java.nio.BufferUnderflowException => fail("truncated message")
@@ -330,6 +341,17 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
     relations.getOrElse(id, throw new Pgoutput.MalformedPgoutputException(
       s"DML for relation $id before its Relation message"))
 
+  /** A tuple whose arity disagrees with the cached Relation is stale or
+    * corrupted relation state (a dropped re-sent Relation after ALTER
+    * TABLE, codec drift). zip would TRUNCATE silently — a row missing its
+    * newest column, or a wrongly-keyed update (the lesson-14
+    * silent-row-identity class). Fail typed like every other framing
+    * violation. */
+  private def checkArity(r: Relation, t: IndexedSeq[TupleValue]): Unit =
+    if (r.columns.length != t.length)
+      fail(s"tuple arity ${t.length} != relation ${r.name} arity " +
+        s"${r.columns.length} — stale or corrupted relation state")
+
   private def renderValue(c: RelationColumn, v: String): String =
     if (c.typeOid == 114 || c.typeOid == 3802) v // json/jsonb: wal2json
       // embeds the value as RAW nested JSON, never a quoted string (the
@@ -376,10 +398,13 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
   private def renderDml(m: Message): String = m match {
     case Insert(oid, nt) =>
       val r = rel(oid)
+      checkArity(r, nt)
       s"""{"kind":"insert","schema":"${esc(r.namespace)}",""" +
         s""""table":"${esc(r.name)}",${newTupleArrays(r, nt)}}"""
     case Update(oid, _, old, nt) =>
       val r = rel(oid)
+      checkArity(r, nt)
+      old.foreach(checkArity(r, _))
       // no old tuple on the wire = key unchanged: wal2json still prints
       // oldkeys (the identity), recoverable from the NEW tuple's key
       // columns — UNLESS a key column arrived as unchanged-TOAST, whose
@@ -397,6 +422,7 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
         s""""table":"${esc(r.name)}",${newTupleArrays(r, nt)},${oldKeys(r, oldT)}}"""
     case Delete(oid, _, old) =>
       val r = rel(oid)
+      checkArity(r, old)
       s"""{"kind":"delete","schema":"${esc(r.namespace)}",""" +
         s""""table":"${esc(r.name)}",${oldKeys(r, old)}}"""
     case other => fail(s"not a DML message: $other")
@@ -476,9 +502,24 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
     }
 
   /** Releases any spilled in-flight streamed-transaction state. */
-  def close(): Unit = {
+  /** Drop ALL in-flight decode state — open transaction, open stream
+    * segment, spools, and cached relations. Required before (re)attaching
+    * to a replication stream: the slot redelivers everything past
+    * confirmed-flush from transaction START, so a leftover `inTxn` from a
+    * partially-consumed transaction would make the redelivered Begin a
+    * framing violation (misclassifying a healthy reconnect as a permanent
+    * DataError). Relations are dropped too — pgoutput re-sends Relation
+    * messages per connection before first use. Duplicated lines downstream
+    * are absorbed by the LSN watermark gate. */
+  def reset(): Unit = {
+    xid = -1L
+    inTxn = false
+    changes.clear()
     spools.valuesIterator.foreach(_.close())
     spools.clear()
     streamXid = None
+    relations.clear()
   }
+
+  def close(): Unit = reset()
 }

@@ -106,6 +106,17 @@ final class JdbcReplicationConnector(
     }
 
   override def openStream(): Unit = mapped {
+    // release a previous handle first — a broken stream still HOLDS the
+    // slot until closed (the server would reject the reopen as slot-busy)
+    if (stream != null) {
+      try stream.close() catch { case _: Exception => () }
+      stream = null
+    }
+    // a (re)opened stream redelivers from confirmed-flush at transaction
+    // START — leftover transcoder state from a partially-consumed txn
+    // would make the redelivered Begin a framing violation (a healthy
+    // reconnect misclassified as a permanent DataError)
+    pgoutputTranscoder.foreach(_.reset())
     stream = shim.startStream(slot.slotName, slot.slotOptions,
       slot.statusIntervalMs)
   }
@@ -131,8 +142,14 @@ final class JdbcReplicationConnector(
           buf.get(bytes)
           // getLastReceiveLSN after a successful read is the position of
           // the message just read (pgjdbc advances it on receipt)
-          WalChunk(stream.getLastReceiveLSN(),
-            new String(bytes, StandardCharsets.UTF_8))
+          val lsn = stream.getLastReceiveLSN()
+          // REAL wal2json carries no top-level "lsn" (the position is
+          // protocol-side); the engine's envelope requires it in-band —
+          // splice it in unless the payload already has one (synthetic
+          // endpoint / transcoder lines do). Without this, every live
+          // wal2json line is malformed downstream.
+          WalChunk(lsn, WalEnvelope.ensureLsn(
+            new String(bytes, StandardCharsets.UTF_8), lsn))
         }
       case Some(transcoder) =>
         // one WalChunk per committed TRANSACTION: pump binary messages
@@ -244,20 +261,32 @@ final class PgjdbcShim(conn: ConnectionConfig) extends PgReplicationShim {
       extends PgReplicationStreamShim {
     private val lsnClass = loadClass("org.postgresql.replication.LogSequenceNumber")
     private val valueOf = lsnClass.getMethod("valueOf", classOf[Long])
+    private val lsnAsLong = lsnClass.getMethod("asLong")
     private def lsnOf(v: Long): AnyRef = valueOf.invoke(null, Long.box(v))
     private def asLong(lsn: AnyRef): Long =
-      lsnClass.getMethod("asLong").invoke(lsn).asInstanceOf[Long]
+      lsnAsLong.invoke(lsn).asInstanceOf[Long]
+
+    // Method objects resolved ONCE: readPending/getLastReceiveLSN run once
+    // per chunk on the ingest hot loop — a fresh getMethod scan plus a
+    // setAccessible attempt per call is pure per-chunk overhead
+    private val mReadPending = resolve(stream, "readPending")
+    private val mLastReceive = resolve(stream, "getLastReceiveLSN")
+    private val mSetApplied = resolve(stream, "setAppliedLSN", lsnClass)
+    private val mSetFlushed = resolve(stream, "setFlushedLSN", lsnClass)
+    private val mForceStatus = resolve(stream, "forceUpdateStatus")
+    private val mClose = resolve(stream, "close")
 
     override def readPending(): ByteBuffer =
-      call(stream, "readPending").asInstanceOf[ByteBuffer]
+      unwrapping(mReadPending.invoke(stream)).asInstanceOf[ByteBuffer]
     override def getLastReceiveLSN(): Long =
-      asLong(call(stream, "getLastReceiveLSN"))
+      asLong(unwrapping(mLastReceive.invoke(stream)))
     override def setAppliedLSN(lsn: Long): Unit =
-      { invoke(stream, "setAppliedLSN", Seq(lsnClass), Seq(lsnOf(lsn))); () }
+      { unwrapping(mSetApplied.invoke(stream, lsnOf(lsn))); () }
     override def setFlushedLSN(lsn: Long): Unit =
-      { invoke(stream, "setFlushedLSN", Seq(lsnClass), Seq(lsnOf(lsn))); () }
-    override def forceUpdateStatus(): Unit = { call(stream, "forceUpdateStatus"); () }
-    override def close(): Unit = { call(stream, "close"); () }
+      { unwrapping(mSetFlushed.invoke(stream, lsnOf(lsn))); () }
+    override def forceUpdateStatus(): Unit =
+      { unwrapping(mForceStatus.invoke(stream)); () }
+    override def close(): Unit = { unwrapping(mClose.invoke(stream)); () }
   }
 }
 
@@ -278,12 +307,16 @@ object PgjdbcShim {
     * package-private implementations of public interfaces, so the Method
     * object may need accessibility forced — classpath code, no module
     * seal). */
-  private def invoke(target: AnyRef, method: String,
-                     types: Seq[Class[_]], args: Seq[AnyRef]): AnyRef = {
+  private def resolve(target: AnyRef, method: String,
+                      types: Class[_]*): java.lang.reflect.Method = {
     val m = target.getClass.getMethod(method, types: _*)
     try m.setAccessible(true) catch { case _: Exception => () }
-    unwrapping(m.invoke(target, args: _*))
+    m
   }
+
+  private def invoke(target: AnyRef, method: String,
+                     types: Seq[Class[_]], args: Seq[AnyRef]): AnyRef =
+    unwrapping(resolve(target, method, types: _*).invoke(target, args: _*))
 
   private def call(target: AnyRef, method: String): AnyRef =
     invoke(target, method, Nil, Nil)

@@ -3,7 +3,9 @@ package graft.sources.replication
 import org.apache.hadoop.conf.Configuration
 import graft.sources.WalStager
 
-/** What one pump observed: chunks staged, segments published, last acked. */
+/** CUMULATIVE ingest totals over this instance's lifetime (every pump()
+  * returns the running totals, not a per-pump delta): chunks staged,
+  * segments published, last acked LSN. */
 final case class IngestStats(chunks: Long, segments: Long, ackedLsn: Long)
 
 /**
@@ -115,10 +117,19 @@ final class ReplicationIngest(
     IngestStats(chunks, stager.publishedSegments, ackedLsn)
   }
 
-  /** Publish any tail and release the slot. */
+  /** Publish any tail and release the slot. Each step is individually
+    * best-effort: a dead stream must not abort the later cleanups (a
+    * failed ack would otherwise leave the stager's .tmp file behind and
+    * the connector's resources held — the slot redelivers anything
+    * unacked, so skipping a final ack is safe; skipping close is a leak).
+    * The first failure is rethrown AFTER all cleanups ran. */
   def close(): Unit = {
-    publishAndAck()
-    stager.close()
-    connector.close()
+    var first: Throwable = null
+    def attempt(step: => Unit): Unit =
+      try step catch { case e: Exception => if (first == null) first = e }
+    attempt(publishAndAck())
+    attempt(stager.close())
+    attempt(connector.close())
+    if (first != null) throw first
   }
 }

@@ -30,12 +30,16 @@ import graft.streaming.{CdcPipeline, TableTarget}
  */
 final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
                          plugin: String = "wal2json",
-                         protoVersion: Int = 1) {
+                         protoVersion: Int = 1,
+                         realWal2Json: Boolean = false) {
   @volatile var nTxns: Long = initialTxns
   /** startStream attempts that fail 55006 before succeeding. */
   @volatile var busyStarts: Int = 0
   /** readPending calls that fail 57P03. */
   @volatile var recoveryReads: Int = 0
+  /** successful reads to serve before ONE mid-stream 57P03 (-1 = never) —
+    * lands a failure INSIDE a transaction's message sequence. */
+  @volatile var failAfterReads: Int = -1
   /** WAL beyond the last deliverable chunk (other tables, vacuum, ...). */
   @volatile var keepalivePadding: Long = 0L
 
@@ -157,6 +161,12 @@ final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
         throw new SQLException(
           "the database system is in recovery mode", "57P03")
       }
+      if (failAfterReads == 0) {
+        failAfterReads = -1
+        throw new SQLException(
+          "the database system is in recovery mode", "57P03")
+      }
+      if (failAfterReads > 0) failAfterReads -= 1
       if (plugin == "pgoutput") {
         if (msgQueue.isEmpty) {
           if (cursor >= nTxns) {
@@ -177,8 +187,13 @@ final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
         val t = ChangeStreamGen.txn(genCfg, cursor)
         cursor += 1
         lastReceive = t.lsn
-        ByteBuffer.wrap(
-          ChangeStreamGen.renderLine(genCfg, t).getBytes("UTF-8"))
+        val line = ChangeStreamGen.renderLine(genCfg, t)
+        // realWal2Json: what an actual wal2json plugin emits — NO top-level
+        // lsn (the position travels on the replication protocol only)
+        val payload =
+          if (realWal2Json) line.replaceFirst("^\\{\"lsn\":\\d+,", "{")
+          else line
+        ByteBuffer.wrap(payload.getBytes("UTF-8"))
       }
     }
 
@@ -282,6 +297,71 @@ class JdbcReplicationSpec extends SparkSpec {
     c.ack(10L)
     assert(server.confirmedFlushLsn("graft_slot") === 10L,
       "ack must setFlushed AND force the update out")
+    c.close()
+  }
+
+  test("WalEnvelope splices the stream lsn only when the top level lacks one") {
+    import graft.sources.replication.WalEnvelope
+    // nested "lsn" members (inside change objects) must NOT count
+    assert(WalEnvelope.ensureLsn("""{"xid":7,"change":[{"lsn":99}]}""", 5L) ===
+      """{"lsn":5,"xid":7,"change":[{"lsn":99}]}""")
+    val withLsn = """{"lsn":3,"xid":7,"change":[]}"""
+    assert(WalEnvelope.ensureLsn(withLsn, 5L) eq withLsn,
+      "a pre-enveloped payload must pass through byte-identical")
+    assert(WalEnvelope.ensureLsn("{}", 5L) === """{"lsn":5}""")
+    val garbage = "not json"
+    assert(WalEnvelope.ensureLsn(garbage, 5L) eq garbage,
+      "malformed payloads are strict decode's job, not the splice's")
+  }
+
+  test("REAL wal2json (no in-band lsn) stages correctly via envelope splicing") {
+    // an actual wal2json plugin emits {"xid":N,"change":[...]} — the WAL
+    // position travels on the replication protocol, never in the JSON.
+    // Without the splice, every live line is malformed downstream (the
+    // synthetic endpoint masked this by injecting lsn itself).
+    val n = 50L
+    val server = new FakePgServer(genCfg, n, realWal2Json = true)
+    val walDir = tmpDir("jdbc-wal-real")
+    val ingest = new ReplicationIngest(connector(server), walDir, hconf,
+      slotCfg, flushChunks = 20L)
+    ingest.start()
+    val stats = ingest.pump()
+    ingest.close()
+    assert(stats.chunks === n)
+    // the splice reconstructs EXACTLY the canonical envelope: staged bytes
+    // equal the synthetic renderer's output line-for-line
+    val staged = WalSource.listSegments(walDir).sorted
+      .flatMap(s => scala.io.Source.fromFile(
+        new java.io.File(walDir, s)).getLines().toList)
+    val canonical = (0L until n)
+      .map(id => ChangeStreamGen.renderLine(genCfg, ChangeStreamGen.txn(genCfg, id)))
+    assert(staged === canonical)
+    // and the staged WAL applies to the oracle state
+    val applied = applyStaged(walDir)
+    assert(applied === ChangeStreamGen.expectedFinalState(genCfg, n)
+      .map { case (k, ch) => k -> (ch.commit, sha256(ch.content)) })
+  }
+
+  test("pgoutput stream reopen after a mid-transaction failure redelivers cleanly") {
+    val server = new FakePgServer(genCfg, 3L, plugin = "pgoutput")
+    val slot = SlotConfig("graft_slot", outputPlugin = "pgoutput",
+      slotBusyRetrySleepMs = 0L)
+    val c = new JdbcReplicationConnector(conn, slot, () => server.shim())
+    c.createSlotIfAbsent()
+    c.openStream()
+    assert(c.readPending().isDefined) // txn 1 transcoded whole
+    // fail INSIDE txn 2's message sequence (Begin consumed, Commit never):
+    // the transcoder is left mid-transaction
+    server.failAfterReads = 2
+    intercept[RecoveryModeException] { c.readPending() }
+    // reconnect: the slot redelivers from confirmed-flush, i.e. txn 1's
+    // BEGIN again — without the openStream transcoder reset this fails
+    // MalformedPgoutputException("Begin ... inside an open transaction"),
+    // misclassifying a healthy recovery as a permanent DataError
+    c.openStream()
+    val lines = Iterator.continually(c.readPending())
+      .takeWhile(_.isDefined).map(_.get).toList
+    assert(lines.size === 3, "full redelivery (nothing was acked)")
     c.close()
   }
 

@@ -75,6 +75,32 @@ class PgoutputSpec extends SparkSpec {
     intercept[MalformedPgoutputException] { t2.feed(Pgoutput.write(Begin(2, 0, 2))) }
   }
 
+  test("arity mismatches and trailing bytes fail typed, never truncate silently") {
+    // a tuple whose arity disagrees with the cached Relation (stale
+    // relation state after a dropped re-sent Relation): zip would silently
+    // drop the extra column — a row missing its newest column, or a
+    // wrongly-keyed update (the lesson-14 class)
+    val rel1 = Relation(9, "public", "t", 'd'.toByte,
+      IndexedSeq(RelationColumn(1, "id", 23, -1)))
+    val t = new PgoutputTranscoder
+    t.feed(Pgoutput.write(Begin(1, 0, 1)))
+    t.feed(Pgoutput.write(rel1))
+    val twoValues = Insert(9, IndexedSeq(TextValue("1"), TextValue("extra")))
+    val ex = intercept[MalformedPgoutputException] {
+      t.feed(Pgoutput.write(twoValues))
+    }
+    assert(ex.getMessage.contains("arity"))
+    // a valid message followed by garbage bytes (framing/version drift):
+    // accepting the prefix silently would mask exactly what the other
+    // guards exist to surface
+    val begin = Pgoutput.write(Begin(1, 0, 1))
+    intercept[MalformedPgoutputException] {
+      Pgoutput.parse(begin :+ 0x7f.toByte)
+    }
+    // Skipped messages (Origin/Type/Truncate) keep their unconsumed bodies
+    assert(Pgoutput.parse(Array[Byte]('O', 1, 2, 3)) === Skipped('O'))
+  }
+
   test("type OIDs render the SQL names wal2json prints") {
     assert(Pgoutput.typeName(25, -1) === "text")
     assert(Pgoutput.typeName(20, -1) === "bigint")
