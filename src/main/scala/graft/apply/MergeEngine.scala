@@ -196,6 +196,13 @@ object MergeEngine {
     // 2. Exactly-once gate: drop events at or below their bucket's watermark.
     val wmCol =
       if (snap.bucketWatermarks.isEmpty) lit(-1L)
+      else if (snap.bucketWatermarks.size == snap.nBuckets &&
+        snap.bucketWatermarks.values.toSet.size == 1)
+        // uniform full-coverage watermarks (the shape every rebucket
+        // commit leaves behind): one literal instead of an O(buckets)
+        // map literal in the plan. Full coverage is required — a bucket
+        // ABSENT from the map gates at -1, not at the common value.
+        lit(snap.bucketWatermarks.values.head)
       else {
         val m = map(snap.bucketWatermarks.toSeq.sortBy(_._1)
           .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
@@ -466,12 +473,11 @@ object MergeEngine {
                            withTypes: Boolean): Array[org.apache.spark.sql.Row] = {
     val df = table.spark.read.parquet(s"${table.root}/data/$commitDir")
       .withColumn("_file", element_at(split(input_file_name(), "/"), -1))
-    val keyAggs = keyCols.flatMap(k => Seq(
+    val keyAggs = Seq(count(lit(1)).as("keys")) ++ keyCols.flatMap(k => Seq(
       min(col(k)).cast("string").as(s"__min_$k"),
       max(col(k)).cast("string").as(s"__max_$k")))
     val aggs =
       if (withTypes) Seq(
-        count(lit(1)).as("keys"),
         sum(when(col("_kind") === "insert", 1L).otherwise(0L)).as("ins"),
         sum(when(col("_kind") === "update", 1L).otherwise(0L)).as("upd"),
         sum(when(col("_kind") === "delete", 1L).otherwise(0L)).as("del"),
@@ -513,5 +519,102 @@ object MergeEngine {
     else table.commit(
       snap.copy(lsnHighWatermark = toLsn, commitDeltas = Map.empty),
       snap.snapshotId, prev = Some(snap))
+  }
+
+  /**
+   * BUCKET-COUNT EVOLUTION: rewrite the table's fully-merged state under a
+   * new bucket count, as one fenced commit. The bucket count chosen at
+   * creation sizes the unit of merge/compaction work; after the table grows
+   * 100x, those buckets are 100x too big (stragglers in the local merge,
+   * huge compaction rewrites) — and too MANY buckets on a small table pays
+   * per-bucket metadata for nothing. The reference has no analog (its
+   * shard count is Kinesis-side resharding); this is the lake-side
+   * equivalent of Iceberg's bucket-partition spec evolution, except old
+   * snapshots stay readable under their own bucket count (each snapshot
+   * records its `nBuckets`, and every read/lookup path resolves bucketing
+   * through the snapshot it reads).
+   *
+   * Concurrency: fenced like any commit — a concurrent apply advances the
+   * snapshot and this retries on the fresh state (the rewrite re-runs; the
+   * apply path never blocks behind it). Streaming writers follow
+   * automatically: [[applyBatch]] re-reads the current snapshot per batch.
+   *
+   * WATERMARK EXACTNESS (the subtle invariant): base rows carry no LSN
+   * (the merged view reads them as -1), so a replayed event that slips past
+   * the gate is written as a delta and REGRESSES the row to its older value
+   * — post-rebucket watermarks must therefore be EXACT, not conservative.
+   * Every new bucket gets the global `lsnHighWatermark`: the stream is
+   * consumed in LSN order with atomic cross-bucket commits (and idle
+   * fast-forward only confirms delivered-through positions — CLAUDE.md
+   * lesson 15), so an event is already applied IFF its lsn <= that global
+   * watermark, for every key, under any bucketing. The map covers ALL new
+   * buckets including empty ones — a deleted key's replayed insert must
+   * still gate against the watermark, or it would resurrect.
+   *
+   * The change feed skips the rebucket commit (`commitDeltas` empty — no
+   * logical changes; lesson 24), so streaming feed consumers and mirrors
+   * pass over it as a zero-row batch. Cumulative per-bucket lineage resets
+   * (old bucket ids no longer mean anything); history stays time-travelable
+   * in prior snapshots.
+   */
+  def rebucket(table: LakeTable, newBuckets: Int): Snapshot = {
+    require(newBuckets > 0, s"bucket count must be positive: $newBuckets")
+    var attempt = 0
+    while (true) {
+      val snap = table.currentSnapshot.getOrElse(
+        throw new IllegalStateException("table must be created before rebucket"))
+      if (snap.nBuckets == newBuckets) return snap
+      try return rebucketOnce(table, snap, newBuckets)
+      catch {
+        case _: CommitConflictException if attempt < 5 =>
+          attempt += 1 // concurrent writer advanced the table: re-read, retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def rebucketOnce(table: LakeTable, snap: Snapshot,
+                           newBuckets: Int): Snapshot = {
+    val keyCols = snap.keyColumns
+    val newId = snap.snapshotId + 1
+    // One shuffle on the NEW bucket id over the fully-merged state (pinned
+    // to this snapshot — the fence rejects the commit if anything moved),
+    // key-sorted within buckets so per-file key-range stats prune reads.
+    val rows = table.read(asOfSnapshot = Some(snap.snapshotId))
+      .withColumn("_bucket", table.bucketExpr(keyCols, newBuckets))
+      .repartition(col("_bucket"))
+      .sortWithinPartitions(keyCols.map(col): _*)
+    val dir = table.newCommitDirName(newId, "rebucket")
+    try {
+      val (written, bytes) = table.writeBucketedSized(rows, dir)
+      // an empty table rewrites to no files (parquet leaves only _SUCCESS)
+      val fileRows =
+        if (written.values.forall(_.isEmpty))
+          Array.empty[org.apache.spark.sql.Row]
+        else fileStatsJob(table, dir, keyCols, withTypes = false)
+      val rowCount = fileRows.map(_.getAs[Long]("keys")).sum
+      val next = snap.copy(
+        nBuckets = newBuckets,
+        bucketFiles = written.filter(_._2.nonEmpty),
+        bucketDeltas = Map.empty,
+        bucketWatermarks =
+          (0 until newBuckets).map(_ -> snap.lsnHighWatermark).toMap,
+        bucketLineage = Map.empty,
+        lineage = Map(
+          "rebucketedFrom" -> snap.nBuckets.toLong,
+          "rebucketedTo" -> newBuckets.toLong,
+          "rows" -> rowCount),
+        fileStats = perFileKeyRanges(fileRows, dir, keyCols),
+        fileBytes = bytes,
+        commitDeltas = Map.empty, // no logical changes — the feed skips this
+        bucketManifests = Map.empty) // commit() recomputes in manifest mode
+      table.commit(next, expectedSnapshotId = snap.snapshotId,
+        prev = Some(snap))
+    } catch {
+      // a lost race or failed stats job must not leak the attempt's files
+      case e: Throwable =>
+        table.deleteDataDir(dir)
+        throw e
+    }
   }
 }

@@ -63,6 +63,9 @@ object Main {
       "table-root" -> (true, "lake table root directory"),
       "keep-last" -> (false, "snapshots to retain (default 5)"),
       "orphan-grace-ms" -> (false, "also sweep unreferenced data dirs older than this")),
+    "rebucket" -> Map(
+      "table-root" -> (true, "lake table root directory"),
+      "buckets" -> (true, "new primary-key hash bucket count (table grew/shrank past its layout — one fenced full-rewrite commit; old snapshots stay readable under their own count)")),
     "lookup" -> Map(
       "table-root" -> (true, "lake table root directory"),
       "key" -> (true, "primary key as col=value[,col=value...] (all key columns)")),
@@ -393,6 +396,21 @@ object Main {
         val orphans = kv.get("orphan-grace-ms")
           .map(g => t.removeOrphans(g.toLong)).getOrElse(0)
         println(s"""{"expired_snapshots":$snaps,"deleted_files":$files,"orphan_dirs":$orphans}""")
+
+      case "rebucket" =>
+        // bucket-count evolution: one fenced commit rewriting the merged
+        // state under the new count; streaming writers follow automatically
+        // (applyBatch re-reads the snapshot per batch), the change feed
+        // skips the commit (no logical changes)
+        val t = new LakeTable(spark, kv("table-root"))
+        val before = t.currentSnapshot.getOrElse(
+          throw new IllegalArgumentException(s"no table at ${kv("table-root")}"))
+        val t0 = System.nanoTime()
+        val snap = graft.apply.MergeEngine.rebucket(t, kv("buckets").toInt)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(s"""{"fromBuckets":${before.nBuckets},""" +
+          s""""toBuckets":${snap.nBuckets},"snapshotId":${snap.snapshotId},""" +
+          s""""rows":${snap.lineage.getOrElse("rows", -1L)},"seconds":$secs}""")
 
       case "lookup" =>
         // Point lookup through bucket + per-file key-range pruning: prints

@@ -284,6 +284,31 @@ object CdcQueries {
        |      FROM events) WHERE rn = 1 AND $kindSql <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** BUCKET-COUNT EVOLUTION through the REAL engine: the events WAL
+    * applied in two commits with a [[graft.apply.MergeEngine.rebucket]]
+    * (8 -> 16) between them, PLUS a full-prefix crash replay right after
+    * the rebucket — which must no-op against the exact post-rebucket
+    * watermarks (base rows carry no LSN, so a leaked replay event would
+    * REGRESS its row to the older value, and a deleted key would
+    * resurrect). Output is the final merged state; the oracle is the
+    * plain relational keep-last non-deleted state, so any watermark leak
+    * or bucket misroute fails the compare. */
+  def rebucketState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val split = events(spark, dir).agg(max(col("event_id"))).head().getLong(0) / 2
+    val t = new graft.lake.LakeTable(spark,
+      graft.util.TempDirs.scratch("graft-cdc-rebucket"))
+    t.create(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType))), Seq("user_id"), nBuckets = 8)
+    val decoded = ChangeDecoder.decode(walLines(spark, dir))
+    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") <= split))
+    graft.apply.MergeEngine.rebucket(t, 16)
+    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") <= split))
+    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") > split))
+    t.read().select(col("user_id"), col("value")).orderBy("user_id")
+  }
+
   /** Per-batch lineage metrics (north rule: per-partition lineage). */
   def lineageStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -364,6 +389,9 @@ object CdcQueries {
     "cdc_change_feed" -> (changeFeed _, changeFeedSql),
     "cdc_change_feed_streamed" -> (changeFeedStreamed _, changeFeedSql),
     "cdc_feed_mirror" -> (feedMirror _, feedMirrorSql),
+    // rebucket converges to the SAME final state as a straight apply, so
+    // its oracle is the mirror query's keep-last non-deleted state
+    "cdc_rebucket" -> (rebucketState _, feedMirrorSql),
     "cdc_lineage_stats" -> (lineageStats _, lineageStatsSql),
     "cdc_bucket_watermarks" -> (bucketWatermarks _, bucketWatermarksSql),
     "cdc_txn_elision" -> (txnElision _, txnElisionSql),
