@@ -578,12 +578,20 @@ object MergeEngine {
     val keyCols = snap.keyColumns
     val newId = snap.snapshotId + 1
     // One shuffle on the NEW bucket id over the fully-merged state (pinned
-    // to this snapshot — the fence rejects the commit if anything moved),
-    // key-sorted within buckets so per-file key-range stats prune reads.
+    // to this snapshot — the fence rejects the commit if anything moved).
+    // Parallelism scales with the TARGET bucket count, not the session's
+    // shuffle-partition setting: growing a 10^10-row table to 4096 buckets
+    // through 32 reducers would bottleneck the whole rewrite on 32 tasks.
+    // The within-partition sort leads with _bucket so the dynamic-partition
+    // writer sees its required ordering already satisfied (no second,
+    // key-order-destroying sort) and each bucket's file comes out
+    // key-sorted for read-side range pruning.
+    val shufflePartitions = math.max(newBuckets,
+      table.spark.sessionState.conf.numShufflePartitions)
     val rows = table.read(asOfSnapshot = Some(snap.snapshotId))
       .withColumn("_bucket", table.bucketExpr(keyCols, newBuckets))
-      .repartition(col("_bucket"))
-      .sortWithinPartitions(keyCols.map(col): _*)
+      .repartition(shufflePartitions, col("_bucket"))
+      .sortWithinPartitions((col("_bucket") +: keyCols.map(col)).toIndexedSeq: _*)
     val dir = table.newCommitDirName(newId, "rebucket")
     try {
       val (written, bytes) = table.writeBucketedSized(rows, dir)
