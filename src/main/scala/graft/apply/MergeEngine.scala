@@ -559,6 +559,14 @@ object MergeEngine {
    */
   def rebucket(table: LakeTable, newBuckets: Int): Snapshot = {
     require(newBuckets > 0, s"bucket count must be positive: $newBuckets")
+    // sanity ceiling: the snapshot ROOT is O(buckets) (watermark map,
+    // manifest pointers) and is rewritten every commit — a fat-fingered
+    // count would permanently bloat all later metadata (and a huge one
+    // OOMs the driver building the watermark map before any fence could
+    // reject it). 2^20 is far above any defensible layout (at 256 MiB
+    // per bucket that is a quarter-petabyte table) and far below harm.
+    require(newBuckets <= (1 << 20),
+      s"bucket count $newBuckets exceeds the 2^20 sanity ceiling")
     var attempt = 0
     while (true) {
       val snap = table.currentSnapshot.getOrElse(

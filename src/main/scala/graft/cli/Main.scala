@@ -408,9 +408,14 @@ object Main {
         val t0 = System.nanoTime()
         val snap = graft.apply.MergeEngine.rebucket(t, kv("buckets").toInt)
         val secs = (System.nanoTime() - t0) / 1e9
+        // a same-count call is a no-op (no commit): say so instead of
+        // printing the previous commit's unrelated lineage as "rows"
+        val detail =
+          if (snap.snapshotId == before.snapshotId) """"noop":true"""
+          else s""""rows":${snap.lineage.getOrElse("rows", -1L)}"""
         println(s"""{"fromBuckets":${before.nBuckets},""" +
           s""""toBuckets":${snap.nBuckets},"snapshotId":${snap.snapshotId},""" +
-          s""""rows":${snap.lineage.getOrElse("rows", -1L)},"seconds":$secs}""")
+          s"""$detail,"seconds":$secs}""")
 
       case "lookup" =>
         // Point lookup through bucket + per-file key-range pruning: prints

@@ -118,10 +118,16 @@ class RebucketSpec extends SparkSpec {
     // the rebucket commit contributes ZERO feed rows (no logical changes)
     assert(t.changes(preId, rebucketId).count() === 0L)
     // and a feed range spanning it delivers exactly the later commits'
-    // changes — same keys as a range starting after the rebucket
-    val spanning = t.changes(preId, t.currentSnapshot.get.snapshotId)
-    val after = t.changes(rebucketId, t.currentSnapshot.get.snapshotId)
-    assert(spanning.count() === after.count())
+    // change SET — identical (key, lsn, snapshot) tuples as a range
+    // starting after the rebucket (a count-only compare would let N
+    // re-delivered rows mask N attribution losses)
+    def feedSet(from: Long) =
+      t.changes(from, t.currentSnapshot.get.snapshotId)
+        .select(col("repo"), col("path"), col("_lsn"), col("_snapshot"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+    assert(feedSet(preId) === feedSet(rebucketId))
+    assert(feedSet(preId).nonEmpty)
 
     // point lookups route through the new bucketing
     val (k, _) = expected(nTxns).head
