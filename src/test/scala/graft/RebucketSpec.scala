@@ -150,6 +150,36 @@ class RebucketSpec extends SparkSpec {
     assert(state(t) === expected(nTxns))
   }
 
+  test("torture: random apply/replay/rebucket interleavings converge to the oracle") {
+    // the adversarial schedule for the watermark-exactness invariant:
+    // arbitrary batch boundaries, arbitrary REPLAYS of already-applied
+    // ranges (crash redelivery can resend any suffix), and rebuckets to
+    // arbitrary counts between any two of them — state must track the
+    // sequential oracle at every step
+    val rnd = new scala.util.Random(4242)
+    for (round <- 1 to 2) {
+      val t = newTable()
+      var applied = 0L
+      while (applied < nTxns) {
+        val step = 1 + rnd.nextInt(80)
+        val until = math.min(nTxns, applied + step)
+        applyRange(t, applied, until)
+        applied = until
+        rnd.nextInt(4) match {
+          case 0 => // rebucket to a random count
+            MergeEngine.rebucket(t, 1 + rnd.nextInt(24))
+          case 1 if applied > 1 => // replay a random already-applied range
+            val from = rnd.nextLong(applied)
+            val stats = applyRange(t, from, applied)
+            assert(stats.appliedKeys === 0L,
+              s"replay of [$from,$applied) applied rows (round $round)")
+          case _ => ()
+        }
+      }
+      assert(state(t) === expected(nTxns), s"divergence in round $round")
+    }
+  }
+
   test("a mirror consuming the feed replicates across a source rebucket") {
     val src = newTable()
     applyRange(src, 0, 150)
