@@ -353,45 +353,8 @@ object MergeEngine {
           (snap.bucketFiles, deltasAfter,
             Map.empty[String, Map[String, (String, String)]],
             Map.empty[String, Long])
-        else {
-          val compactBuckets = toCompact.toSeq.sorted
-          // Exchange-free compaction: the shuffle-free per-bucket merge
-          // already emits ONE partition per bucket with rows in key order,
-          // so partitionBy("_bucket") writes exactly one KEY-SORTED file
-          // per compacted bucket — no repartition, no extra sort. (The old
-          // shuffle formulation scattered each bucket across all shuffle
-          // partitions: P small files per bucket per compaction.) Past the
-          // plan-size guard, fall back to the shuffle merge + repartition.
-          val mergedRows =
-            if (compactBuckets.size <= table.maxLocalMergeBuckets)
-              table.mergedViewLocal(schema, keyCols, snap.renameMap,
-                compactBuckets.map(b => (snap.bucketFiles.getOrElse(b, Nil),
-                  deltasAfter.getOrElse(b, Nil))))
-                .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
-            else
-              table.mergedView(schema, keyCols, snap.renameMap,
-                compactBuckets.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
-                compactBuckets.flatMap(b => deltasAfter.getOrElse(b, Nil)))
-                .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
-                .repartition(col("_bucket"))
-                .sortWithinPartitions(keyCols.map(col): _*)
-          val compactDir = table.newCommitDirName(newId, "compact")
-          attemptDirs += compactDir
-          val (w, cBytes) = table.writeBucketedSized(mergedRows, compactDir)
-          val newBase = snap.bucketFiles ++
-            toCompact.map(b => b -> w.getOrElse(b, Nil)).toMap
-          // per-file key ranges for the fresh base files (small job over
-          // the just-written, footer-cached compaction output). A compaction
-          // whose every key was deleted writes NO parquet files (only a
-          // _SUCCESS marker) — there is nothing to read stats from.
-          val compactRows =
-            if (w.values.forall(_.isEmpty)) Array.empty[org.apache.spark.sql.Row]
-            else fileStatsJob(table, compactDir, keyCols, withTypes = false)
-          (newBase.filter(_._2.nonEmpty), // a fully-deleted bucket vanishes
-            deltasAfter ++ toCompact.map(b => b -> Seq.empty[String]).toMap,
-            perFileKeyRanges(compactRows, compactDir, keyCols),
-            cBytes)
-        }
+        else compactWrite(table, snap, newId, schema, deltasAfter, toCompact,
+          dir => attemptDirs += dir)
       val bucketWatermarks = snap.bucketWatermarks ++
         perBucketMax.map { case (b, w) =>
           b -> math.max(w, snap.bucketWatermarks.getOrElse(b, -1L))
@@ -458,6 +421,119 @@ object MergeEngine {
       // snapshot and would otherwise accumulate unbounded across retries.
       case e: Throwable =>
         attemptDirs.foreach(table.deleteDataDir)
+        throw e
+    }
+  }
+
+  /** Rewrite `toCompact` buckets' base+deltas to fresh key-sorted base
+    * files under commit `newId` — the shared write half of both the
+    * inline (size-tiered, within-apply) compaction and the standalone
+    * [[compactAll]] maintenance pass. `registerDir` is invoked with the
+    * attempt directory BEFORE any file is written, so the caller's
+    * failure path can always clean it up.
+    *
+    * Exchange-free compaction: the shuffle-free per-bucket merge already
+    * emits ONE partition per bucket with rows in key order, so
+    * partitionBy("_bucket") writes exactly one KEY-SORTED file per
+    * compacted bucket — no repartition, no extra sort. (The old shuffle
+    * formulation scattered each bucket across all shuffle partitions:
+    * P small files per bucket per compaction.) Past the plan-size guard,
+    * fall back to the shuffle merge + repartition.
+    *
+    * @return (new bucketFiles, new bucketDeltas, fresh-file key stats,
+    *         fresh-file bytes) */
+  private def compactWrite(table: LakeTable, snap: Snapshot, newId: Long,
+      schema: StructType, deltasAfter: Map[Int, Seq[String]],
+      toCompact: Set[Int], registerDir: String => Unit)
+      : (Map[Int, Seq[String]], Map[Int, Seq[String]],
+         Map[String, Map[String, (String, String)]], Map[String, Long]) = {
+    val keyCols = snap.keyColumns
+    val compactBuckets = toCompact.toSeq.sorted
+    val mergedRows =
+      if (compactBuckets.size <= table.maxLocalMergeBuckets)
+        table.mergedViewLocal(schema, keyCols, snap.renameMap,
+          compactBuckets.map(b => (snap.bucketFiles.getOrElse(b, Nil),
+            deltasAfter.getOrElse(b, Nil))))
+          .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
+      else
+        table.mergedView(schema, keyCols, snap.renameMap,
+          compactBuckets.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
+          compactBuckets.flatMap(b => deltasAfter.getOrElse(b, Nil)))
+          .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
+          .repartition(col("_bucket"))
+          .sortWithinPartitions(keyCols.map(col): _*)
+    val compactDir = table.newCommitDirName(newId, "compact")
+    registerDir(compactDir)
+    val (w, cBytes) = table.writeBucketedSized(mergedRows, compactDir)
+    val newBase = snap.bucketFiles ++
+      toCompact.map(b => b -> w.getOrElse(b, Nil)).toMap
+    // per-file key ranges for the fresh base files (small job over the
+    // just-written, footer-cached compaction output). A compaction whose
+    // every key was deleted writes NO parquet files (only a _SUCCESS
+    // marker) — there is nothing to read stats from.
+    val compactRows =
+      if (w.values.forall(_.isEmpty)) Array.empty[org.apache.spark.sql.Row]
+      else fileStatsJob(table, compactDir, keyCols, withTypes = false)
+    (newBase.filter(_._2.nonEmpty), // a fully-deleted bucket vanishes
+      deltasAfter ++ toCompact.map(b => b -> Seq.empty[String]).toMap,
+      perFileKeyRanges(compactRows, compactDir, keyCols),
+      cBytes)
+  }
+
+  /**
+   * FULL-COMPACTION maintenance: fold EVERY delta-carrying bucket back to
+   * a fresh key-sorted base in one fenced commit, without waiting for the
+   * size-tiered inline trigger — the "optimize before a read-heavy phase"
+   * knob (Iceberg rewrite_data_files / Delta OPTIMIZE analog). Changes no
+   * rows: watermarks, lineage accumulation, and the change feed all pass
+   * through untouched (`commitDeltas` empty — feed history already written
+   * stays referenced by PRIOR snapshots until they expire, so compaction
+   * remains feed-immune). A concurrent apply wins the fence and this
+   * retries over the fresh state.
+   */
+  def compactAll(table: LakeTable): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val snap = table.currentSnapshot.getOrElse(
+        throw new IllegalStateException("table must be created before compactAll"))
+      val toCompact = snap.bucketDeltas.collect {
+        case (b, fs) if fs.nonEmpty => b }.toSet
+      if (toCompact.isEmpty) return snap // nothing pending: no-op, no commit
+      try return compactAllOnce(table, snap, toCompact)
+      catch {
+        case _: CommitConflictException if attempt < 5 =>
+          attempt += 1 // concurrent writer advanced the table: re-read, retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def compactAllOnce(table: LakeTable, snap: Snapshot,
+                             toCompact: Set[Int]): Snapshot = {
+    val newId = snap.snapshotId + 1
+    var dir: String = null
+    try {
+      val (bucketFiles, bucketDeltas, freshStats, freshBytes) =
+        compactWrite(table, snap, newId, snap.schema, snap.bucketDeltas,
+          toCompact, d => dir = d)
+      val liveFiles = (bucketFiles.values.flatten ++
+        bucketDeltas.values.flatten).toSet
+      val next = snap.copy(
+        bucketFiles = bucketFiles,
+        bucketDeltas = bucketDeltas.filter(_._2.nonEmpty),
+        fileStats = (snap.fileStats ++ freshStats)
+          .filter { case (f, _) => liveFiles.contains(f) },
+        fileBytes = (snap.fileBytes ++ freshBytes)
+          .filter { case (f, _) => liveFiles.contains(f) },
+        lineage = Map("compactedBuckets" -> toCompact.size.toLong),
+        commitDeltas = Map.empty, // no logical changes — the feed skips this
+        bucketManifests = Map.empty) // commit() recomputes in manifest mode
+      table.commit(next, expectedSnapshotId = snap.snapshotId,
+        prev = Some(snap))
+    } catch {
+      // a lost race or failed stats job must not leak the attempt's files
+      case e: Throwable =>
+        if (dir != null) table.deleteDataDir(dir)
         throw e
     }
   }

@@ -66,6 +66,8 @@ object Main {
     "rebucket" -> Map(
       "table-root" -> (true, "lake table root directory"),
       "buckets" -> (true, "new primary-key hash bucket count (table grew/shrank past its layout — one fenced full-rewrite commit; old snapshots stay readable under their own count)")),
+    "compact" -> Map(
+      "table-root" -> (true, "lake table root directory (folds every delta-carrying bucket to a fresh base in one fenced commit — the optimize-before-reads knob; changes no rows)")),
     "lookup" -> Map(
       "table-root" -> (true, "lake table root directory"),
       "key" -> (true, "primary key as col=value[,col=value...] (all key columns)")),
@@ -416,6 +418,20 @@ object Main {
         println(s"""{"fromBuckets":${before.nBuckets},""" +
           s""""toBuckets":${snap.nBuckets},"snapshotId":${snap.snapshotId},""" +
           s"""$detail,"seconds":$secs}""")
+
+      case "compact" =>
+        // full-compaction maintenance: fold all pending deltas to fresh
+        // bases now instead of waiting for the size-tiered inline trigger
+        val t = new LakeTable(spark, kv("table-root"))
+        val before = t.currentSnapshot.getOrElse(
+          throw new IllegalArgumentException(s"no table at ${kv("table-root")}"))
+        val t0 = System.nanoTime()
+        val snap = graft.apply.MergeEngine.compactAll(t)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val detail =
+          if (snap.snapshotId == before.snapshotId) """"noop":true"""
+          else s""""compactedBuckets":${snap.lineage.getOrElse("compactedBuckets", -1L)}"""
+        println(s"""{"snapshotId":${snap.snapshotId},$detail,"seconds":$secs}""")
 
       case "lookup" =>
         // Point lookup through bucket + per-file key-range pruning: prints

@@ -70,6 +70,60 @@ class ConcurrentApplySpec extends SparkSpec {
 
     // every attempt dir on disk is referenced by some live snapshot: the
     // losing zombie's files were cleaned up, not leaked
+    assertNoOrphans(t)
+  }
+
+  test("maintenance racing live ingest: rebucket + compactAll vs applies") {
+    // ONLINE maintenance contract: rebucket and compactAll are fenced
+    // commits like any other — racing them against a stream of applies
+    // must lose/retry cleanly on BOTH sides, never corrupt state, never
+    // leak attempt dirs, and the replay gate must stay exact throughout.
+    val t = new LakeTable(spark, tmpDir("maint-race"), maxDeltasPerBucket = 1000,
+      maxDeltaBytesPerBucket = Long.MaxValue)
+    t.create(Main.reposSchema, Seq("repo", "path"), 8, Main.reposRenameMap)
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 40)))
+
+    val pool = Executors.newFixedThreadPool(2)
+    val barrier = new CyclicBarrier(2)
+    try {
+      val ingest = pool.submit(new Runnable {
+        override def run(): Unit = {
+          barrier.await(30, TimeUnit.SECONDS)
+          for (i <- 1 to 4)
+            MergeEngine.applyBatch(t,
+              ChangeDecoder.decode(lines(i * 40L, (i + 1) * 40L)))
+        }
+      })
+      val maintenance = pool.submit(new Runnable {
+        override def run(): Unit = {
+          barrier.await(30, TimeUnit.SECONDS)
+          MergeEngine.rebucket(t, 7)
+          MergeEngine.compactAll(t)
+          MergeEngine.rebucket(t, 4)
+        }
+      })
+      ingest.get(300, TimeUnit.SECONDS)
+      maintenance.get(300, TimeUnit.SECONDS)
+    } finally pool.shutdownNow()
+
+    def sha256(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exp = ChangeStreamGen.expectedFinalState(cfg, 200L)
+      .map { case (k, ch) => k -> sha256(ch.content) }
+    val got = t.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got === exp)
+    // applies never change the bucket count, so the last maintenance wins
+    assert(t.currentSnapshot.get.nBuckets === 4)
+    // the replay gate stayed exact through every interleaving
+    assert(MergeEngine.applyBatch(t,
+      ChangeDecoder.decode(lines(0, 200))).appliedKeys === 0L)
+    assertNoOrphans(t)
+  }
+
+  private def assertNoOrphans(t: LakeTable): Unit = {
     val maxId = t.currentSnapshot.get.snapshotId
     val live = (0L to maxId).flatMap(id => t.readSnapshot(id).allFiles)
       .map(f => java.nio.file.Paths.get(f).getName(1).toString).toSet
