@@ -68,6 +68,10 @@ object Main {
       "buckets" -> (true, "new primary-key hash bucket count (table grew/shrank past its layout — one fenced full-rewrite commit; old snapshots stay readable under their own count)")),
     "compact" -> Map(
       "table-root" -> (true, "lake table root directory (folds every delta-carrying bucket to a fresh base in one fenced commit — the optimize-before-reads knob; changes no rows)")),
+    "clone" -> Map(
+      "source-root" -> (true, "source lake table root"),
+      "target-root" -> (true, "fresh root for the clone (must not already hold a table)"),
+      "as-of" -> (false, "historical snapshot id to clone (point-in-time recovery; default current)")),
     "lookup" -> Map(
       "table-root" -> (true, "lake table root directory"),
       "key" -> (true, "primary key as col=value[,col=value...] (all key columns)")),
@@ -432,6 +436,19 @@ object Main {
           if (snap.snapshotId == before.snapshotId) """"noop":true"""
           else s""""compactedBuckets":${snap.lineage.getOrElse("compactedBuckets", -1L)}"""
         println(s"""{"snapshotId":${snap.snapshotId},$detail,"seconds":$secs}""")
+
+      case "clone" =>
+        // DR / dev-copy / point-in-time recovery: materialize a snapshot
+        // at a fresh root (distributed file copy); watermarks travel, so
+        // re-pointing the pipeline at the clone resumes exactly-once
+        val t = new LakeTable(spark, kv("source-root"))
+        val t0 = System.nanoTime()
+        val snap = t.cloneTo(kv("target-root"), kv.get("as-of").map(_.toLong))
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(s"""{"snapshotId":${snap.snapshotId},""" +
+          s""""files":${snap.allFiles.size},""" +
+          s""""bytes":${snap.fileBytes.values.sum},""" +
+          s""""highWatermark":${snap.lsnHighWatermark},"seconds":$secs}""")
 
       case "lookup" =>
         // Point lookup through bucket + per-file key-range pruning: prints

@@ -1018,6 +1018,92 @@ class LakeTable(val spark: SparkSession, val root: String,
    *
    * @return (snapshots removed, data files deleted)
    */
+  /**
+   * CLONE the table at a snapshot (default: current) to a fresh root — the
+   * DR / dev-copy / environment-promotion primitive. The target is an
+   * independent table whose snapshot 0 carries the source snapshot's full
+   * content: schema, key columns, bucket count, per-file stats, AND the
+   * LSN watermarks — so pointing the ingest pipeline at the clone resumes
+   * exactly-once from the cloned position (a full WAL replay gates to
+   * zero; only post-watermark events apply). `asOfSnapshot` clones a
+   * historical snapshot: a point-in-time recovery that then re-ingests the
+   * tail of the stream to catch up.
+   *
+   * The data-file copy is DISTRIBUTED (one Spark task per slice of the
+   * file list, each opening source/target FileSystems from the broadcast
+   * Hadoop conf — the distcp shape), so a 10^10-row clone scales with the
+   * cluster, not the driver. Only files referenced by the cloned snapshot
+   * are copied — none of the source's other snapshots, expired history, or
+   * superseded deltas travel. Per-commit feed provenance is cleared
+   * (lesson 24's rule for every snap.copy commit): the clone's change feed
+   * starts empty and accumulates its own history.
+   *
+   * Fencing: the target's snapshot 0 publishes through the same
+   * conditional commit as any other — two racing cloners to one root get
+   * one winner, and a pre-existing table at the target is rejected.
+   *
+   * @return the clone's snapshot 0
+   */
+  def cloneTo(targetRoot: String, asOfSnapshot: Option[Long] = None): Snapshot = {
+    val id = asOfSnapshot.getOrElse(latestSnapshotId)
+    if (id < 0) throw new IllegalStateException(s"no snapshot at $root")
+    val snap = readSnapshot(id) // FULL resolve: manifest content inlined
+    val target = new LakeTable(spark, targetRoot,
+      maxDeltasPerBucket = maxDeltasPerBucket,
+      maxLocalMergeBuckets = maxLocalMergeBuckets,
+      manifestThresholdFiles = manifestThresholdFiles,
+      compressionCodec = compressionCodec,
+      maxDeltaBytesPerBucket = maxDeltaBytesPerBucket,
+      maxLocalMergeBytesPerBucket = maxLocalMergeBytesPerBucket)
+    if (target.exists)
+      throw new IllegalArgumentException(
+        s"clone target $targetRoot already holds a table")
+    // the layout create() would have made (commit assumes meta/ exists)
+    target.fs.mkdirs(target.metaDir)
+    target.fs.mkdirs(target.dataDir)
+    // copy ONLY what the clone's snapshot will reference: allFiles also
+    // counts commitDeltas-only files (deltas compacted away within their
+    // own commit, kept for the SOURCE's feed) — the clone clears its feed
+    // provenance, so copying those would leave unreferenced orphans
+    val files = (snap.bucketFiles.values.flatten ++
+      snap.bucketDeltas.values.flatten).toSeq.distinct.sorted
+    if (files.nonEmpty) {
+      val confSer = new org.apache.spark.util.SerializableConfiguration(sessionConf)
+      val (srcRoot, dstRoot) = (root, targetRoot)
+      val slices = math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(files, slices).foreach { rel =>
+        val c = confSer.value
+        val from = new HPath(s"$srcRoot/$rel")
+        val to = new HPath(s"$dstRoot/$rel")
+        val sfs = from.getFileSystem(c)
+        val tfs = to.getFileSystem(c)
+        tfs.mkdirs(to.getParent)
+        org.apache.hadoop.fs.FileUtil.copy(sfs, from, tfs, to,
+          false /* keep source */, true /* overwrite a torn retry */, c)
+        // local targets: force the copy (and its dir entry) to disk before
+        // the root snapshot references it (hsync on ChecksumFileSystem is
+        // a silent no-op — the same durability rule the write path follows)
+        val uri = to.toUri
+        if (uri.getScheme == null || uri.getScheme == "file") {
+          val p = java.nio.file.Paths.get(
+            Option(uri.getPath).getOrElse(to.toString))
+          val ch = FileChannel.open(p, StandardOpenOption.WRITE)
+          try ch.force(true) finally ch.close()
+          try {
+            val dch = FileChannel.open(p.getParent, StandardOpenOption.READ)
+            try dch.force(true) finally dch.close()
+          } catch { case _: Exception => () }
+        }
+      }
+    }
+    target.commit(
+      snap.copy(
+        commitDeltas = Map.empty, // the clone's feed history starts empty
+        bucketManifests = Map.empty), // target commit() re-derives its own
+      expectedSnapshotId = -1L)
+  }
+
   def expireSnapshots(keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     executeExpirePlans() // finish a crashed prior pass's deletions first
