@@ -170,18 +170,24 @@ object MergeEngine {
    */
   def applyBatch(table: LakeTable, changes: DataFrame,
                  saltBuckets: Int = 0,
-                 validate: () => Unit = () => ()): MergeStats = {
+                 validate: () => Unit = () => ()): MergeStats =
+    retryingOnConflict(table, "applyBatch")(snap =>
+      applyOnce(table, snap, changes, saltBuckets, validate))
+
+  /** The optimistic-concurrency scaffold every snapshot-producing
+    * operation shares: re-read the current snapshot, run `op`, and on a
+    * lost fencing race ([[CommitConflictException]] — a concurrent writer
+    * advanced the table) retry over the fresh state, up to 5 times. */
+  private def retryingOnConflict[A](table: LakeTable, what: String)
+                                   (op: Snapshot => A): A = {
     var attempt = 0
     while (true) {
       val snap = table.currentSnapshot.getOrElse(
-        throw new IllegalStateException("table must be created before applyBatch"))
-      try return applyOnce(table, snap, changes, saltBuckets, validate)
-      catch {
-        case _: CommitConflictException if attempt < 5 =>
-          attempt += 1 // concurrent writer advanced the table: re-read, retry
-      }
+        throw new IllegalStateException(s"table must be created before $what"))
+      try return op(snap)
+      catch { case _: CommitConflictException if attempt < 5 => attempt += 1 }
     }
-    noopStats // unreachable
+    throw new IllegalStateException("unreachable")
   }
 
   private def applyOnce(table: LakeTable, snap: Snapshot, changes: DataFrame,
@@ -491,22 +497,13 @@ object MergeEngine {
    * remains feed-immune). A concurrent apply wins the fence and this
    * retries over the fresh state.
    */
-  def compactAll(table: LakeTable): Snapshot = {
-    var attempt = 0
-    while (true) {
-      val snap = table.currentSnapshot.getOrElse(
-        throw new IllegalStateException("table must be created before compactAll"))
+  def compactAll(table: LakeTable): Snapshot =
+    retryingOnConflict(table, "compactAll") { snap =>
       val toCompact = snap.bucketDeltas.collect {
         case (b, fs) if fs.nonEmpty => b }.toSet
-      if (toCompact.isEmpty) return snap // nothing pending: no-op, no commit
-      try return compactAllOnce(table, snap, toCompact)
-      catch {
-        case _: CommitConflictException if attempt < 5 =>
-          attempt += 1 // concurrent writer advanced the table: re-read, retry
-      }
+      if (toCompact.isEmpty) snap // nothing pending: no-op, no commit
+      else compactAllOnce(table, snap, toCompact)
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   private def compactAllOnce(table: LakeTable, snap: Snapshot,
                              toCompact: Set[Int]): Snapshot = {
@@ -643,18 +640,10 @@ object MergeEngine {
     // per bucket that is a quarter-petabyte table) and far below harm.
     require(newBuckets <= (1 << 20),
       s"bucket count $newBuckets exceeds the 2^20 sanity ceiling")
-    var attempt = 0
-    while (true) {
-      val snap = table.currentSnapshot.getOrElse(
-        throw new IllegalStateException("table must be created before rebucket"))
-      if (snap.nBuckets == newBuckets) return snap
-      try return rebucketOnce(table, snap, newBuckets)
-      catch {
-        case _: CommitConflictException if attempt < 5 =>
-          attempt += 1 // concurrent writer advanced the table: re-read, retry
-      }
+    retryingOnConflict(table, "rebucket") { snap =>
+      if (snap.nBuckets == newBuckets) snap
+      else rebucketOnce(table, snap, newBuckets)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   private def rebucketOnce(table: LakeTable, snap: Snapshot,

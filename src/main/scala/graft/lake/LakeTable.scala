@@ -1011,14 +1011,6 @@ class LakeTable(val spark: SparkSession, val root: String,
   }
 
   /**
-   * Retention maintenance: drop snapshots older than the newest `keepLast`
-   * and delete data files referenced ONLY by the dropped ones (the analog
-   * of Iceberg's expire_snapshots + orphan cleanup; bounds storage growth
-   * while keeping `keepLast` snapshots time-travelable).
-   *
-   * @return (snapshots removed, data files deleted)
-   */
-  /**
    * CLONE the table at a snapshot (default: current) to a fresh root — the
    * DR / dev-copy / environment-promotion primitive. The target is an
    * independent table whose snapshot 0 carries the source snapshot's full
@@ -1067,6 +1059,7 @@ class LakeTable(val spark: SparkSession, val root: String,
     // provenance, so copying those would leave unreferenced orphans
     val files = (snap.bucketFiles.values.flatten ++
       snap.bucketDeltas.values.flatten).toSeq.distinct.sorted
+    try {
     if (files.nonEmpty) {
       val confSer = new org.apache.spark.util.SerializableConfiguration(sessionConf)
       val (srcRoot, dstRoot) = (root, targetRoot)
@@ -1090,11 +1083,28 @@ class LakeTable(val spark: SparkSession, val root: String,
             Option(uri.getPath).getOrElse(to.toString))
           val ch = FileChannel.open(p, StandardOpenOption.WRITE)
           try ch.force(true) finally ch.close()
+          // ChecksumFileSystem writes a .crc sidecar per file; left
+          // page-cache-only it can come back torn after a power loss and
+          // every read then fails with ChecksumException (the same wedge
+          // writeBucketedSized forces against)
+          val crc = p.getParent.resolve("." + p.getFileName.toString + ".crc")
+          if (java.nio.file.Files.exists(crc)) {
+            val cch = FileChannel.open(crc, StandardOpenOption.WRITE)
+            try cch.force(true) finally cch.close()
+          }
           try {
             val dch = FileChannel.open(p.getParent, StandardOpenOption.READ)
             try dch.force(true) finally dch.close()
           } catch { case _: Exception => () }
         }
+      }
+      // the bucket dirs were fsynced per file above; the commit dirs and
+      // data/ itself also carry new entries the durable root will reference
+      if (target.isLocalFs) {
+        files.map(_.split('/').take(2).mkString("/")).distinct.foreach { d =>
+          target.fsyncDir(target.localFile(new HPath(target.rootPath, d)))
+        }
+        target.fsyncDir(target.localFile(target.dataDir))
       }
     }
     target.commit(
@@ -1102,8 +1112,32 @@ class LakeTable(val spark: SparkSession, val root: String,
         commitDeltas = Map.empty, // the clone's feed history starts empty
         bucketManifests = Map.empty), // target commit() re-derives its own
       expectedSnapshotId = -1L)
+    } catch {
+      // A failed clone must not leave up to a whole table's worth of
+      // unreferenced copies at the target. EXCEPT on a lost commit race:
+      // a racing cloner of the same source copied to the SAME relative
+      // paths — our files ARE the winner's files, deleting them would
+      // destroy a committed clone (the lesson-23 rule: never delete on
+      // conflict).
+      case e: Throwable =>
+        if (!e.isInstanceOf[CommitConflictException]) {
+          files.foreach { rel =>
+            try target.fs.delete(new HPath(target.rootPath, rel), false)
+            catch { case _: Exception => () }
+          }
+        }
+        throw e
+    }
   }
 
+  /**
+   * Retention maintenance: drop snapshots older than the newest `keepLast`
+   * and delete data files referenced ONLY by the dropped ones (the analog
+   * of Iceberg's expire_snapshots + orphan cleanup; bounds storage growth
+   * while keeping `keepLast` snapshots time-travelable).
+   *
+   * @return (snapshots removed, data files deleted)
+   */
   def expireSnapshots(keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     executeExpirePlans() // finish a crashed prior pass's deletions first

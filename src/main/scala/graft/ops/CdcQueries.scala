@@ -222,8 +222,9 @@ object CdcQueries {
   /** Shared setup for the streaming-feed queries: the events WAL applied to
     * a throwaway lake table in TWO commits split at the midpoint LSN.
     * Returns (table, mid-snapshot id). */
-  private def twoCommitTable(spark: SparkSession, dir: String,
-                             prefix: String): (graft.lake.LakeTable, Long) = {
+  private def twoCommitTable(spark: SparkSession, dir: String, prefix: String,
+                             betweenCommits: (graft.lake.LakeTable, DataFrame, Long) => Unit =
+                               (_, _, _) => ()): (graft.lake.LakeTable, Long) = {
     import org.apache.spark.sql.types._
     val split = events(spark, dir).agg(max(col("event_id"))).head().getLong(0) / 2
     val t = new graft.lake.LakeTable(spark, graft.util.TempDirs.scratch(prefix))
@@ -233,6 +234,7 @@ object CdcQueries {
     val decoded = ChangeDecoder.decode(walLines(spark, dir))
     graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") <= split))
     val mid = t.currentSnapshot.get.snapshotId
+    betweenCommits(t, decoded, split)
     graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") > split))
     (t, mid)
   }
@@ -294,18 +296,13 @@ object CdcQueries {
     * plain relational keep-last non-deleted state, so any watermark leak
     * or bucket misroute fails the compare. */
   def rebucketState(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val split = events(spark, dir).agg(max(col("event_id"))).head().getLong(0) / 2
-    val t = new graft.lake.LakeTable(spark,
-      graft.util.TempDirs.scratch("graft-cdc-rebucket"))
-    t.create(StructType(Seq(
-      StructField("user_id", LongType),
-      StructField("value", DoubleType))), Seq("user_id"), nBuckets = 8)
-    val decoded = ChangeDecoder.decode(walLines(spark, dir))
-    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") <= split))
-    graft.apply.MergeEngine.rebucket(t, 16)
-    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") <= split))
-    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") > split))
+    val (t, _) = twoCommitTable(spark, dir, "graft-cdc-rebucket",
+      betweenCommits = (t, decoded, split) => {
+        graft.apply.MergeEngine.rebucket(t, 16)
+        // full-prefix crash replay: must no-op against the exact
+        // post-rebucket watermarks (the oracle catches any leak)
+        graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") <= split))
+      })
     t.read().select(col("user_id"), col("value")).orderBy("user_id")
   }
 
