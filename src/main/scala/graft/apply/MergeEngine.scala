@@ -70,6 +70,13 @@ object MergeEngine {
   val noopStats: MergeStats =
     MergeStats(committed = false, -1L, 0L, 0L, 0L, 0L, 0L, 0L, -1L, -1L, 0)
 
+  /** bucketWatermarks size above which the exactly-once gate switches from
+    * an inline O(buckets) map literal to a broadcast hash join (constant
+    * plan size — per-batch analysis/codegen cost stops scaling with the
+    * table's bucket count). Package-private and mutable so tests can force
+    * the join path at small scale; every path is semantically identical. */
+  private[graft] var watermarkJoinThreshold: Int = 1024
+
   /** Merge additive columns into the current schema. Types arrive as the
     * declared wal2json type strings (the engine's Catalyst-driven schema
     * merge — the north rule's replacement for the reference's per-row JSON
@@ -200,21 +207,35 @@ object MergeEngine {
       .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
 
     // 2. Exactly-once gate: drop events at or below their bucket's watermark.
-    val wmCol =
-      if (snap.bucketWatermarks.isEmpty) lit(-1L)
+    val fresh0 =
+      if (snap.bucketWatermarks.isEmpty)
+        prepared.filter(col("lsn") > lit(-1L))
       else if (snap.bucketWatermarks.size == snap.nBuckets &&
         snap.bucketWatermarks.values.toSet.size == 1)
         // uniform full-coverage watermarks (the shape every rebucket
         // commit leaves behind): one literal instead of an O(buckets)
         // map literal in the plan. Full coverage is required — a bucket
         // ABSENT from the map gates at -1, not at the common value.
-        lit(snap.bucketWatermarks.values.head)
-      else {
+        prepared.filter(col("lsn") > lit(snap.bucketWatermarks.values.head))
+      else if (snap.bucketWatermarks.size <= watermarkJoinThreshold) {
         val m = map(snap.bucketWatermarks.toSeq.sortBy(_._1)
           .flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
-        coalesce(element_at(m, col("_bucket")), lit(-1L))
+        prepared.filter(col("lsn") >
+          coalesce(element_at(m, col("_bucket")), lit(-1L)))
+      } else {
+        // PAST the threshold (a steady-state table with 10^4..10^5 active
+        // buckets), an inline map literal means 2x that many literals in
+        // every batch's plan — analysis/codegen cost per micro-batch, for
+        // the SAME lookup a tiny broadcast hash join does with a
+        // constant-size plan. Left join + coalesce(-1) preserves the
+        // absent-bucket rule exactly.
+        val sp = table.spark
+        import sp.implicits._
+        val wmDf = snap.bucketWatermarks.toSeq.toDF("_bucket", "_wmGate")
+        prepared.join(broadcast(wmDf), Seq("_bucket"), "left")
+          .filter(col("lsn") > coalesce(col("_wmGate"), lit(-1L)))
+          .drop("_wmGate")
       }
-    val fresh0 = prepared.filter(col("lsn") > wmCol)
 
     // Batch-input lineage (dedup stats) measured DURING the dedup pass via
     // an observation — no extra job.

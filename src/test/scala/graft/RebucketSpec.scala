@@ -180,6 +180,21 @@ class RebucketSpec extends SparkSpec {
     }
   }
 
+  test("watermark gate via broadcast join (high-bucket-count path) is exact") {
+    // past watermarkJoinThreshold active buckets the gate swaps its inline
+    // map literal for a broadcast join; force that path at small scale and
+    // re-prove the exactly-once semantics through it
+    val saved = MergeEngine.watermarkJoinThreshold
+    MergeEngine.watermarkJoinThreshold = 0
+    try {
+      val t = newTable()
+      applyRange(t, 0, 150)
+      assert(applyRange(t, 0, 150).appliedKeys === 0L, "replay must no-op")
+      applyRange(t, 150, nTxns)
+      assert(state(t) === expected(nTxns))
+    } finally MergeEngine.watermarkJoinThreshold = saved
+  }
+
   test("a mirror consuming the feed replicates across a source rebucket") {
     val src = newTable()
     applyRange(src, 0, 150)
