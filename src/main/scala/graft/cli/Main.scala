@@ -113,6 +113,7 @@ object Main {
       "slot" -> (false, "replication slot name (default graft_slot)"),
       "plugin" -> (false, "logical decoding output plugin (default wal2json)"),
       "proto-version" -> (false, "pgoutput protocol version 1|2 (2 = streamed in-progress txns; default 1)"),
+      "format-version" -> (false, "wal2json output format 1|2 (2 = one document per action; default 1)"),
       "include-xids" -> (false, "true|false plugin option (default true)"),
       "status-interval-s" -> (false, "standby status-update cadence (default 20)"),
       "idle-slot-interval-s" -> (false, "idle fast-forward threshold (default 300)"),
@@ -197,6 +198,7 @@ object Main {
       slotName = kv.getOrElse("slot", "graft_slot"),
       outputPlugin = kv.getOrElse("plugin", "wal2json"),
       protoVersion = kv.getOrElse("proto-version", "1").toInt,
+      formatVersion = kv.getOrElse("format-version", "1").toInt,
       includeXids = kv.getOrElse("include-xids", "true").toBoolean,
       statusIntervalMs = kv.getOrElse("status-interval-s", "20").toLong * 1000,
       idleSlotIntervalMs = kv.getOrElse("idle-slot-interval-s", "300").toLong * 1000,

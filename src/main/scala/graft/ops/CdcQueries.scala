@@ -139,6 +139,57 @@ object CdcQueries {
         StreamCommit(xid, 0, lsn, lsn + 1, 0L))
     }
 
+  /** O4 through the THIRD plugin grammar — wal2json FORMAT-VERSION 2
+    * (one document per ACTION: B / I / U / D / C lines, no positions
+    * in-band): each event rendered as its transaction's v2 action
+    * sequence, folded through the real [[graft.decode.Wal2JsonV2Transcoder]]
+    * with the position spliced at the boundary (WalEnvelope — the same
+    * path live v2 ingest takes), then decoded by the SAME ChangeDecoder
+    * and projected exactly like [[decodeRoundtrip]] — so the DuckDB
+    * oracle is IDENTICAL for all four decode queries. */
+  def decodeWal2JsonV2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lines = events(spark, dir)
+      .withColumn("kind", kindCol)
+      .withColumn("tbl", tblCol)
+      .select(col("event_id"), col("kind"), col("tbl"), col("user_id"),
+        col("value").cast("string"))
+      .as[(Long, String, String, Long, String)]
+      .mapPartitions { it =>
+        val tr = new graft.decode.Wal2JsonV2Transcoder
+        it.map { case (lsn, kind, tbl, uid, v) =>
+          def c(n: String, t: String, value: String) =
+            s"""{"name":"$n","type":"$t","value":$value}"""
+          val vTok = if (v == null) "null" else v // numbers ride unquoted
+          val cols = s"${c("user_id", "bigint", uid.toString)}," +
+            c("value", "double precision", vTok)
+          val ident = s""","identity":[${c("user_id", "bigint", uid.toString)}]"""
+          val action = kind match {
+            case "insert" =>
+              s"""{"action":"I","schema":"public","table":"$tbl","columns":[$cols]}"""
+            case "delete" =>
+              s"""{"action":"D","schema":"public","table":"$tbl"$ident}"""
+            case _ =>
+              s"""{"action":"U","schema":"public","table":"$tbl","columns":[$cols]$ident}"""
+          }
+          Seq(s"""{"action":"B","xid":${lsn + 3000000000L}}""", action,
+            """{"action":"C"}""").flatMap(tr.feed(_)) match {
+            case Seq(l) =>
+              graft.sources.replication.WalEnvelope.ensureLsn(l, lsn)
+            case other => throw new IllegalStateException(
+              s"txn must fold into exactly one line, got ${other.size}")
+          }
+        }
+      }.toDF("value")
+    ChangeDecoder.decode(lines)
+      .select(
+        col("lsn"), col("xid"), col("kind"), col("table").as("tbl"),
+        ChangeDecoder.keyValue("user_id").cast("long").as("key"),
+        when(col("kind") =!= "delete",
+          ChangeDecoder.columnValue("value").cast("double")).as("val"))
+      .orderBy("lsn")
+  }
+
   /** O5: relevant-table predicate inside the decoder. */
   def tableFilter(spark: SparkSession, dir: String): DataFrame =
     ChangeDecoder.decode(walLines(spark, dir), relevantTables = Set("events_a"))
@@ -380,6 +431,7 @@ object CdcQueries {
     "cdc_decode_roundtrip" -> (decodeRoundtrip _, decodeRoundtripSql),
     "cdc_decode_pgoutput" -> (decodePgoutput _, decodeRoundtripSql),
     "cdc_decode_pgoutput_streamed" -> (decodePgoutputStreamed _, decodeRoundtripSql),
+    "cdc_decode_wal2json_v2" -> (decodeWal2JsonV2 _, decodeRoundtripSql),
     "cdc_table_filter" -> (tableFilter _, tableFilterSql),
     "cdc_dedup_keeplast" -> (dedupKeepLast _, dedupKeepLastSql),
     "cdc_merge_final_state" -> (mergeFinalState _, mergeFinalStateSql),

@@ -117,6 +117,7 @@ final class JdbcReplicationConnector(
     // would make the redelivered Begin a framing violation (a healthy
     // reconnect misclassified as a permanent DataError)
     pgoutputTranscoder.foreach(_.reset())
+    wal2jsonV2Transcoder.foreach(_.reset())
     stream = shim.startStream(slot.slotName, slot.slotOptions,
       slot.statusIntervalMs)
   }
@@ -133,10 +134,17 @@ final class JdbcReplicationConnector(
     if (slot.outputPlugin == "pgoutput") Some(new graft.decode.PgoutputTranscoder)
     else None
 
+  /** wal2json format-version 2: per-ACTION lines folded back to one
+    * v1-parity line per transaction at the same boundary. */
+  private val wal2jsonV2Transcoder: Option[graft.decode.Wal2JsonV2Transcoder] =
+    if (slot.outputPlugin == "wal2json" && slot.formatVersion >= 2)
+      Some(new graft.decode.Wal2JsonV2Transcoder)
+    else None
+
   override def readPending(): Option[WalChunk] = mapped {
     requireOpen()
-    pgoutputTranscoder match {
-      case None =>
+    (pgoutputTranscoder, wal2jsonV2Transcoder) match {
+      case (None, None) =>
         Option(stream.readPending()).map { buf =>
           val bytes = new Array[Byte](buf.remaining())
           buf.get(bytes)
@@ -151,25 +159,41 @@ final class JdbcReplicationConnector(
           WalChunk(lsn, WalEnvelope.ensureLsn(
             new String(bytes, StandardCharsets.UTF_8), lsn))
         }
-      case Some(transcoder) =>
+      case (Some(transcoder), _) =>
         // one WalChunk per committed TRANSACTION: pump binary messages
         // through the transcoder until a Commit completes a line (matching
         // wal2json's one-chunk-per-txn default) or the stream is caught up
         // mid-transaction (state is retained; the next call resumes)
-        var out: Option[WalChunk] = None
-        var buf = stream.readPending()
-        while (out.isEmpty && buf != null) {
-          val bytes = new Array[Byte](buf.remaining())
-          buf.get(bytes)
-          transcoder.feed(bytes) match {
-            case Some(line) =>
-              out = Some(WalChunk(stream.getLastReceiveLSN(), line))
-            case None =>
-              buf = stream.readPending()
-          }
-        }
-        out
+        pump(bytes => transcoder.feed(bytes))
+      case (_, Some(transcoder)) =>
+        // wal2json format-version 2: the same pump over per-ACTION text
+        // lines; C completes the v1-parity transaction line, whose lsn is
+        // the stream position (real v2 carries no positions in-band)
+        pump(bytes =>
+          transcoder.feed(new String(bytes, StandardCharsets.UTF_8)))
     }
+  }
+
+  /** Pump wire chunks through a per-stream folder until a transaction
+    * completes a line or the stream is caught up mid-transaction (state
+    * is retained; the next call resumes). The completed line's position
+    * is spliced in-band — transcoder output carries none when the wire
+    * format does not (lesson 25's splice rule, uniform across plugins). */
+  private def pump(fold: Array[Byte] => Option[String]): Option[WalChunk] = {
+    var out: Option[WalChunk] = None
+    var buf = stream.readPending()
+    while (out.isEmpty && buf != null) {
+      val bytes = new Array[Byte](buf.remaining())
+      buf.get(bytes)
+      fold(bytes) match {
+        case Some(line) =>
+          val lsn = stream.getLastReceiveLSN()
+          out = Some(WalChunk(lsn, WalEnvelope.ensureLsn(line, lsn)))
+        case None =>
+          buf = stream.readPending()
+      }
+    }
+    out
   }
 
   override def currentLsn(): Long = {

@@ -106,7 +106,12 @@ final case class SlotConfig(
     // transactions at commit; 2 (PostgreSQL 14+) adds STREAMED in-progress
     // transactions (larger-than-memory txns ship before commit) — the
     // engine requests streaming when this is 2
-    protoVersion: Int = 1) {
+    protoVersion: Int = 1,
+    // wal2json only: plugin output format. 1 = one document per txn
+    // (the reference's configuration); 2 = one document per ACTION
+    // (B/I/U/D/C lines — large txns stream without one giant document),
+    // folded back to the v1-parity envelope at the ingest boundary
+    formatVersion: Int = 1) {
 
   def validate(): this.type = {
     def bad(msg: String) = throw new IllegalArgumentException(
@@ -124,6 +129,10 @@ final case class SlotConfig(
       bad(s"proto version $protoVersion not one of 1, 2")
     if (protoVersion != 1 && outputPlugin != "pgoutput")
       bad("proto version applies to the pgoutput plugin only")
+    if (formatVersion < 1 || formatVersion > 2)
+      bad(s"format version $formatVersion not one of 1, 2")
+    if (formatVersion != 1 && outputPlugin != "wal2json")
+      bad("format version applies to the wal2json plugin only")
     this
   }
 
@@ -135,5 +144,6 @@ final case class SlotConfig(
       Map("proto_version" -> protoVersion.toString,
         "publication_names" -> publication.getOrElse(slotName)) ++
         (if (protoVersion >= 2) Map("streaming" -> "on") else Map.empty)
-    else Map("include-xids" -> includeXids.toString)
+    else Map("include-xids" -> includeXids.toString) ++
+      (if (formatVersion >= 2) Map("format-version" -> "2") else Map.empty)
 }

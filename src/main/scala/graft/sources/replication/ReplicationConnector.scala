@@ -117,6 +117,14 @@ final class SyntheticReplicationServer(genCfg: GenConfig, initialTxns: Long) {
       if (slot.outputPlugin == "pgoutput")
         Some(new graft.decode.PgoutputTranscoder)
       else None
+    /** With `--format-version 2` the wal2json plugin emits per-ACTION
+      * lines; the synthetic server serves that true wire shape folded
+      * through the real [[graft.decode.Wal2JsonV2Transcoder]] — the same
+      * code path a live v2 stream takes. */
+    private val v2Transcoder: Option[graft.decode.Wal2JsonV2Transcoder] =
+      if (slot.outputPlugin == "wal2json" && slot.formatVersion >= 2)
+        Some(new graft.decode.Wal2JsonV2Transcoder)
+      else None
     private var lastEra: Option[graft.gen.PgoutputGen.Era] = None
 
     override def createSlotIfAbsent(): Boolean =
@@ -171,7 +179,18 @@ final class SyntheticReplicationServer(genCfg: GenConfig, initialTxns: Long) {
                 case other => throw new IllegalStateException(
                   s"txn must fold into exactly one line, got ${other.size}")
               }
-            case None => ChangeStreamGen.renderLine(genCfg, t)
+            case None => v2Transcoder match {
+              case Some(tr) =>
+                // true v2 wire shape (no positions in-band); the position
+                // splice happens below, exactly as the live boundary does
+                graft.gen.Wal2JsonV2Gen.txnLines(genCfg, t)
+                  .flatMap(tr.feed(_)) match {
+                  case Seq(l) => WalEnvelope.ensureLsn(l, t.lsn)
+                  case other => throw new IllegalStateException(
+                    s"txn must fold into exactly one line, got ${other.size}")
+                }
+              case None => ChangeStreamGen.renderLine(genCfg, t)
+            }
           }
           Some(WalChunk(t.lsn, line))
         }

@@ -244,6 +244,9 @@ object CdcPipeline {
         // same bytes on every retry — repair-then-retry, never Transient
         case _: graft.decode.Pgoutput.MalformedPgoutputException =>
           return FailureKind.DataError
+        // same determinism for the wal2json v2 per-action grammar
+        case _: graft.decode.Wal2JsonV2.MalformedWal2JsonV2Exception =>
+          return FailureKind.DataError
         // fallback for malformed input surfaced by the IN-PLAN raise_error
         // guard (decode(strict=true) without the explicit validation pass):
         // Spark raises its own exception type there, so the message text is

@@ -31,7 +31,8 @@ import graft.streaming.{CdcPipeline, TableTarget}
 final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
                          plugin: String = "wal2json",
                          protoVersion: Int = 1,
-                         realWal2Json: Boolean = false) {
+                         realWal2Json: Boolean = false,
+                         formatVersion: Int = 1) {
   @volatile var nTxns: Long = initialTxns
   /** startStream attempts that fail 55006 before succeeding. */
   @volatile var busyStarts: Int = 0
@@ -75,8 +76,13 @@ final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
             require(slotOptions.get("streaming").contains("on"),
               "protocol v2 sessions must request streaming")
         }
-        else require(slotOptions.contains("include-xids"),
-          "the wal2json options must reach START_REPLICATION")
+        else {
+          require(slotOptions.contains("include-xids"),
+            "the wal2json options must reach START_REPLICATION")
+          if (formatVersion >= 2)
+            require(slotOptions.get("format-version").contains("2"),
+              "a v2 session must request format-version=2")
+        }
         if (busyStarts > 0) {
           busyStarts -= 1
           throw new SQLException(
@@ -104,6 +110,10 @@ final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
       * (-1 = position unchanged) — receipt-driven like pgjdbc. */
     private val msgQueue =
       scala.collection.mutable.Queue.empty[(Array[Byte], Long)]
+    /** wal2json format-version 2 mode: queued per-ACTION text lines, the
+      * same receipt-driven (line, lsn-after) pairing. */
+    private val lineQueue =
+      scala.collection.mutable.Queue.empty[(String, Long)]
     private var lastEra: Option[graft.gen.PgoutputGen.Era] = None
 
     /** v1: one whole txn at commit. v2: a PAIR of concurrent transactions
@@ -178,6 +188,23 @@ final class FakePgServer(genCfg: GenConfig, initialTxns: Long,
         val (m, lsnAfter) = msgQueue.dequeue()
         if (lsnAfter >= 0) lastReceive = math.max(lastReceive, lsnAfter)
         ByteBuffer.wrap(m)
+      } else if (formatVersion >= 2) {
+        if (lineQueue.isEmpty) {
+          if (cursor >= nTxns) {
+            lastReceive = math.max(lastReceive, nTxns + keepalivePadding)
+            return null
+          }
+          val t = ChangeStreamGen.txn(genCfg, cursor); cursor += 1
+          // TRUE v2 wire shape: one document per action, no positions
+          // in-band; the position reaches the commit LSN only when the
+          // txn's LAST line (C) is handed out
+          val lines = graft.gen.Wal2JsonV2Gen.txnLines(genCfg, t)
+          lines.dropRight(1).foreach(l => lineQueue += ((l, -1L)))
+          lineQueue += ((lines.last, t.lsn))
+        }
+        val (l, lsnAfter) = lineQueue.dequeue()
+        if (lsnAfter >= 0) lastReceive = math.max(lastReceive, lsnAfter)
+        ByteBuffer.wrap(l.getBytes("UTF-8"))
       } else if (cursor >= nTxns) {
         // keepalive: the server's sent-WAL position covers only WAL this
         // stream has fully seen — safe to advance past the padding
@@ -339,6 +366,49 @@ class JdbcReplicationSpec extends SparkSpec {
     // and the staged WAL applies to the oracle state
     val applied = applyStaged(walDir)
     assert(applied === ChangeStreamGen.expectedFinalState(genCfg, n)
+      .map { case (k, ch) => k -> (ch.commit, sha256(ch.content)) })
+  }
+
+  test("wal2json FORMAT-VERSION 2 stages via the action-line fold; reconnect mid-txn") {
+    // the live v2 wire: one document per ACTION, no positions in-band —
+    // the connector folds B..C to one v1-parity line and splices the
+    // stream position at the boundary
+    val n = 60L
+    val server = new FakePgServer(genCfg, n, formatVersion = 2)
+    val slot = SlotConfig("graft_slot", formatVersion = 2,
+      slotBusyRetrySleepMs = 0L)
+    val c = new JdbcReplicationConnector(conn, slot, () => server.shim())
+    c.createSlotIfAbsent()
+    c.openStream()
+    assert(c.readPending().isDefined) // txn 1 folded whole
+    // fail INSIDE txn 2's action sequence (B consumed, C never): the
+    // transcoder is left mid-transaction; reconnect redelivers from txn
+    // START — without the openStream reset the redelivered B is a
+    // framing violation (healthy recovery misclassified as DataError)
+    server.failAfterReads = 1
+    intercept[RecoveryModeException] { c.readPending() }
+    c.openStream()
+    val rest = Iterator.continually(c.readPending())
+      .takeWhile(_.isDefined).map(_.get).toList
+    assert(rest.size === n, "full redelivery (nothing was acked)")
+    c.close()
+
+    // end-to-end: staged bytes == canonical v1 envelope; state == oracle
+    val server2 = new FakePgServer(genCfg, n, formatVersion = 2)
+    val walDir = tmpDir("jdbc-wal-v2")
+    val ingest = new ReplicationIngest(
+      new JdbcReplicationConnector(conn, slot, () => server2.shim()),
+      walDir, hconf, slot, flushChunks = 25L)
+    ingest.start()
+    assert(ingest.pump().chunks === n)
+    ingest.close()
+    val staged = WalSource.listSegments(walDir).sorted
+      .flatMap(s => scala.io.Source.fromFile(
+        new java.io.File(walDir, s)).getLines().toList)
+    val canonical = (0L until n)
+      .map(id => ChangeStreamGen.renderLine(genCfg, ChangeStreamGen.txn(genCfg, id)))
+    assert(staged === canonical)
+    assert(applyStaged(walDir) === ChangeStreamGen.expectedFinalState(genCfg, n)
       .map { case (k, ch) => k -> (ch.commit, sha256(ch.content)) })
   }
 
