@@ -160,7 +160,14 @@ object CdcQueries {
         it.map { case (lsn, kind, tbl, uid, v) =>
           def c(n: String, t: String, value: String) =
             s"""{"name":"$n","type":"$t","value":$value}"""
-          val vTok = if (v == null) "null" else v // numbers ride unquoted
+          // numbers ride unquoted — EXCEPT NaN/±Infinity, legal float
+          // text but not legal bare JSON tokens (wal2json quotes them;
+          // same rule as the pgoutput renderValue)
+          val vTok =
+            if (v == null) "null"
+            else if (v == "NaN" || v == "Infinity" || v == "-Infinity")
+              "\"" + v + "\""
+            else v
           val cols = s"${c("user_id", "bigint", uid.toString)}," +
             c("value", "double precision", vTok)
           val ident = s""","identity":[${c("user_id", "bigint", uid.toString)}]"""
@@ -172,13 +179,9 @@ object CdcQueries {
             case _ =>
               s"""{"action":"U","schema":"public","table":"$tbl","columns":[$cols]$ident}"""
           }
-          Seq(s"""{"action":"B","xid":${lsn + 3000000000L}}""", action,
-            """{"action":"C"}""").flatMap(tr.feed(_)) match {
-            case Seq(l) =>
-              graft.sources.replication.WalEnvelope.ensureLsn(l, lsn)
-            case other => throw new IllegalStateException(
-              s"txn must fold into exactly one line, got ${other.size}")
-          }
+          graft.sources.replication.WalEnvelope.foldOne(
+            Seq(s"""{"action":"B","xid":${lsn + 3000000000L}}""", action,
+              """{"action":"C"}"""), tr.feed, lsn)
         }
       }.toDF("value")
     ChangeDecoder.decode(lines)

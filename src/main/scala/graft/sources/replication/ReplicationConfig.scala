@@ -133,6 +133,9 @@ final case class SlotConfig(
       bad(s"format version $formatVersion not one of 1, 2")
     if (formatVersion != 1 && outputPlugin != "wal2json")
       bad("format version applies to the wal2json plugin only")
+    if (formatVersion >= 2 && !includeXids)
+      bad("format-version 2 requires include-xids (the v2 fold needs the " +
+        "xid on every B action)")
     this
   }
 

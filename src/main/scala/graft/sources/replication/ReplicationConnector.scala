@@ -174,21 +174,13 @@ final class SyntheticReplicationServer(genCfg: GenConfig, initialTxns: Long) {
                   lastEra = Some(e)
                   m
                 }
-              msgs.flatMap(tr.feed) match {
-                case Seq(l) => l
-                case other => throw new IllegalStateException(
-                  s"txn must fold into exactly one line, got ${other.size}")
-              }
+              WalEnvelope.foldOne(msgs, tr.feed, t.lsn)
             case None => v2Transcoder match {
               case Some(tr) =>
-                // true v2 wire shape (no positions in-band); the position
-                // splice happens below, exactly as the live boundary does
-                graft.gen.Wal2JsonV2Gen.txnLines(genCfg, t)
-                  .flatMap(tr.feed(_)) match {
-                  case Seq(l) => WalEnvelope.ensureLsn(l, t.lsn)
-                  case other => throw new IllegalStateException(
-                    s"txn must fold into exactly one line, got ${other.size}")
-                }
+                // true v2 wire shape (no positions in-band); foldOne
+                // splices the position, exactly as the live boundary does
+                WalEnvelope.foldOne(
+                  graft.gen.Wal2JsonV2Gen.txnLines(genCfg, t), tr.feed, t.lsn)
               case None => ChangeStreamGen.renderLine(genCfg, t)
             }
           }

@@ -47,6 +47,19 @@ object WalEnvelope {
     } finally p.close()
   }
 
+  /** Fold ONE transaction's wire units (binary pgoutput messages or v2
+    * action lines) through a per-stream folder: the sequence must
+    * complete exactly one parity line, which is position-spliced via
+    * [[ensureLsn]] (a no-op for grammars that carry lsn in-band). Shared
+    * by the synthetic endpoint's per-plugin arms and the driver-verified
+    * decode queries — grammar #4 gets this for free. */
+  def foldOne[A](units: Seq[A], feed: A => Option[String], lsn: Long): String =
+    units.flatMap(feed(_)) match {
+      case Seq(l) => ensureLsn(l, lsn)
+      case other => throw new IllegalStateException(
+        s"txn must fold into exactly one line, got ${other.size}")
+    }
+
   /** Wrap a wal2json chunk with its stream position unless it already
     * carries one. Malformed (non-object) payloads pass through untouched —
     * strict-mode decode downstream is the single authority on rejecting

@@ -160,6 +160,11 @@ class Wal2JsonV2Spec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SlotConfig("s", outputPlugin = "pgoutput", formatVersion = 2).validate()
     }
+    intercept[IllegalArgumentException] {
+      // the v2 fold needs the xid on every B — a misconfiguration must
+      // fail at construction, not surface as a runtime DataError
+      SlotConfig("s", formatVersion = 2, includeXids = false).validate()
+    }
     val v2 = SlotConfig("s", formatVersion = 2).validate()
     assert(v2.slotOptions.get("format-version").contains("2"))
     assert(v2.slotOptions.contains("include-xids"))
