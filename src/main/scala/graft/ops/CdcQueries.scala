@@ -75,7 +75,7 @@ object CdcQueries {
     * the protocol — v1 whole-txn vs v2 streamed), transcoded to the
     * wal2json-parity line, then decoded by the SAME ChangeDecoder and
     * projected exactly like [[decodeRoundtrip]] — so the DuckDB oracle is
-    * IDENTICAL for all three decode queries. Distributed: each partition
+    * IDENTICAL for all four decode queries. Distributed: each partition
     * transcodes its own rows; no driver-side loop. */
   private def decodeViaPgoutput(spark: SparkSession, dir: String, relOid: Int)(
       frame: (Long, graft.decode.Pgoutput.Relation, graft.decode.Pgoutput.Message,
