@@ -97,6 +97,31 @@ class CloneSpec extends SparkSpec {
     assert(state(clone) === expected(nTxns))
   }
 
+  test("full lifecycle composition: apply -> rebucket -> compact -> clone -> ingest") {
+    // every maintenance operation chained on one table, then the clone
+    // and the source diverge — the composed invariants (exact watermarks
+    // through rebucket, feed-immune compaction, watermark travel through
+    // clone) must hold in sequence, not just in isolation
+    val src = newTable()
+    applyRange(src, 0, 100)
+    MergeEngine.rebucket(src, 12)
+    applyRange(src, 100, 180)
+    MergeEngine.compactAll(src)
+    val cloneRoot = tmpDir("clone-lifecycle")
+    src.cloneTo(cloneRoot)
+    val clone = new LakeTable(spark, cloneRoot)
+    assert(state(clone) === expected(180))
+    assert(clone.currentSnapshot.get.nBuckets === 12, "bucket layout travels")
+
+    // both roots continue independently; the clone even rebuckets again
+    applyRange(src, 180, nTxns)
+    MergeEngine.rebucket(clone, 5)
+    assert(applyRange(clone, 0, 180).appliedKeys === 0L, "replay gates exactly")
+    applyRange(clone, 180, nTxns)
+    assert(state(src) === expected(nTxns))
+    assert(state(clone) === expected(nTxns))
+  }
+
   test("clone of a distributed-manifest source; only referenced files travel") {
     // aggressive inline compaction => the source's latest commit holds
     // commitDeltas files that are NOT in bucketDeltas (compacted away in
