@@ -335,6 +335,17 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
   private def fail(msg: String): Nothing =
     throw new Pgoutput.MalformedPgoutputException(msg)
 
+  /** TRUNCATE cannot be expressed as keyed changes — skipping it would
+    * leave the lake/mirror silently diverged from a truncated source
+    * (publications include truncate by DEFAULT). Fail typed under the
+    * DataError taxonomy, like D-without-identity: repair = exclude
+    * truncate from the publication or resync the table. (Origin 'O' and
+    * Type 'Y' messages remain genuine no-ops.) */
+  private def failTruncate(): Nothing = fail(
+    "TRUNCATE is not applicable as keyed changes — exclude truncate " +
+      "from the publication (publish = 'insert, update, delete') or " +
+      "resync the table")
+
   private def esc(s: String): String = graft.util.Json.escape(s)
 
   private def rel(id: Int): Relation =
@@ -450,6 +461,7 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
         if (streamXid.isDefined) fail("Commit inside an open stream segment")
         inTxn = false
         Some(s"""{"lsn":$commitLsn,"xid":$xid,"change":[$changes]}""")
+      case Skipped('T') => failTruncate()
       case Skipped(_) => None
 
       // ------------------------------------- protocol v2 streamed txns
@@ -474,6 +486,7 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
         val top = streamXid.getOrElse(
           fail("streamed DML outside a stream segment"))
         spools(top).append(sub, renderDml(m)); None
+      case Streamed(_, Skipped('T')) => failTruncate()
       case Streamed(_, Skipped(_)) => None
       case Streamed(_, other) => fail(s"unexpected streamed message $other")
       case StreamAbort(x, sub) =>

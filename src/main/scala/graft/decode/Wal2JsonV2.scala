@@ -1,6 +1,6 @@
 package graft.decode
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
 
 /**
  * wal2json FORMAT-VERSION 2 — the THIRD plugin grammar (after wal2json v1
@@ -48,7 +48,14 @@ object Wal2JsonV2 {
 final class Wal2JsonV2Transcoder {
   import Wal2JsonV2._
 
+  // USE_BIG_DECIMAL_FOR_FLOATS: numeric column values re-render via
+  // renderValue's v.toString — a DoubleNode would round >17-significant-
+  // digit numerics (0.12345678901234567890123456789 prints as
+  // 0.12345678901234568), silently corrupting high-precision values on
+  // this grammar alone while v1/pgoutput stay exact. DecimalNode.toString
+  // preserves the exact decimal text, including inside nested json/jsonb.
   private val mapper = new ObjectMapper()
+    .configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
   private var xid: Long = -1L
   private var inTxn = false
   private val changes = new StringBuilder
@@ -81,7 +88,16 @@ final class Wal2JsonV2Transcoder {
         // buffer the next B clears
         if (!inTxn) fail(s"$a outside a transaction")
         appendChange(renderAction(a, n)); None
-      case "T" | "M" => None // truncate / logical message: no row change
+      case "T" =>
+        // TRUNCATE cannot be expressed as keyed changes — skipping it would
+        // leave the lake/mirror silently diverged from a truncated source
+        // (publications include truncate by DEFAULT). Fail typed under the
+        // DataError taxonomy, like D-without-identity: repair = exclude
+        // truncate from the publication (`WITH (publish = 'insert, update,
+        // delete')`) or resync the table.
+        fail("TRUNCATE is not applicable as keyed changes — exclude " +
+          "truncate from the publication or resync the table")
+      case "M" => None // logical message: no row change
       case other => fail(s"unknown action '$other'")
     }
   }

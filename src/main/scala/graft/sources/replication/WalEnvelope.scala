@@ -26,7 +26,15 @@ import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
 object WalEnvelope {
   private val factory = new JsonFactory()
 
-  /** Does the payload's top-level object carry an "lsn" member? */
+  /** Does the payload's top-level object carry an "lsn" member?
+    *
+    * INVALID JSON that merely starts with '{' (e.g. `{bad}`) must answer
+    * `false`, not throw: a JsonParseException escaping here would surface
+    * from readPending, which the supervision taxonomy classifies as
+    * Transient — burning the transient retry budget on deterministic
+    * corrupt wire data. Answering false keeps the line malformed after the
+    * splice, so the strict decoder rejects it under DataError where it
+    * belongs. */
   private[replication] def hasTopLevelLsn(payload: String): Boolean = {
     val p = factory.createParser(payload)
     try {
@@ -44,6 +52,8 @@ object WalEnvelope {
         }
         found
       }
+    } catch {
+      case _: com.fasterxml.jackson.core.JsonProcessingException => false
     } finally p.close()
   }
 

@@ -339,6 +339,13 @@ class JdbcReplicationSpec extends SparkSpec {
     val garbage = "not json"
     assert(WalEnvelope.ensureLsn(garbage, 5L) eq garbage,
       "malformed payloads are strict decode's job, not the splice's")
+    // INVALID JSON that merely starts with '{' must not throw (a
+    // JsonParseException escaping readPending classifies as Transient and
+    // burns that budget on deterministic corrupt data) — the spliced line
+    // stays malformed and strict decode rejects it under DataError
+    assert(WalEnvelope.ensureLsn("{bad}", 5L) === """{"lsn":5,bad}""")
+    assert(WalEnvelope.ensureLsn("""{"xid"  }""", 5L)
+      .startsWith("""{"lsn":5,"""))
   }
 
   test("REAL wal2json (no in-band lsn) stages correctly via envelope splicing") {

@@ -101,6 +101,25 @@ class PgoutputSpec extends SparkSpec {
     assert(Pgoutput.parse(Array[Byte]('O', 1, 2, 3)) === Skipped('O'))
   }
 
+  test("TRUNCATE fails typed — a skipped truncate silently diverges the lake") {
+    // publications publish truncate by DEFAULT; the engine cannot express
+    // a TRUNCATE as keyed changes, so it must fail loud under DataError
+    // (repair = exclude truncate from the publication or resync), exactly
+    // like D-without-identity — never silently drop it
+    val t = new PgoutputTranscoder
+    t.feed(Pgoutput.write(Begin(1, 0, 42)))
+    val ex = intercept[MalformedPgoutputException] {
+      t.feed(Array[Byte]('T', 0, 0, 0, 1))
+    }
+    assert(ex.getMessage.contains("TRUNCATE"))
+    assert(graft.streaming.CdcPipeline.classify(ex) ===
+      graft.streaming.CdcPipeline.FailureKind.DataError)
+    // Origin/Type messages remain genuine no-ops
+    val t2 = new PgoutputTranscoder
+    t2.feed(Pgoutput.write(Begin(1, 0, 42)))
+    assert(t2.feed(Array[Byte]('O', 1, 2, 3)).isEmpty)
+  }
+
   test("type OIDs render the SQL names wal2json prints") {
     assert(Pgoutput.typeName(25, -1) === "text")
     assert(Pgoutput.typeName(20, -1) === "bigint")

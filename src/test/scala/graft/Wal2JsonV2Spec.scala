@@ -63,6 +63,25 @@ class Wal2JsonV2Spec extends SparkSpec {
         """"columnvalues":["x\ny",42,true,null,{"k":[1,2]}]}]}""")
   }
 
+  test("high-precision numerics survive the fold exactly (no double rounding)") {
+    val tr = new Wal2JsonV2Transcoder
+    // a default ObjectMapper parses non-integral numbers as Java doubles:
+    // 0.12345678901234567890123456789 would re-render as
+    // 0.12345678901234568 — silent corruption of numeric column values on
+    // this grammar alone. USE_BIG_DECIMAL_FOR_FLOATS keeps the exact text.
+    val precise = "0.12345678901234567890123456789"
+    val big = "123456789012345678901234567890.42"
+    val line = (Seq(
+      """{"action":"B","xid":7}""",
+      s"""{"action":"I","schema":"s","table":"t","columns":[""" +
+        s"""{"name":"n","type":"numeric","value":$precise},""" +
+        s"""{"name":"m","type":"numeric","value":$big},""" +
+        s"""{"name":"j","type":"jsonb","value":{"x": $precise}}]}""",
+      """{"action":"C"}""").flatMap(tr.feed(_))).head
+    assert(line.contains(s""""columnvalues":[$precise,$big,{"x":$precise}]"""),
+      s"exact decimal text must survive: $line")
+  }
+
   test("framing violations fail typed, never corrupt silently") {
     def fresh = new Wal2JsonV2Transcoder
     val I = """{"action":"I","schema":"s","table":"t","columns":[]}"""
@@ -91,12 +110,21 @@ class Wal2JsonV2Spec extends SparkSpec {
     assert(ex.getMessage.contains("identity"))
     // the taxonomy pins all of this as deterministic DataError
     assert(CdcPipeline.classify(ex) === CdcPipeline.FailureKind.DataError)
-    // truncate / logical-message actions are skipped, not errors
+    // TRUNCATE cannot be applied as keyed changes — skipping it silently
+    // diverges the lake from a truncated source (publications publish
+    // truncate by DEFAULT), so it fails typed under DataError like
+    // D-without-identity; logical messages remain genuine no-ops
     val t3 = fresh
     t3.feed("""{"action":"B","xid":4}""")
-    assert(t3.feed("""{"action":"T","schema":"s","table":"t"}""").isEmpty)
-    assert(t3.feed("""{"action":"M","prefix":"p","content":"c"}""").isEmpty)
-    assert(t3.feed("""{"action":"C"}""") ===
+    val exT = intercept[MalformedWal2JsonV2Exception] {
+      t3.feed("""{"action":"T","schema":"s","table":"t"}""")
+    }
+    assert(exT.getMessage.contains("TRUNCATE"))
+    assert(CdcPipeline.classify(exT) === CdcPipeline.FailureKind.DataError)
+    val t3b = fresh
+    t3b.feed("""{"action":"B","xid":4}""")
+    assert(t3b.feed("""{"action":"M","prefix":"p","content":"c"}""").isEmpty)
+    assert(t3b.feed("""{"action":"C"}""") ===
       Some("""{"xid":4,"change":[]}"""))
     // extra fields from plugin options must be tolerated, not fatal
     val t4 = fresh
