@@ -34,13 +34,15 @@ object Main {
       "txns-per-segment" -> (false, "transactions per segment file (default 10000)"),
       "seed" -> (false, "deterministic stream seed (default 42)"),
       "add-col-at" -> (false, "LSN at which an additive column appears"),
-      "rename-at" -> (false, "LSN at which a column rename appears")),
+      "rename-at" -> (false, "LSN at which a column rename appears"),
+      "tables" -> (false, "comma-separated table names for a MIXED-table stream (each change routes by repo hash; default repos)")),
     "run" -> Map(
       "wal-dir" -> (true, "WAL segment directory to tail"),
       "table-root" -> (true, "lake table root directory"),
       "checkpoint" -> (true, "streaming checkpoint directory"),
       "buckets" -> (false, "primary-key hash buckets (default 32)"),
       "table" -> (false, "wal2json table name to apply (default repos)"),
+      "tables" -> (false, "comma-separated table names for SINGLE-PASS multi-table apply (one decode pass fanned out to one lake table per name under <table-root>/<name>; mutually exclusive with --table/--sink connector)"),
       "schema" -> (false, "table schema as SQL DDL (default: the repos schema)"),
       "keys" -> (false, "comma-separated primary-key columns (default repo,path)"),
       "sink" -> (false, "foreachbatch|connector: drive the MERGE inline or through writeStream.format(\"graft-lake\") (default foreachbatch)"),
@@ -249,11 +251,71 @@ object Main {
         val cfg = GenConfig(
           seed = kv.getOrElse("seed", "42").toLong,
           addColumnAtLsn = kv.get("add-col-at").map(_.toLong).getOrElse(Long.MaxValue),
-          renameAtLsn = kv.get("rename-at").map(_.toLong).getOrElse(Long.MaxValue))
+          renameAtLsn = kv.get("rename-at").map(_.toLong).getOrElse(Long.MaxValue),
+          tables = kv.get("tables")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq)
+            .getOrElse(IndexedSeq("repos")))
         val n = kv("txns").toLong
         val per = kv.getOrElse("txns-per-segment", "10000").toLong
         ChangeStreamGen.writeSegments(spark, cfg, kv("wal-dir"), n, per)
         println(s"""{"wrote_txns":$n,"segments":${(n + per - 1) / per},"dir":"${kv("wal-dir")}"}""")
+
+      // SINGLE-PASS multi-table apply: one decode pass over the mixed WAL
+      // fanned out to one lake table per name (CdcPipeline demux — the WAL
+      // is scanned and ParseWalLine'd exactly once per batch, not once per
+      // table), per-table watermark fences, ONE checkpoint.
+      case "run" if kv.contains("tables") =>
+        require(!kv.contains("table"),
+          "--tables and --table are mutually exclusive")
+        require(kv.getOrElse("sink", "foreachbatch") != "connector",
+          "--tables drives the foreachbatch pipeline (connector sink is single-table)")
+        val root = kv("table-root")
+        val names = kv("tables").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(names.nonEmpty && names.distinct.size == names.size,
+          s"--tables needs distinct non-empty names, got '${kv("tables")}'")
+        val schema = kv.get("schema").map(StructType.fromDDL).getOrElse(reposSchema)
+        val keys = kv.get("keys").map(_.split(",").toSeq).getOrElse(Seq("repo", "path"))
+        val renameMap = if (kv.contains("schema")) Map.empty[String, String]
+          else reposRenameMap
+        val targets = names.map { n =>
+          val t = new LakeTable(spark, s"$root/$n",
+            maxDeltasPerBucket = kv.getOrElse("max-deltas", "64").toInt,
+            maxDeltaBytesPerBucket =
+              kv.getOrElse("max-delta-bytes", (32L * 1024 * 1024).toString).toLong,
+            manifestThresholdFiles = kv.getOrElse("manifest-threshold", "4096").toInt)
+          TableTarget(n, t, schema, keys,
+            nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap)
+        }
+        val metricsPath = Option(new java.net.URI(root).getScheme) match {
+          case None => Some(s"$root/_metrics/batches.jsonl")
+          case Some("file") =>
+            Some(s"${new java.net.URI(root).getPath}/_metrics/batches.jsonl")
+          case Some(_) => None
+        }
+        val t0 = System.nanoTime()
+        val pipe = new CdcPipeline(spark, kv("wal-dir"), kv("checkpoint"),
+          targets, names.toSet,
+          metricsPath = metricsPath,
+          maxFilesPerTrigger = kv.get("max-segments-per-trigger").map(_.toInt),
+          strictDecode = kv.getOrElse("strict", "true").toBoolean,
+          walRetention = kv.get("retention").contains("delete"),
+          walSplitBytes = kv.get("split-bytes").map(_.toLong),
+          saltBuckets = kv.getOrElse("salt-buckets", "0").toInt,
+          maxBytesPerTrigger = kv.get("max-bytes-per-trigger").map(_.toLong))
+        kv.get("max-restarts").map(_.toInt) match {
+          case Some(budget) if budget > 0 => pipe.runSupervised(maxRestarts = budget)
+          case _ => pipe.runAvailable()
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val batches = pipe.stats.map(_._1).distinct.size
+        val applied = pipe.stats.map(_._3.appliedKeys).sum
+        val perTable = targets.map { t =>
+          val snap = t.table.currentSnapshot.get
+          s""""${t.name}":{"snapshotId":${snap.snapshotId},""" +
+            s""""highWatermark":${snap.lsnHighWatermark}}"""
+        }.mkString("{", ",", "}")
+        println(s"""{"batches":$batches,"appliedKeys":$applied,""" +
+          s""""tables":$perTable,"seconds":$sec}""")
 
       case "run" =>
         val root = kv("table-root")

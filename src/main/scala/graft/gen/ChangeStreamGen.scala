@@ -36,7 +36,13 @@ final case class GenConfig(
     contentLines: Int = 8,
     // Schema evolution switch-on points; Long.MaxValue = never.
     addColumnAtLsn: Long = Long.MaxValue,
-    renameAtLsn: Long = Long.MaxValue)
+    renameAtLsn: Long = Long.MaxValue,
+    // MIXED-TABLE streams (the reference's single slot carries EVERY
+    // table's changes — SlotReaderKinesisWriter.java:281-287): each change
+    // routes to tables(hash(repo) % n), a pure function of the repo so a
+    // given key always lives in exactly ONE table. Default single-table
+    // keeps every existing stream byte-identical.
+    tables: IndexedSeq[String] = IndexedSeq("repos"))
 
 object ChangeStreamGen {
 
@@ -70,7 +76,8 @@ object ChangeStreamGen {
 
   final case class GenChange(
       kind: String, repo: String, path: String,
-      commit: String, lang: String, content: String, sizeBytes: Long)
+      commit: String, lang: String, content: String, sizeBytes: Long,
+      table: String = "repos")
 
   final case class GenTxn(lsn: Long, xid: Long, changes: IndexedSeq[GenChange])
 
@@ -91,7 +98,14 @@ object ChangeStreamGen {
       val commit = f"${h(cfg.seed, txnId, 5, i.toLong)}%016x"
       val lang = langs(((h(cfg.seed, txnId, 6, i.toLong) & 0x7fffffffL) % langs.length).toInt)
       val content = if (kind == "delete") "" else genContent(cfg, repo, path, lsn, i)
-      GenChange(kind, repo, path, commit, lang, content, content.length.toLong)
+      // table routing is a function of the REPO alone (stable: every
+      // change of a key goes to the same table for the stream's lifetime)
+      val table =
+        if (cfg.tables.length == 1) cfg.tables.head
+        else cfg.tables((h(cfg.seed, 8L, repoIdx.toLong) & 0x7fffffffL).toInt
+          % cfg.tables.length)
+      GenChange(kind, repo, path, commit, lang, content, content.length.toLong,
+        table)
     }
     GenTxn(lsn, xid, changes)
   }
@@ -136,7 +150,8 @@ object ChangeStreamGen {
       val withSize = t.lsn >= cfg.addColumnAtLsn
       val langCol = if (renamed) "language" else "lang"
       sb.append("{\"kind\":\"").append(c.kind)
-        .append("\",\"schema\":\"public\",\"table\":\"repos\"")
+        .append("\",\"schema\":\"public\",\"table\":\"").append(esc(c.table))
+        .append('"')
       if (c.kind != "delete") {
         sb.append(",\"columnnames\":[\"repo\",\"path\",\"commit\",\"")
           .append(langCol).append("\",\"content\"")

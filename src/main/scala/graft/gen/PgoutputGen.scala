@@ -24,6 +24,11 @@ object PgoutputGen {
     (lsn >= cfg.renameAtLsn, lsn >= cfg.addColumnAtLsn)
 
   def relationFor(cfg: GenConfig, lsn: Long): Relation = {
+    // multi-table streams would need one Relation (and OID, and per-table
+    // era tracking) per table — not wired yet; fail loud rather than emit
+    // every table's changes under the "repos" relation
+    require(cfg.tables == IndexedSeq("repos"),
+      s"pgoutput generator supports the single default table only, got ${cfg.tables}")
     val (renamed, withSize) = era(cfg, lsn)
     val langCol = if (renamed) "language" else "lang"
     val cols = IndexedSeq(

@@ -33,13 +33,14 @@ object Wal2JsonV2Gen {
           col("content", "text", "\"" + escape(c.content) + "\"")) ++
           (if (withSize) Seq(col("size_bytes", "bigint", c.sizeBytes.toString))
            else Nil)
+      val tbl = escape(c.table)
       c.kind match {
         case "insert" =>
-          s"""{"action":"I","schema":"public","table":"repos","columns":[${columns.mkString(",")}]}"""
+          s"""{"action":"I","schema":"public","table":"$tbl","columns":[${columns.mkString(",")}]}"""
         case "update" =>
-          s"""{"action":"U","schema":"public","table":"repos","columns":[${columns.mkString(",")}]${identity(c)}}"""
+          s"""{"action":"U","schema":"public","table":"$tbl","columns":[${columns.mkString(",")}]${identity(c)}}"""
         case "delete" =>
-          s"""{"action":"D","schema":"public","table":"repos"${identity(c)}}"""
+          s"""{"action":"D","schema":"public","table":"$tbl"${identity(c)}}"""
       }
     }
     (s"""{"action":"B","xid":${t.xid}}""" +: body) :+ """{"action":"C"}"""

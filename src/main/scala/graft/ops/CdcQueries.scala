@@ -340,6 +340,40 @@ object CdcQueries {
        |      FROM events) WHERE rn = 1 AND $kindSql <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** SINGLE-PASS MULTI-TABLE APPLY through the REAL engine: the mixed
+    * events_a/events_b WAL (the reference's single slot carries EVERY
+    * table — SlotReaderKinesisWriter.java:281-287) pushed through
+    * [[graft.streaming.CdcPipeline.processBatch]] with TWO lake-table
+    * targets — the demux path decodes the batch EXACTLY ONCE, writes it
+    * partitioned by table, and fans out per-table LSN-fenced MERGEs.
+    * Output is the union of both tables' final states tagged by table;
+    * the oracle recomputes keep-last non-deleted state per routed table. */
+  def multiTableApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def mk(name: String) = graft.streaming.TableTarget(name,
+      new graft.lake.LakeTable(spark,
+        graft.util.TempDirs.scratch(s"graft-cdc-mt-$name")),
+      schema, Seq("user_id"), nBuckets = 8)
+    val targets = Seq(mk("events_a"), mk("events_b"))
+    val ckpt = graft.util.TempDirs.scratch("graft-cdc-mt-ckpt")
+    val pipe = new graft.streaming.CdcPipeline(spark, ckpt, ckpt,
+      targets, Set("events_a", "events_b"))
+    pipe.processBatch(walLines(spark, dir), 0L)
+    targets.map(t => t.table.read()
+        .select(lit(t.name).as("tbl"), col("user_id"), col("value")))
+      .reduce(_ union _)
+      .orderBy("tbl", "user_id")
+  }
+
+  val multiTableSql: String =
+    s"""SELECT $tblSql AS tbl, user_id, value
+       |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY event_id DESC) rn
+       |      FROM events) WHERE rn = 1 AND $kindSql <> 'delete'
+       |ORDER BY tbl, user_id""".stripMargin
+
   /** BUCKET-COUNT EVOLUTION through the REAL engine: the events WAL
     * applied in two commits with a [[graft.apply.MergeEngine.rebucket]]
     * (8 -> 16) between them, PLUS a full-prefix crash replay right after
@@ -438,6 +472,7 @@ object CdcQueries {
     "cdc_table_filter" -> (tableFilter _, tableFilterSql),
     "cdc_dedup_keeplast" -> (dedupKeepLast _, dedupKeepLastSql),
     "cdc_merge_final_state" -> (mergeFinalState _, mergeFinalStateSql),
+    "cdc_multi_table" -> (multiTableApply _, multiTableSql),
     "cdc_change_feed" -> (changeFeed _, changeFeedSql),
     "cdc_change_feed_streamed" -> (changeFeedStreamed _, changeFeedSql),
     "cdc_feed_mirror" -> (feedMirror _, feedMirrorSql),

@@ -114,12 +114,69 @@ class CdcPipeline(
             samples.mkString(" | "))
       }
     }
-    targets.foreach { t =>
+    if (targets.size == 1) {
+      val t = targets.head
       val forTable = decoded.events.filter(col("table") === t.name)
       val stats = MergeEngine.applyBatch(t.table, forTable,
         saltBuckets = saltBuckets, validate = validate _)
       emitMetrics(batchId, t.name, stats)
-    }
+    } else processMultiTable(decoded.events, validate _, batchId)
+  }
+
+  /**
+   * SINGLE-PASS multi-table apply. The reference's slot carries EVERY
+   * table's changes in one stream (`relevantTables` is a SET, applied per
+   * change — SlotReaderKinesisWriter.java:281-287) and its consumer
+   * handles the mixed stream (SlotMessageRecordProcessor.java:42-88); the
+   * lazy per-target filter above would re-execute the WAL scan AND the
+   * ParseWalLine decode once per target — 50 tables = 50 full decodes of
+   * the same batch, the dominant CPU at 10^10 events.
+   *
+   * Instead the decoded batch is DEMUXED once: one job scans + decodes +
+   * writes the events as parquet partitioned by `table` under a
+   * batch-scoped scratch dir (shuffle-free — each task appends to its
+   * tables' partition dirs), the strict-decode observe counts riding that
+   * single pass. Each target then applies from ONLY its partition
+   * directory (columnar, partition-pruned — O(its changes), zero
+   * re-decode). Exactly-once is untouched: the per-table LSN watermark
+   * fences gate replays individually, so a crash BETWEEN per-table
+   * commits replays the batch, no-ops the already-committed tables, and
+   * completes the rest; the scratch dir is rebuilt idempotently on replay
+   * and removed when the batch finishes (or fails).
+   *
+   * Why not persist(): caching the wide decoded payloads measurably costs
+   * more than one recompute (CLAUDE.md lesson 9) and every target would
+   * still scan the FULL batch; the partitioned write gives each target
+   * only its slice, and the write itself is the single full-size pass the
+   * single-table path pays anyway (its delta write).
+   */
+  private def processMultiTable(events: DataFrame, validate: () => Unit,
+                                batchId: Long): Unit = {
+    val scratch = s"$checkpointDir/_demux/batch-$batchId"
+    val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+    val fs = scratchPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(scratchPath, true) // crash replay rebuilds from scratch
+    try {
+      // the ONE full-size pass: scan + decode + demux write
+      events.write.partitionBy("table").parquet(scratch)
+      validate() // observe counts are complete; abort BEFORE any apply
+      val eventSchema = org.apache.spark.sql.types.StructType(
+        events.schema.fields.filterNot(_.name == "table"))
+      targets.foreach { t =>
+        // explicit schema (no footer-inference job — CLAUDE.md lesson 20);
+        // basePath keeps `table` a partition column so the equality filter
+        // partition-prunes to exactly one directory at planning time
+        val slice = spark.read
+          .option("basePath", scratch)
+          .schema(eventSchema.add("table", "string"))
+          .parquet(scratch)
+          .filter(col("table") === t.name)
+          .drop("table")
+        val stats = MergeEngine.applyBatch(t.table, slice,
+          saltBuckets = saltBuckets)
+        emitMetrics(batchId, t.name, stats)
+      }
+    } finally fs.delete(scratchPath, true)
   }
 
   /** Start the streaming query tailing the WAL segment directory.
