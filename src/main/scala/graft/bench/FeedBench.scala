@@ -25,6 +25,7 @@ import graft.lake.LakeTable
  */
 object FeedBench {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("catchup")) { catchup(args.drop(1)); return }
     val commits = args.headOption.map(_.toInt).getOrElse(10)
     val rowsPerCommit = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
     val spark = SparkSession.builder().master("local[8]")
@@ -84,6 +85,93 @@ object FeedBench {
     println(s"""{"metric":"feed_read_growth_over_${commits}x_table",""" +
       s""""feedGrowth":${f"$feedGrowth%.2f"},"scanGrowth":${f"$scanGrowth%.2f"},""" +
       s""""commits":$commits,"rowsPerCommit":$rowsPerCommit}""")
+    spark.stop()
+  }
+
+  /**
+   * CATCH-UP decision benchmark: the metadata cost of resolving a LONG
+   * `changes(from, to]` range — a mirror restarting after a day of
+   * 5-second micro-batches pays this before any data moves. Historically
+   * one snapshot-ROOT read per id, SERIAL on the driver: ~17k sequential
+   * object-store GETs ≈ tens of driver-minutes per catch-up window. The
+   * fix is two-layered: a bounded-parallel root fetch (always on) and the
+   * feed-log index (`indexFeed` maintenance, O(range/segment) reads).
+   *
+   * Local fs reads take ~50 µs, which would hide a serial-GET bottleneck
+   * entirely — so the bench injects `delayMs` per metadata read
+   * (LakeTable.metaReadDelayMs), emulating an object store's GET RTT.
+   * Commit volume: every 20th commit is a real apply, the rest are idle
+   * fast-forwards — metadata-identical to real commits (the reader cannot
+   * know a root is feed-empty without fetching it), so the ≥10³-commit
+   * history builds in seconds while measuring exactly the pain point.
+   *
+   * Usage: runMain graft.bench.FeedBench catchup [commits] [delayMs]
+   */
+  def catchup(args: Array[String]): Unit = {
+    val commits = args.headOption.map(_.toInt).getOrElse(1200)
+    val delayMs = args.drop(1).headOption.map(_.toLong).getOrElse(10L)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = graft.util.TempDirs.scratch("graft-feedcatchup")
+    val t = new LakeTable(spark, root)
+    t.create(StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      Seq("id"), nBuckets = 16)
+    def commitDf(c: Long): DataFrame =
+      spark.range(c * 50, (c + 1) * 50).select(
+        (col("id") + 1).as("lsn"), lit(0).as("seq"), col("id").as("xid"),
+        lit("insert").as("kind"), lit("public").as("schema"), lit("t").as("table"),
+        array(lit("id"), lit("v")).as("columnnames"),
+        array(lit("bigint"), lit("text")).as("columntypes"),
+        array(col("id").cast("string"), md5(col("id").cast("string")))
+          .as("columnvalues"),
+        lit(null).cast(graft.model.Wal2Json.oldKeysSchema).as("oldkeys"))
+    print(s"building $commits-commit history... ")
+    (0 until commits).foreach { c =>
+      if (c % 20 == 0) MergeEngine.applyBatch(t, commitDf(c))
+      else MergeEngine.fastForward(t,
+        t.currentSnapshot.get.lsnHighWatermark + 1)
+    }
+    val latest = t.currentSnapshot.get.snapshotId
+    println(s"done (latest snapshot $latest)")
+
+    def measure(label: String)(body: => Long): (Long, Double, Long) = {
+      // best-of-2 (lesson 17: this host's noise hits within one process);
+      // reads counted on the first sample only — deterministic either way
+      t.metaReadDelayMs = delayMs
+      val r0 = t.metaReads.get()
+      var rows = 0L
+      val sec = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); rows = body
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val reads = (t.metaReads.get() - r0) / 2
+      t.metaReadDelayMs = 0L
+      println(f"$label%-28s metaReads=$reads%6d  driverSec=$sec%8.2f  rows=$rows")
+      (reads, sec, rows)
+    }
+    println(f"emulated metadata GET latency: ${delayMs}ms/read")
+    t.feedMetaParallelism = 1
+    val (serR, serS, serRows) = measure("serial roots (the old path)") {
+      t.changes(-1, latest).count() }
+    t.feedMetaParallelism = 32
+    val (parR, parS, parRows) = measure("parallel roots (32-way)") {
+      t.changes(-1, latest).count() }
+    t.metaReadDelayMs = delayMs // index build pays the same emulated RTTs
+    val segs = t.indexFeed(segmentSize = 128)
+    t.metaReadDelayMs = 0L
+    val (idxR, idxS, idxRows) = measure(s"feed-log index ($segs segs)") {
+      t.changes(-1, latest).count() }
+    require(serRows == parRows && parRows == idxRows,
+      s"resolution paths disagree: $serRows/$parRows/$idxRows")
+    println(s"""{"metric":"feed_catchup_metadata","commits":$commits,""" +
+      s""""delayMs":$delayMs,"serialReads":$serR,"serialSec":${f"$serS%.2f"},""" +
+      s""""parallelReads":$parR,"parallelSec":${f"$parS%.2f"},""" +
+      s""""indexedReads":$idxR,"indexedSec":${f"$idxS%.2f"},""" +
+      s""""segments":$segs,"rows":$idxRows}""")
     spark.stop()
   }
 }

@@ -70,6 +70,9 @@ object Main {
       "buckets" -> (true, "new primary-key hash bucket count (table grew/shrank past its layout — one fenced full-rewrite commit; old snapshots stay readable under their own count)")),
     "compact" -> Map(
       "table-root" -> (true, "lake table root directory (folds every delta-carrying bucket to a fresh base in one fenced commit — the optimize-before-reads knob; changes no rows)")),
+    "index-feed" -> Map(
+      "table-root" -> (true, "lake table root directory (builds the change feed's commit-log index: a long catch-up range then resolves in O(range/segment) metadata reads instead of one snapshot-root read per commit; run with other maintenance)"),
+      "segment-size" -> (false, "snapshots per index segment (default 256)")),
     "clone" -> Map(
       "source-root" -> (true, "source lake table root"),
       "target-root" -> (true, "fresh root for the clone (must not already hold a table)"),
@@ -500,6 +503,17 @@ object Main {
           if (snap.snapshotId == before.snapshotId) """"noop":true"""
           else s""""compactedBuckets":${snap.lineage.getOrElse("compactedBuckets", -1L)}"""
         println(s"""{"snapshotId":${snap.snapshotId},$detail,"seconds":$secs}""")
+
+      case "index-feed" =>
+        // feed catch-up maintenance: write the commit-log index segments so
+        // changes(from, to] over a long range stops paying one sequential
+        // metadata read per commit (kept OFF the commit path — a committer
+        // would need K-1 other roots to build a segment)
+        val t = new LakeTable(spark, kv("table-root"))
+        val t0 = System.nanoTime()
+        val segs = t.indexFeed(kv.getOrElse("segment-size", "256").toInt)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(s"""{"segmentsWritten":$segs,"seconds":$secs}""")
 
       case "clone" =>
         // DR / dev-copy / point-in-time recovery: materialize a snapshot

@@ -277,18 +277,27 @@ class LakeTable(val spark: SparkSession, val root: String,
   /** `only = Some(buckets)`: on a distributed snapshot, resolve ONLY those
     * buckets' manifests — O(|subset|) metadata IO. The result is partial
     * (read-only for those buckets; never commit from it). */
-  private def readSnapshot(id: Long, only: Option[Set[Int]]): Snapshot = {
-    val in = fs.open(new HPath(metaDir, f"snapshot-$id%012d.json"))
-    val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    finally in.close()
-    fromJson(json, readMetaFile, only)
-  }
+  private def readSnapshot(id: Long, only: Option[Set[Int]]): Snapshot =
+    fromJson(readMetaFile(f"meta/snapshot-$id%012d.json"), readMetaFile, only)
 
   private def readMetaFile(rel: String): String = {
+    metaReads.incrementAndGet()
+    if (metaReadDelayMs > 0) Thread.sleep(metaReadDelayMs)
     val in = fs.open(new HPath(rootPath, rel))
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
   }
+
+  /** Metadata-read round-trip counter — the observable that makes feed
+    * catch-up cost testable (a 10^3-commit range must NOT mean 10^3
+    * sequential root reads). Every metadata-file read increments it. */
+  private[graft] val metaReads = new java.util.concurrent.atomic.AtomicLong
+  /** TEST/BENCH hook: per-metadata-read latency emulating an object store's
+    * ~tens-of-ms GET round-trip (local fs reads in ~50 µs, which would hide
+    * a serial-read bottleneck entirely). Never set on production paths. */
+  @volatile private[graft] var metaReadDelayMs = 0L
+  /** Bound on concurrent snapshot-root fetches during a feed catch-up. */
+  @volatile private[graft] var feedMetaParallelism = 32
 
   /** Create the table with an initial empty snapshot (idempotent — tolerates
     * "already exists" like the reference's slot creation,
@@ -671,19 +680,34 @@ class LakeTable(val spark: SparkSession, val root: String,
       s"snapshot $toSnapshot does not exist (latest is $latest)")
     // typed retention error, not a raw FileNotFound from a metadata path:
     // feed history lives exactly as long as its snapshots
+    def retentionError(s: Long, cause: Throwable = null) = new IllegalStateException(
+      s"changes($fromSnapshot, $toSnapshot]: snapshot $s has been expired " +
+        "(expireSnapshots) — feed history is retained exactly as long as " +
+        "its snapshots; start from a retained snapshot id", cause)
     def snapAtRetained(s: Long): Snapshot =
       try snapshotAt(s)
-      catch {
-        case e: java.io.FileNotFoundException => throw new IllegalStateException(
-          s"changes($fromSnapshot, $toSnapshot]: snapshot $s has been expired " +
-            "(expireSnapshots) — feed history is retained exactly as long as " +
-            "its snapshots; start from a retained snapshot id", e)
-      }
+      catch { case e: java.io.FileNotFoundException => throw retentionError(s, e) }
     val to = snapAtRetained(toSnapshot)
+    // Catch-up metadata cost: resolving one snapshot ROOT per id SERIALLY
+    // on the driver made a mirror catching up on a day of 5-second commits
+    // (~17k ids) pay ~17k sequential object-store GETs before any data
+    // moved. Resolution order now: (1) feed-log index segments written by
+    // [[indexFeed]] maintenance — O(range/segmentSize) metadata reads;
+    // (2) a BOUNDED-PARALLEL root fetch for ids no segment covers. A stale
+    // segment surviving a crashed expire can never serve expired history:
+    // the oldest id in the range is existence-checked first (expire drops
+    // the oldest prefix, so one check gates the whole range).
+    val priorIds = (fromSnapshot + 1) until toSnapshot
+    if (priorIds.nonEmpty &&
+        !fs.exists(new HPath(metaDir, f"snapshot-${priorIds.head}%012d.json")))
+      throw retentionError(priorIds.head)
+    val indexed = readFeedLogRange(priorIds)
+    val fetched =
+      fetchCommitDeltas(priorIds.filterNot(indexed.contains), snapAtRetained)
     val perSnap: Seq[(Long, Seq[String])] =
       ((fromSnapshot + 1) to toSnapshot).map { s =>
-        val sn = if (s == toSnapshot) to else snapAtRetained(s)
-        s -> sn.commitDeltas.values.flatten.toSeq.sorted
+        s -> (if (s == toSnapshot) to.commitDeltas.values.flatten.toSeq.sorted
+              else indexed.getOrElse(s, fetched(s)))
       }
     val fileToSnap: Map[String, Long] = perSnap.flatMap { case (s, fs) =>
       fs.map(f => f.split("/").last -> s) // keyed by unique parquet file name
@@ -704,6 +728,138 @@ class LakeTable(val spark: SparkSession, val root: String,
         attributed.join(broadcast(lookup), Seq("_source_file"), "left")
       }
     withSnap.drop("_source_file")
+  }
+
+  private def commitDeltasOf(sn: Snapshot): Seq[String] =
+    sn.commitDeltas.values.flatten.toSeq.sorted
+
+  /** Fetch `ids`' per-commit delta lists with at most
+    * [[feedMetaParallelism]] concurrent root reads (Hadoop FileSystem reads
+    * and the root parser are thread-safe; roots are immutable). Serial
+    * resolution is the scale trap this replaces: metadata GET latency —
+    * not bytes — dominated long-range feed reads. */
+  private def fetchCommitDeltas(ids: Seq[Long],
+                                read: Long => Snapshot): Map[Long, Seq[String]] =
+    if (ids.isEmpty) Map.empty
+    else if (ids.size == 1) Map(ids.head -> commitDeltasOf(read(ids.head)))
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(math.max(1, feedMetaParallelism), ids.size))
+      try {
+        val futs = ids.map(s => s -> pool.submit(
+          new java.util.concurrent.Callable[Seq[String]] {
+            override def call(): Seq[String] = commitDeltasOf(read(s))
+          }))
+        futs.map { case (s, f) =>
+          s -> (try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e) })
+        }.toMap
+      } finally pool.shutdownNow()
+    }
+
+  /** The id -> commit-delta-files entries every feed-log segment
+    * overlapping `ids` holds for ids within the range. A segment that
+    * fails to parse (torn crash leftover) is SKIPPED — its ids fall back
+    * to root reads; the index is a pure metadata-cost optimization and
+    * never a correctness dependency. */
+  private def readFeedLogRange(ids: Seq[Long]): Map[Long, Seq[String]] = {
+    if (ids.isEmpty) return Map.empty
+    val (lo, hi) = (ids.head, ids.last)
+    listMetaNames().collect {
+      case n @ FeedLogRe(a, b) if a.toLong <= hi && b.toLong >= lo => n
+    }.flatMap { name =>
+      try {
+        val node = mapper.readTree(readMetaFile(s"meta/$name"))
+        node.get("deltas").properties().asScala.iterator.map { e =>
+          e.getKey.toLong ->
+            e.getValue.elements().asScala.map(_.asText).toSeq
+        }.filter { case (id, _) => id >= lo && id <= hi }.toSeq
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }.toMap
+  }
+
+  /**
+   * MAINTENANCE: build the CHANGE-FEED's commit-log index — immutable
+   * `meta/feedlog-<first>-<last>.json` segments, each holding `segmentSize`
+   * consecutive snapshots' per-commit delta lists — so [[changes]] over a
+   * long catch-up range resolves in O(range / segmentSize) metadata
+   * round-trips instead of one root read per id. Windows are ALIGNED to
+   * multiples of `segmentSize` (idempotent across invocations), only fully
+   * committed, fully retained windows are written, and publication is
+   * tmp + move — a racing indexer writes byte-identical content, so even a
+   * replacement race is harmless. Kept OFF the commit path on purpose: the
+   * committer would need K-1 other roots to build a segment, re-paying the
+   * cost this removes — and the fenced commit protocol stays untouched.
+   * Run it wherever compaction/expire maintenance already runs.
+   *
+   * @return number of segments written
+   */
+  def indexFeed(segmentSize: Int = 256): Int = {
+    require(segmentSize >= 2 && segmentSize <= (1 << 20),
+      s"segmentSize must be in [2, 2^20]: got $segmentSize")
+    // a crashed indexer's stranded tmp (publication never happened; its
+    // window will be rebuilt below). A LIVE racing indexer losing its tmp
+    // just fails its move and retries next maintenance pass.
+    val names = listMetaNames()
+    names.filter(n => n.startsWith(".feedlog-") && n.endsWith(".tmp"))
+      .foreach(n => fs.delete(new HPath(metaDir, n), false))
+    val snapIds = names.collect { case SnapshotRe(n) => n.toLong }
+    if (snapIds.isEmpty) return 0
+    val (minId, maxId) = (snapIds.min, snapIds.max)
+    val existing = names.collect {
+      case FeedLogRe(a, b) => (a.toLong, b.toLong) }.toSet
+    var written = 0
+    var first = (minId / segmentSize) * segmentSize
+    if (first < minId) first += segmentSize // only fully-retained windows
+    while (first + segmentSize - 1 <= maxId) {
+      val last = first + segmentSize - 1
+      if (!existing.contains((first, last))) {
+        // a window expiring under a concurrent maintenance pass is skipped,
+        // never half-indexed
+        val deltas =
+          try Some(fetchCommitDeltas(first to last, snapshotAt))
+          catch { case _: java.io.FileNotFoundException => None }
+        deltas.foreach { d =>
+          val n = mapper.createObjectNode()
+          n.put("first", first); n.put("last", last)
+          val dn = n.putObject("deltas")
+          d.toSeq.sortBy(_._1).foreach { case (id, files) =>
+            val arr = dn.putArray(id.toString); files.foreach(arr.add)
+          }
+          if (publishFeedLog(f"feedlog-$first%012d-$last%012d.json",
+            mapper.writeValueAsString(n))) written += 1
+        }
+      }
+      first += segmentSize
+    }
+    written
+  }
+
+  /** Publish a feed-log segment: durable tmp write, then move into place.
+    * Readers can never observe a torn segment (local: same-dir move; object
+    * stores: PUT-on-close is atomic; HDFS: rename contract). Losing a race
+    * is fine — the winner's content is byte-identical. */
+  private def publishFeedLog(name: String, content: String): Boolean = {
+    val target = new HPath(metaDir, name)
+    if (fs.exists(target)) return false
+    val tmp = new HPath(metaDir,
+      s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    writeMetaFile(tmp, content)
+    if (isLocalFs) {
+      try {
+        Files.move(localFile(tmp), localFile(target))
+        fsyncDir(localFile(metaDir)); true
+      } catch {
+        case _: FileAlreadyExistsException =>
+          fs.delete(tmp, false); false
+      }
+    } else {
+      val ok = try fs.rename(tmp, target)
+      catch { case _: java.io.IOException => false }
+      if (!ok) fs.delete(tmp, false)
+      ok
+    }
   }
 
   /**
@@ -1194,6 +1350,14 @@ class LakeTable(val spark: SparkSession, val root: String,
     // maintenance pass on the same FileNotFound.
     expire.foreach(id =>
       fs.delete(new HPath(metaDir, f"snapshot-$id%012d.json"), false))
+    // feed-log index segments referencing ANY expired id die with their
+    // snapshots (a retained range never consults them). A crash landing
+    // here leaves a stale segment — harmless: changes() existence-checks
+    // the oldest id in its range before trusting any segment, and the next
+    // expire pass re-derives this same dead set.
+    listMetaNames().collect {
+      case n @ FeedLogRe(a, _) if a.toLong < keep.head => n
+    }.foreach(n => fs.delete(new HPath(metaDir, n), false))
     deadFiles.foreach(f => fs.delete(new HPath(rootPath, f), false))
     deadManifests.foreach(m => fs.delete(new HPath(rootPath, m), false))
     fs.delete(planPath, false) // deletions complete: retire the plan
@@ -1437,6 +1601,8 @@ object LakeTable {
     "wasb", "wasbs", "abfs", "abfss", "swift")
 
   private val SnapshotRe = "snapshot-(\\d+)\\.json".r
+  // feed-log index segment covering snapshot ids [first, last], inclusive
+  private val FeedLogRe = "feedlog-(\\d+)-(\\d+)\\.json".r
   private val mapper = new ObjectMapper()
 
   private type JsonNode = com.fasterxml.jackson.databind.JsonNode

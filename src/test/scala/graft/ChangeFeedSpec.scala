@@ -202,6 +202,63 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ex.getMessage.contains("expired"))
   }
 
+  test("feed-log index: indexed catch-up matches root resolution and caps metadata reads") {
+    val t = newTable("feedidx")
+    (0 until 9).foreach { i =>
+      MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(i * 12L, (i + 1) * 12L)))
+    }
+    def reads(body: => Unit): Long = {
+      val before = t.metaReads.get(); body; t.metaReads.get() - before
+    }
+    val unindexed = t.changes(-1, 9)
+    val unindexedReads = reads { t.changes(-1, 9) }
+    assert(unindexedReads >= 10, // one root per id in (-1, 9] — the cost being indexed away
+      s"expected one root read per snapshot before indexing, got $unindexedReads")
+    // maintenance builds aligned segments [0,3] and [4,7]; [8,9] stays tail
+    assert(t.indexFeed(segmentSize = 4) === 2)
+    assert(t.indexFeed(segmentSize = 4) === 0, "re-index must be a no-op")
+    var indexedDf: DataFrame = null
+    val indexedReads = reads { indexedDf = t.changes(-1, 9) }
+    // to-root + 2 segments + 1 uncovered tail root (id 8) = 4
+    assert(indexedReads <= 4,
+      s"indexed catch-up must read O(range/segment) metadata, got $indexedReads")
+    assert(indexedDf.count() === unindexed.count())
+    (1 to 9).foreach { s =>
+      assert(feedMap(indexedDf.filter(col("_snapshot") === s.toLong)) ===
+        expectedNet((s - 1) * 12L, s * 12L), s"snapshot $s attribution under index")
+    }
+  }
+
+  test("feed-log index: a torn segment is skipped and a stale one cannot serve expired history") {
+    val t = newTable("feedidxtorn")
+    (0 until 6).foreach { i =>
+      MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(i * 12L, (i + 1) * 12L)))
+    }
+    assert(t.indexFeed(segmentSize = 3) === 2) // [0,2], [3,5]
+    val metaDir = new java.io.File(new java.net.URI(t.root).getPath, "meta")
+    val seg0 = new java.io.File(metaDir,
+      f"feedlog-${0L}%012d-${2L}%012d.json")
+    val staleBytes = java.nio.file.Files.readAllBytes(seg0.toPath)
+    // torn segment (crash leftover): parse fails, resolution falls back to
+    // roots — same answer, never an error
+    java.nio.file.Files.write(seg0.toPath, "{\"first\":0,\"la".getBytes)
+    val torn = t.changes(-1, 2)
+    assert(feedMap(torn.filter(col("_snapshot") === 1L)) === expectedNet(0, 12))
+    assert(feedMap(torn.filter(col("_snapshot") === 2L)) === expectedNet(12, 24))
+    java.nio.file.Files.write(seg0.toPath, staleBytes)
+    // expire: segments referencing expired ids die with their snapshots
+    t.expireSnapshots(keepLast = 2)
+    assert(!seg0.exists(), "expire must GC segments referencing expired ids")
+    // simulate the crash window between root- and segment-deletion: put the
+    // stale segment back — expired history must STILL fail typed, because
+    // the range head is existence-checked before any segment is trusted
+    java.nio.file.Files.write(seg0.toPath, staleBytes)
+    val ex = intercept[IllegalStateException] { t.changes(-1, 2) }
+    assert(ex.getMessage.contains("expired"))
+    // and the retained tail still reads correctly despite the stale file
+    assert(feedMap(t.changes(5, 6)) === expectedNet(60, 72))
+  }
+
   test("feed deletes carry null non-key columns; upserts carry the payload") {
     val t = newTable("feedp")
     MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 240)))
