@@ -79,7 +79,7 @@ object Main {
       "as-of" -> (false, "historical snapshot id to clone (point-in-time recovery; default current)")),
     "lookup" -> Map(
       "table-root" -> (true, "lake table root directory"),
-      "key" -> (true, "primary key as col=value[,col=value...] (all key columns)")),
+      "key" -> (true, "primary key as col=value[,col=value...] (all key columns); ';'-separate multiple keys for a one-job batched lookup")),
     "snapshots" -> Map(
       "table-root" -> (true, "lake table root directory"),
       "limit" -> (false, "newest snapshots to list (default 20)")),
@@ -534,7 +534,7 @@ object Main {
         val t = new LakeTable(spark, kv("table-root"))
         val snap = t.currentSnapshot.getOrElse(
           throw new IllegalArgumentException(s"no table at ${kv("table-root")}"))
-        val keyVals: Map[String, Any] = kv("key").split(",").map { pair =>
+        def parseKey(one: String): Map[String, Any] = one.split(",").map { pair =>
           pair.split("=", 2) match {
             case Array(k, v) =>
               // convert to the key column's DECLARED type: a raw String
@@ -557,12 +557,25 @@ object Main {
               s"bad --key element '$pair' (want col=value)\n$helpText")
           }
         }.toMap
-        val (bucket, baseFiles, deltaFiles) = t.planFiles(snap, keyVals)
-        val totalFiles = snap.allFiles.size
-        println(s"""{"bucket":$bucket,""" +
-          s""""scannedFiles":${baseFiles.size + deltaFiles.size},""" +
-          s""""tableFiles":$totalFiles}""")
-        t.lookup(keyVals).show(truncate = false)
+        val keyBatch = kv("key").split(";").toSeq.map(parseKey)
+        if (keyBatch.size == 1) {
+          val keyVals = keyBatch.head
+          val (bucket, baseFiles, deltaFiles) = t.planFiles(snap, keyVals)
+          val totalFiles = snap.allFiles.size
+          println(s"""{"bucket":$bucket,""" +
+            s""""scannedFiles":${baseFiles.size + deltaFiles.size},""" +
+            s""""tableFiles":$totalFiles}""")
+          t.lookup(keyVals).show(truncate = false)
+        } else {
+          // batched point lookup: K keys, ONE Spark job (';'-separated)
+          val planned = keyBatch.map(t.planFiles(snap, _))
+          println(s"""{"keys":${keyBatch.size},""" +
+            s""""buckets":${planned.map(_._1).distinct.size},""" +
+            s""""scannedFiles":${
+              (planned.flatMap(_._2) ++ planned.flatMap(_._3)).distinct.size},""" +
+            s""""tableFiles":${snap.allFiles.size}}""")
+          t.lookup(keyBatch).show(truncate = false)
+        }
 
       case "sql" =>
         // ad-hoc analytics over the merged table state: register the

@@ -733,30 +733,32 @@ class LakeTable(val spark: SparkSession, val root: String,
   private def commitDeltasOf(sn: Snapshot): Seq[String] =
     sn.commitDeltas.values.flatten.toSeq.sorted
 
-  /** Fetch `ids`' per-commit delta lists with at most
-    * [[feedMetaParallelism]] concurrent root reads (Hadoop FileSystem reads
-    * and the root parser are thread-safe; roots are immutable). Serial
-    * resolution is the scale trap this replaces: metadata GET latency —
-    * not bytes — dominated long-range feed reads. */
-  private def fetchCommitDeltas(ids: Seq[Long],
-                                read: Long => Snapshot): Map[Long, Seq[String]] =
-    if (ids.isEmpty) Map.empty
-    else if (ids.size == 1) Map(ids.head -> commitDeltasOf(read(ids.head)))
+  /** Bounded-parallel driver-side map for metadata fetches — immutable
+    * files, thread-safe FileSystem reads, latency-bound work (an object
+    * store's GET RTT, not CPU). Failures rethrow their cause. */
+  private def parMap[A, B](xs: Seq[A], width: Int)(f: A => B): Seq[B] =
+    if (xs.size <= 1) xs.map(f)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(math.max(1, feedMetaParallelism), ids.size))
+        math.min(math.max(1, width), xs.size))
       try {
-        val futs = ids.map(s => s -> pool.submit(
-          new java.util.concurrent.Callable[Seq[String]] {
-            override def call(): Seq[String] = commitDeltasOf(read(s))
+        val futs = xs.map(x => pool.submit(
+          new java.util.concurrent.Callable[B] {
+            override def call(): B = f(x)
           }))
-        futs.map { case (s, f) =>
-          s -> (try f.get()
-          catch { case e: java.util.concurrent.ExecutionException =>
-            throw Option(e.getCause).getOrElse(e) })
-        }.toMap
+        futs.map(fu => try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e) })
       } finally pool.shutdownNow()
     }
+
+  /** Fetch `ids`' per-commit delta lists with at most
+    * [[feedMetaParallelism]] concurrent root reads. Serial resolution is
+    * the scale trap this replaces: metadata GET latency — not bytes —
+    * dominated long-range feed reads. */
+  private def fetchCommitDeltas(ids: Seq[Long],
+                                read: Long => Snapshot): Map[Long, Seq[String]] =
+    ids.zip(parMap(ids, feedMetaParallelism)(s => commitDeltasOf(read(s)))).toMap
 
   /** The id -> commit-delta-files entries every feed-log segment
     * overlapping `ids` holds for ids within the range. A segment that
@@ -884,36 +886,105 @@ class LakeTable(val spark: SparkSession, val root: String,
       d.filter(col(k) === lit(v).cast(snap.schema(k).dataType)) }
   }
 
+  /**
+   * BATCHED point lookup: K keys resolved in ONE Spark job. A point-read
+   * service issuing one job per key serializes on the scheduler — at
+   * high QPS the scheduler round-trip, not the scan, is the bottleneck.
+   * Per key: bucket hash + per-file key-range pruning exactly as
+   * [[lookup]]; keys sharing a bucket share one merge slice; buckets with
+   * no deltas take a plain pruned base scan. The residual key filter is an
+   * OR of typed conjunctions up to [[LakeTable.lookupPredicateKeys]] keys,
+   * then a broadcast LEFT SEMI join against a driver-local key relation —
+   * constant plan size at thousands of keys, still zero extra jobs
+   * (LocalTableScan collects driver-side into the broadcast).
+   */
+  def lookup(keys: Seq[Map[String, Any]]): DataFrame = {
+    val distinctKeys = keys.distinct
+    val snap = snapshotForKeys(distinctKeys)
+    require(snap.keyColumns.toSet == distinctKeys.head.keySet,
+      s"lookup needs exactly the key columns ${snap.keyColumns.mkString(",")}")
+    val byBucket = distinctKeys.map(k => planFiles(snap, k))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (_, planned) =>
+        (planned.flatMap(_._2).distinct, planned.flatMap(_._3).distinct)
+      }
+    val (withDeltas, baseOnly) = byBucket.partition(_._2.nonEmpty)
+    val parts = Seq(
+      if (baseOnly.exists(_._1.nonEmpty))
+        Some(readConformed(baseOnly.flatMap(_._1), snap.schema, snap.renameMap))
+      else None,
+      if (withDeltas.nonEmpty)
+        Some(mergedViewLocal(snap.schema, snap.keyColumns, snap.renameMap,
+          withDeltas))
+      else None).flatten
+    if (parts.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    val df = parts.reduce(_.unionByName(_))
+    def typed(c: String, v: Any) = lit(v).cast(snap.schema(c).dataType)
+    if (distinctKeys.size <= LakeTable.lookupPredicateKeys)
+      df.filter(distinctKeys.map(k =>
+        snap.keyColumns.map(c => col(c) === typed(c, k(c))).reduce(_ && _))
+        .reduce(_ || _))
+    else {
+      // the key relation goes through the string form + a cast to the
+      // declared type — the same literal-cast semantics as the predicate
+      // path (never a lossy DOUBLE comparison)
+      val strSchema = StructType(
+        snap.keyColumns.map(c => StructField(c, StringType)))
+      val keyDf = spark.createDataFrame(
+        distinctKeys.map(k => org.apache.spark.sql.Row.fromSeq(
+          snap.keyColumns.map(c => String.valueOf(k(c))))).asJava, strSchema)
+        .select(snap.keyColumns.map(c =>
+          col(c).cast(snap.schema(c).dataType).as(c)): _*)
+      df.join(broadcast(keyDf), snap.keyColumns.toSeq, "left_semi")
+    }
+  }
+
   /** Metadata-LIGHT snapshot resolve for a point lookup: on a distributed
     * snapshot, read the root plus ONLY the key's bucket manifest — O(1)
     * metadata IO per lookup instead of O(buckets). The returned snapshot is
     * partial (that one bucket resolved), which is exactly what
     * [[planFiles]] touches for this key. Inline snapshots resolve fully. */
-  def snapshotForKey(keyValues: Map[String, Any]): Snapshot = {
+  def snapshotForKey(keyValues: Map[String, Any]): Snapshot =
+    snapshotForKeys(Seq(keyValues))
+
+  /** [[snapshotForKey]] generalized to a key BATCH: root + only the
+    * distinct buckets the keys hash to, manifests fetched in bounded
+    * parallel (the same latency math as the feed catch-up — K manifest
+    * GETs serial would put the scheduler-free batched lookup right back
+    * behind a metadata wall). */
+  def snapshotForKeys(keys: Seq[Map[String, Any]]): Snapshot = {
+    require(keys.nonEmpty, "lookup needs at least one key")
     val id = latestSnapshotId
     if (id < 0) throw new IllegalStateException(s"no snapshot at $root")
     val json = readMetaFile(f"meta/snapshot-$id%012d.json")
     LakeTable.parseRootOnly(json) match {
       case (_, None) => fromJson(json) // inline form: one document anyway
       case (base, Some(pointers)) =>
-        // validate BEFORE bucketOf touches the map — a missing key column
+        // validate BEFORE bucketOf touches the maps — a missing key column
         // must produce the informative error, not a NoSuchElementException
-        require(base.keyColumns.toSet == keyValues.keySet,
-          s"lookup needs exactly the key columns ${base.keyColumns.mkString(",")}")
-        val b = bucketOf(base, keyValues)
-        pointers.get(b) match {
-          case None => base.copy(bucketManifests = pointers) // empty bucket
-          case Some(rel) =>
-            val m = manifestFromJson(readMetaFile(rel))
-            base.copy(
-              bucketFiles = if (m.files.nonEmpty) Map(b -> m.files) else Map.empty,
-              bucketDeltas = if (m.deltas.nonEmpty) Map(b -> m.deltas) else Map.empty,
-              bucketWatermarks = m.watermark.map(b -> _).toMap,
-              bucketLineage = if (m.lineage.nonEmpty) Map(b -> m.lineage) else Map.empty,
-              fileStats = m.fileStats,
-              fileBytes = m.fileBytes,
-              bucketManifests = pointers)
+        keys.foreach(k => require(base.keyColumns.toSet == k.keySet,
+          s"lookup needs exactly the key columns ${base.keyColumns.mkString(",")}"))
+        val buckets = keys.map(b => bucketOf(base, b)).distinct.sorted
+        val resolved = parMap(
+          buckets.flatMap(b => pointers.get(b).map(b -> _)),
+          feedMetaParallelism) { case (b, rel) =>
+          b -> manifestFromJson(readMetaFile(rel))
         }
+        base.copy(
+          bucketFiles = resolved.collect {
+            case (b, m) if m.files.nonEmpty => b -> m.files }.toMap,
+          bucketDeltas = resolved.collect {
+            case (b, m) if m.deltas.nonEmpty => b -> m.deltas }.toMap,
+          bucketWatermarks = resolved.flatMap {
+            case (b, m) => m.watermark.map(b -> _) }.toMap,
+          bucketLineage = resolved.collect {
+            case (b, m) if m.lineage.nonEmpty => b -> m.lineage }.toMap,
+          fileStats = resolved.iterator.map(_._2.fileStats)
+            .foldLeft(Map.empty[String, Map[String, (String, String)]])(_ ++ _),
+          fileBytes = resolved.iterator.map(_._2.fileBytes)
+            .foldLeft(Map.empty[String, Long])(_ ++ _),
+          bucketManifests = pointers)
     }
   }
 
@@ -1603,6 +1674,9 @@ object LakeTable {
   private val SnapshotRe = "snapshot-(\\d+)\\.json".r
   // feed-log index segment covering snapshot ids [first, last], inclusive
   private val FeedLogRe = "feedlog-(\\d+)-(\\d+)\\.json".r
+  /** Batched-lookup residual filter: OR-of-conjunctions up to this many
+    * keys (pushdown-friendly), broadcast semi join above (bounded plan). */
+  val lookupPredicateKeys = 64
   private val mapper = new ObjectMapper()
 
   private type JsonNode = com.fasterxml.jackson.databind.JsonNode
