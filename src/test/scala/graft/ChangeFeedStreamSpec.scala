@@ -259,6 +259,87 @@ class ChangeFeedStreamSpec extends SparkSpec {
       .filter(col(newCol).isNotNull).count() > 0)
   }
 
+  test("mirror converges across a WAL-level column rename; old-era feed rows read under the new name") {
+    // the real-user rename path: upstream emits `lang` below renameAtLsn and
+    // `language` after; the TABLE schema always has the new name and
+    // prepare() normalizes both eras at write time — so the feed (and
+    // everything downstream of it) must see ONLY the new name, populated,
+    // for old-era rows too
+    val cfgRen = cfg.copy(renameAtLsn = 120)
+    def renLines(from: Long, until: Long) =
+      spark.createDataset((from until until)
+        .map(id => ChangeStreamGen.renderLine(cfgRen, ChangeStreamGen.txn(cfgRen, id))))
+        .toDF("value")
+    val t = newTable("mirrrename")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(renLines(0, 100))) // all old-era
+    val mirrorRoot = tmpDir("mirrrename-dst")
+    val ckpt = tmpDir("mirrrename-ckpt")
+    Mirror.follow(spark, t.root, mirrorRoot, ckpt).awaitTermination()
+
+    // restart across the rename boundary: commit 2 spans lsn 120
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(renLines(100, 200)))
+    Mirror.follow(spark, t.root, mirrorRoot, ckpt).awaitTermination()
+
+    // old-era feed batches carry the RENAMED column, populated
+    val feed1 = t.changes(0, 1)
+    assert(feed1.columns.contains("language") && !feed1.columns.contains("lang"))
+    assert(feed1.filter(col("_kind") =!= "delete" && col("language").isNull)
+      .count() === 0, "old-era upserts must read their value under the new name")
+
+    val mirror = new LakeTable(spark, mirrorRoot)
+    val mcols = mirror.currentSnapshot.get.schema.fieldNames
+    assert(mcols.contains("language") && !mcols.contains("lang"))
+    assert(mirror.read().filter(col("language").isNull).count() === 0)
+    def state(table: LakeTable): Set[Seq[Any]] = {
+      val cols = t.currentSnapshot.get.schema.fieldNames
+      table.read().select(cols.map(col).toIndexedSeq: _*)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(state(mirror) === state(t),
+      "mirror must equal source across the rename boundary")
+    assert(state(mirror).nonEmpty)
+  }
+
+  test("a schema-level key rename mid-stream fails loudly in BOTH eras, never a silent misread") {
+    // unlike additive evolution (prefix eras replay with nulls), a RENAME is
+    // non-prefix in both directions: a stream started before it must fail
+    // on the renamed era, and a stream restarted after it must fail on
+    // old-era pinned batches — silently reading old columns under new names
+    // (or dropping them) would corrupt every downstream consumer
+    val t = newTable("feedrename")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 100)))
+    val preSchema = t.currentSnapshot.get.schema
+    val snap = t.currentSnapshot.get
+    // an upstream DDL rename reaching the lake as a schema change
+    val renamedSchema = org.apache.spark.sql.types.StructType(
+      snap.schema.fields.map(f =>
+        if (f.name == "path") f.copy(name = "filepath") else f))
+    t.commit(snap.copy(schema = renamedSchema,
+      keyColumns = Seq("repo", "filepath"),
+      commitDeltas = Map.empty), // lesson 24: never carry per-commit provenance
+      expectedSnapshotId = snap.snapshotId)
+    val latest = t.currentSnapshot.get.snapshotId
+
+    // era 1 stream reaching the renamed era: loud failure
+    val src = new graft.sources.ChangesSource(t, preSchema, -1L, Long.MaxValue)
+    val ex = intercept[IllegalStateException] {
+      src.getBatch(None, SnapshotOffset(latest))
+    }
+    assert(ex.getMessage.contains("schema changed"))
+
+    // restarted stream (renamed schema): old-era pinned batches ALSO fail
+    // loudly — the additive-prefix replay rule must NOT treat a rename as
+    // a projectable prefix
+    val restarted = new graft.sources.ChangesSource(t, renamedSchema, -1L, Long.MaxValue)
+    val ex2 = intercept[IllegalStateException] {
+      restarted.getBatch(None, SnapshotOffset(1))
+    }
+    assert(ex2.getMessage.contains("schema changed"))
+    // convergence: a consumer starting AT the rename point reads cleanly
+    assert(restarted.getBatch(Some(SnapshotOffset(latest - 1)),
+      SnapshotOffset(latest)).isStreaming)
+  }
+
   test("mirror picks up source schema evolution on restart (no silent column drop)") {
     val cfgEvolve = cfg.copy(addColumnAtLsn = 120)
     def evolveLines(from: Long, until: Long) =
