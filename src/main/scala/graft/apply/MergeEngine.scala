@@ -370,11 +370,17 @@ object MergeEngine {
       def deltaByteSum(fs: Seq[String]): Long =
         fs.iterator.map(f =>
           knownBytes.getOrElse(f, table.maxDeltaBytesPerBucket)).sum
-      val toCompact = deltasAfter.collect {
-        case (b, fs) if fs.nonEmpty &&
-          (fs.size >= table.maxDeltasPerBucket ||
-            deltaByteSum(fs) >= table.maxDeltaBytesPerBucket) => b
-      }.toSet
+      //    inlineCompaction=false defers the whole rewrite to the
+      //    standalone compactAll maintenance pass: no bucket rewrite ever
+      //    lands inside an ingest commit (bounded per-batch apply latency),
+      //    at the cost of read amplification growing until maintenance runs.
+      val toCompact =
+        if (!table.inlineCompaction) Set.empty[Int]
+        else deltasAfter.collect {
+          case (b, fs) if fs.nonEmpty &&
+            (fs.size >= table.maxDeltasPerBucket ||
+              deltaByteSum(fs) >= table.maxDeltaBytesPerBucket) => b
+        }.toSet
       val (bucketFiles, bucketDeltas, compactFileStats, compactBytes) =
         if (toCompact.isEmpty)
           (snap.bucketFiles, deltasAfter,

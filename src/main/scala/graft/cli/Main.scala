@@ -53,6 +53,7 @@ object Main {
       "split-bytes" -> (false, "byte-range split size for large segments (default 64MiB)"),
       "max-deltas" -> (false, "hard cap on delta files per bucket (read fan-in bound, default 64)"),
       "max-delta-bytes" -> (false, "accumulated delta bytes per bucket before compaction (size-tiered trigger, default 33554432)"),
+      "inline-compaction" -> (false, "false defers ALL compaction to the standalone `compact` maintenance command: bounded per-batch apply latency, read amplification grows until maintenance runs (default true)"),
       "manifest-threshold" -> (false, "live files before the snapshot spills to per-bucket manifests (default 4096)"),
       "salt-buckets" -> (false, "two-phase salted dedup for hot keys (default off)"),
       "strict" -> (false, "true|false: abort batches with malformed lines (default true)"),
@@ -285,7 +286,8 @@ object Main {
             maxDeltasPerBucket = kv.getOrElse("max-deltas", "64").toInt,
             maxDeltaBytesPerBucket =
               kv.getOrElse("max-delta-bytes", (32L * 1024 * 1024).toString).toLong,
-            manifestThresholdFiles = kv.getOrElse("manifest-threshold", "4096").toInt)
+            manifestThresholdFiles = kv.getOrElse("manifest-threshold", "4096").toInt,
+            inlineCompaction = kv.getOrElse("inline-compaction", "true").toBoolean)
           TableTarget(n, t, schema, keys,
             nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap)
         }
@@ -331,7 +333,8 @@ object Main {
           maxDeltasPerBucket = kv.getOrElse("max-deltas", "64").toInt,
           maxDeltaBytesPerBucket =
             kv.getOrElse("max-delta-bytes", (32L * 1024 * 1024).toString).toLong,
-          manifestThresholdFiles = kv.getOrElse("manifest-threshold", "4096").toInt)
+          manifestThresholdFiles = kv.getOrElse("manifest-threshold", "4096").toInt,
+          inlineCompaction = kv.getOrElse("inline-compaction", "true").toBoolean)
         val target = TableTarget(tableName, table, schema, keys,
           nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap)
         val relevant = kv.get("relevant-tables")

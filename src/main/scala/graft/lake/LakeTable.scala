@@ -212,7 +212,15 @@ class LakeTable(val spark: SparkSession, val root: String,
                 // (HotBucketBench); deliberately high because on a CLUSTER
                 // the Exchange this avoids costs network per byte, while
                 // the single-box bench where shuffle looks cheap has none.
-                val maxLocalMergeBytesPerBucket: Long = 256L * 1024 * 1024) {
+                val maxLocalMergeBytesPerBucket: Long = 256L * 1024 * 1024,
+                // INLINE compaction rides the apply commit (size-tiered,
+                // the two thresholds above); set false to defer ALL
+                // compaction to the standalone [[graft.apply.MergeEngine
+                // .compactAll]] maintenance pass — trading per-batch apply
+                // latency (no bucket rewrite ever lands inside an ingest
+                // commit) against read amplification between maintenance
+                // runs. CompactionBench measures both sides of that trade.
+                val inlineCompaction: Boolean = true) {
   import LakeTable._
 
   private val rootPath = new HPath(root)
@@ -1273,7 +1281,8 @@ class LakeTable(val spark: SparkSession, val root: String,
       manifestThresholdFiles = manifestThresholdFiles,
       compressionCodec = compressionCodec,
       maxDeltaBytesPerBucket = maxDeltaBytesPerBucket,
-      maxLocalMergeBytesPerBucket = maxLocalMergeBytesPerBucket)
+      maxLocalMergeBytesPerBucket = maxLocalMergeBytesPerBucket,
+      inlineCompaction = inlineCompaction)
     if (target.exists)
       throw new IllegalArgumentException(
         s"clone target $targetRoot already holds a table")

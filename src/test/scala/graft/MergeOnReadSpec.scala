@@ -57,6 +57,30 @@ class MergeOnReadSpec extends SparkSpec {
     assert(plan.contains("Exchange"), "the big buckets must take the shuffle merge")
   }
 
+  test("inlineCompaction=false defers every rewrite to maintenance; state identical throughout") {
+    // both triggers set aggressively low — with the flag off, NEITHER may
+    // fire inside an ingest commit
+    val t = new LakeTable(spark, tmpDir("noinline"), maxDeltasPerBucket = 1,
+      maxDeltaBytesPerBucket = 1L, inlineCompaction = false)
+    t.create(Main.reposSchema, Seq("repo", "path"), 4, Main.reposRenameMap)
+    val ref = newTable(maxDeltas = 1) // inline-compacting twin, same input
+    (0 until 4).foreach { i =>
+      val batch = lines(i * 50L, (i + 1) * 50L)
+      MergeEngine.applyBatch(t, ChangeDecoder.decode(batch))
+      MergeEngine.applyBatch(ref, ChangeDecoder.decode(batch))
+    }
+    val snap = t.currentSnapshot.get
+    assert(snap.bucketDeltas.values.map(_.size).max >= 4,
+      "deltas must accumulate past both thresholds with the flag off")
+    assert(ref.currentSnapshot.get.bucketDeltas.values.forall(_.isEmpty),
+      "the inline twin must have compacted")
+    assert(state(t) === state(ref), "deferred reads must merge identically")
+    // the maintenance pass folds everything; state unchanged
+    MergeEngine.compactAll(t)
+    assert(t.currentSnapshot.get.bucketDeltas.values.forall(_.isEmpty))
+    assert(state(t) === state(ref))
+  }
+
   test("size-tiered compaction: tiny deltas defer, large deltas compact early") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
