@@ -57,7 +57,20 @@ class CdcPipeline(
     saltBuckets: Int = 0,
     // byte-based admission control (bounds batch memory when segment
     // sizes vary; at least one segment always admitted)
-    maxBytesPerTrigger: Option[Long] = None) {
+    maxBytesPerTrigger: Option[Long] = None,
+    // Multi-target strategy switch: with >= this many targets the batch is
+    // DEMUXED once (scan + decode + scratch write partitioned by table,
+    // per-target partition-pruned applies — ONE source scan no matter how
+    // many tables); below it each target applies from its own lazy filter
+    // of the decoded batch (N re-decodes, ZERO scratch writes).
+    // MultiTableBench measured the local crossover: materializing the wide
+    // payload costs about what ~8 re-decodes cost on one box (lesson 9),
+    // so small fleets prefer the lazy path — but every lazy target re-READS
+    // the raw WAL, so when the source is a remote object store the demux's
+    // single scan wins on network bytes alone from N=2 up. Default favors
+    // the deployment shape (remote source); single-box latency-sensitive
+    // small-N runs can raise it.
+    demuxMinTables: Int = 2) {
 
   // Idempotent table creation (reference tolerates slot-already-exists,
   // PostgresConnector.java:90-97).
@@ -114,12 +127,19 @@ class CdcPipeline(
             samples.mkString(" | "))
       }
     }
-    if (targets.size == 1) {
-      val t = targets.head
-      val forTable = decoded.events.filter(col("table") === t.name)
-      val stats = MergeEngine.applyBatch(t.table, forTable,
-        saltBuckets = saltBuckets, validate = validate _)
-      emitMetrics(batchId, t.name, stats)
+    if (targets.size < demuxMinTables || targets.size == 1) {
+      // Lazy path: each target filters the decoded batch itself. N targets
+      // = N decode passes (cheap — lesson 9) but also N SOURCE scans, so
+      // this is the small-N / local-source shape. Validation rides the
+      // FIRST target's full-size action (the filter applies post-decode,
+      // so the observe counts are complete) and aborts before ANY commit.
+      targets.zipWithIndex.foreach { case (t, i) =>
+        val forTable = decoded.events.filter(col("table") === t.name)
+        val stats = MergeEngine.applyBatch(t.table, forTable,
+          saltBuckets = saltBuckets,
+          validate = if (i == 0) validate _ else () => ())
+        emitMetrics(batchId, t.name, stats)
+      }
     } else processMultiTable(decoded.events, validate _, batchId)
   }
 

@@ -153,4 +153,39 @@ class MultiTableSpec extends SparkSpec {
       assert(tables(n).currentSnapshot.get.snapshotId === 0L))
     assert(!new java.io.File(s"$ckpt/_demux/batch-0").exists())
   }
+
+  test("lazy multi-target path (demuxMinTables raised): same state, no scratch") {
+    val tables = cfg.tables.map(n =>
+      n -> new LakeTable(spark, tmpDir(s"mt-lazy-$n"))).toMap
+    val ckpt = tmpDir("mt-lazy-ckpt")
+    val pipe = new CdcPipeline(spark, ckpt, ckpt,
+      cfg.tables.map(n => target(n, tables(n))),
+      relevantTables = Set("ta", "tb"),
+      demuxMinTables = Int.MaxValue)
+    pipe.processBatch(rawLines, 0L)
+    // the lazy path never materializes the demux scratch dir
+    assert(!new java.io.File(s"$ckpt/_demux").exists())
+    val indep = independentStates()
+    cfg.tables.foreach(n =>
+      assert(stateOf(tables(n)) === indep(n), s"table $n diverged (lazy)"))
+  }
+
+  test("lazy path: a malformed line still aborts before ANY commit") {
+    import spark.implicits._
+    val poisoned = rawLines.union(Seq("""{"garbage":1}""").toDF("value"))
+    val tables = cfg.tables.map(n =>
+      n -> new LakeTable(spark, tmpDir(s"mt-lazybad-$n"))).toMap
+    val ckpt = tmpDir("mt-lazybad-ckpt")
+    val pipe = new CdcPipeline(spark, ckpt, ckpt,
+      cfg.tables.map(n => target(n, tables(n))),
+      relevantTables = Set("ta", "tb"),
+      demuxMinTables = Int.MaxValue)
+    intercept[graft.decode.MalformedBatchException] {
+      pipe.processBatch(poisoned, 0L)
+    }
+    // validation rides the FIRST target's action and fires pre-commit, so
+    // neither table (incl. the later ones) may have committed anything
+    cfg.tables.foreach(n =>
+      assert(tables(n).currentSnapshot.get.snapshotId === 0L))
+  }
 }
