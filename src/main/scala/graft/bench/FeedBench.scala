@@ -98,8 +98,9 @@ object FeedBench {
    * feed-log index (`indexFeed` maintenance, O(range/segment) reads).
    *
    * Local fs reads take ~50 µs, which would hide a serial-GET bottleneck
-   * entirely — so the bench injects `delayMs` per metadata read
-   * (LakeTable.metaReadDelayMs), emulating an object store's GET RTT.
+   * entirely — so the bench measures on a LakeTable instance constructed
+   * with `metaReadDelayMs` (an immutable per-read latency emulating an
+   * object store's GET RTT).
    * Commit volume: every 20th commit is a real apply, the rest are idle
    * fast-forwards — metadata-identical to real commits (the reader cannot
    * know a root is feed-empty without fetching it), so the ≥10³-commit
@@ -138,33 +139,33 @@ object FeedBench {
     val latest = t.currentSnapshot.get.snapshotId
     println(s"done (latest snapshot $latest)")
 
-    def measure(label: String)(body: => Long): (Long, Double, Long) = {
+    // the delay is an IMMUTABLE constructor knob (a mutable hook a failing
+    // bench forgot to reset would poison the instance) — measurements run
+    // on a dedicated delayed instance over the same root
+    val delayed = new LakeTable(spark, root, metaReadDelayMs = delayMs)
+    def measure(label: String)(body: LakeTable => Long): (Long, Double, Long) = {
       // best-of-2 (lesson 17: this host's noise hits within one process);
       // reads counted on the first sample only — deterministic either way
-      t.metaReadDelayMs = delayMs
-      val r0 = t.metaReads.get()
+      val r0 = delayed.metaReads.get()
       var rows = 0L
       val sec = (1 to 2).map { _ =>
-        val t0 = System.nanoTime(); rows = body
+        val t0 = System.nanoTime(); rows = body(delayed)
         (System.nanoTime() - t0) / 1e9
       }.min
-      val reads = (t.metaReads.get() - r0) / 2
-      t.metaReadDelayMs = 0L
+      val reads = (delayed.metaReads.get() - r0) / 2
       println(f"$label%-28s metaReads=$reads%6d  driverSec=$sec%8.2f  rows=$rows")
       (reads, sec, rows)
     }
     println(f"emulated metadata GET latency: ${delayMs}ms/read")
-    t.feedMetaParallelism = 1
+    delayed.feedMetaParallelism = 1
     val (serR, serS, serRows) = measure("serial roots (the old path)") {
-      t.changes(-1, latest).count() }
-    t.feedMetaParallelism = 32
+      _.changes(-1, latest).count() }
+    delayed.feedMetaParallelism = 32
     val (parR, parS, parRows) = measure("parallel roots (32-way)") {
-      t.changes(-1, latest).count() }
-    t.metaReadDelayMs = delayMs // index build pays the same emulated RTTs
-    val segs = t.indexFeed(segmentSize = 128)
-    t.metaReadDelayMs = 0L
+      _.changes(-1, latest).count() }
+    val segs = delayed.indexFeed(segmentSize = 128) // pays the same RTTs
     val (idxR, idxS, idxRows) = measure(s"feed-log index ($segs segs)") {
-      t.changes(-1, latest).count() }
+      _.changes(-1, latest).count() }
     require(serRows == parRows && parRows == idxRows,
       s"resolution paths disagree: $serRows/$parRows/$idxRows")
     println(s"""{"metric":"feed_catchup_metadata","commits":$commits,""" +

@@ -121,6 +121,7 @@ object Main {
       "proto-version" -> (false, "pgoutput protocol version 1|2 (2 = streamed in-progress txns; default 1)"),
       "format-version" -> (false, "wal2json output format 1|2 (2 = one document per action; default 1)"),
       "include-xids" -> (false, "true|false plugin option (default true)"),
+      "relevant-tables" -> (false, "comma-separated tables the pipeline consumes: TRUNCATEs of OTHER tables are skipped instead of failing the stream (default: all tables consumed)"),
       "status-interval-s" -> (false, "standby status-update cadence (default 20)"),
       "idle-slot-interval-s" -> (false, "idle fast-forward threshold (default 300)"),
       "slot-busy-retries" -> (false, "openStream retries while the slot is held (default 30)"),
@@ -183,6 +184,65 @@ object Main {
     s
   }
 
+  // ------- shared wiring between the single-table and --tables run modes
+  // (one source of truth: a knob added here reaches both; the two branches
+  // drifting apart once already cost the remote-scheme stderr note)
+
+  /** (schema, key columns, rename map) from --schema/--keys, defaulting to
+    * the generator's repos shape. */
+  private def tableShape(kv: Map[String, String])
+      : (StructType, Seq[String], Map[String, String]) = (
+    kv.get("schema").map(StructType.fromDDL).getOrElse(reposSchema),
+    kv.get("keys").map(_.split(",").toSeq).getOrElse(Seq("repo", "path")),
+    if (kv.contains("schema")) Map.empty[String, String] else reposRenameMap)
+
+  /** A LakeTable with every CLI-exposed storage knob applied. */
+  private def lakeFromKnobs(spark: SparkSession, root: String,
+                            kv: Map[String, String]): LakeTable =
+    new LakeTable(spark, root,
+      maxDeltasPerBucket = kv.getOrElse("max-deltas", "64").toInt,
+      maxDeltaBytesPerBucket =
+        kv.getOrElse("max-delta-bytes", (32L * 1024 * 1024).toString).toLong,
+      manifestThresholdFiles = kv.getOrElse("manifest-threshold", "4096").toInt,
+      inlineCompaction = kv.getOrElse("inline-compaction", "true").toBoolean)
+
+  /** The lineage JSONL is appended with local file IO: only derive it from
+    * the table root when that root IS a local path (a scheme'd root would
+    * otherwise create a literal './hdfs:' directory); say so on stderr
+    * when skipping, so an absent JSONL is explained, not a mystery. */
+  private def metricsPathFor(root: String): Option[String] =
+    Option(new java.net.URI(root).getScheme) match {
+      case None => Some(s"$root/_metrics/batches.jsonl")
+      case Some("file") =>
+        Some(s"${new java.net.URI(root).getPath}/_metrics/batches.jsonl")
+      case Some(s) =>
+        System.err.println(
+          s"note: lineage JSONL skipped — $s: table root has no local metrics dir")
+        None
+    }
+
+  /** A CdcPipeline with every CLI-exposed streaming knob applied. */
+  private def pipelineFromKnobs(spark: SparkSession, kv: Map[String, String],
+                                targets: Seq[TableTarget],
+                                relevant: Set[String],
+                                metricsPath: Option[String]): CdcPipeline =
+    new CdcPipeline(spark, kv("wal-dir"), kv("checkpoint"),
+      targets, relevant,
+      metricsPath = metricsPath,
+      maxFilesPerTrigger = kv.get("max-segments-per-trigger").map(_.toInt),
+      strictDecode = kv.getOrElse("strict", "true").toBoolean,
+      walRetention = kv.get("retention").contains("delete"),
+      walSplitBytes = kv.get("split-bytes").map(_.toLong),
+      saltBuckets = kv.getOrElse("salt-buckets", "0").toInt,
+      maxBytesPerTrigger = kv.get("max-bytes-per-trigger").map(_.toLong))
+
+  /** Drain the pipeline, supervised when --max-restarts asks for it. */
+  private def runPipeline(pipe: CdcPipeline, kv: Map[String, String]): Unit =
+    kv.get("max-restarts").map(_.toInt) match {
+      case Some(budget) if budget > 0 => pipe.runSupervised(maxRestarts = budget)
+      case _ => pipe.runAvailable()
+    }
+
   /** The live-ingest loop (reference's readSlotWriteToKinesis run mode):
     * connector -> staging segments + LSN acks. Runs WITHOUT a Spark session
     * — like the reference's connector, the consume half is plain JVM; Spark
@@ -209,7 +269,10 @@ object Main {
       statusIntervalMs = kv.getOrElse("status-interval-s", "20").toLong * 1000,
       idleSlotIntervalMs = kv.getOrElse("idle-slot-interval-s", "300").toLong * 1000,
       slotBusyRetryLimit = kv.getOrElse("slot-busy-retries", "30").toInt,
-      slotBusyRetrySleepMs = kv.getOrElse("slot-busy-sleep-s", "30").toLong * 1000)
+      slotBusyRetrySleepMs = kv.getOrElse("slot-busy-sleep-s", "30").toLong * 1000,
+      relevantTables = kv.get("relevant-tables")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty))
       .validate()
     val connector = kv.getOrElse("endpoint", "synthetic") match {
       case "jdbc" =>
@@ -277,40 +340,15 @@ object Main {
         val names = kv("tables").split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(names.nonEmpty && names.distinct.size == names.size,
           s"--tables needs distinct non-empty names, got '${kv("tables")}'")
-        val schema = kv.get("schema").map(StructType.fromDDL).getOrElse(reposSchema)
-        val keys = kv.get("keys").map(_.split(",").toSeq).getOrElse(Seq("repo", "path"))
-        val renameMap = if (kv.contains("schema")) Map.empty[String, String]
-          else reposRenameMap
+        val (schema, keys, renameMap) = tableShape(kv)
         val targets = names.map { n =>
-          val t = new LakeTable(spark, s"$root/$n",
-            maxDeltasPerBucket = kv.getOrElse("max-deltas", "64").toInt,
-            maxDeltaBytesPerBucket =
-              kv.getOrElse("max-delta-bytes", (32L * 1024 * 1024).toString).toLong,
-            manifestThresholdFiles = kv.getOrElse("manifest-threshold", "4096").toInt,
-            inlineCompaction = kv.getOrElse("inline-compaction", "true").toBoolean)
-          TableTarget(n, t, schema, keys,
+          TableTarget(n, lakeFromKnobs(spark, s"$root/$n", kv), schema, keys,
             nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap)
         }
-        val metricsPath = Option(new java.net.URI(root).getScheme) match {
-          case None => Some(s"$root/_metrics/batches.jsonl")
-          case Some("file") =>
-            Some(s"${new java.net.URI(root).getPath}/_metrics/batches.jsonl")
-          case Some(_) => None
-        }
         val t0 = System.nanoTime()
-        val pipe = new CdcPipeline(spark, kv("wal-dir"), kv("checkpoint"),
-          targets, names.toSet,
-          metricsPath = metricsPath,
-          maxFilesPerTrigger = kv.get("max-segments-per-trigger").map(_.toInt),
-          strictDecode = kv.getOrElse("strict", "true").toBoolean,
-          walRetention = kv.get("retention").contains("delete"),
-          walSplitBytes = kv.get("split-bytes").map(_.toLong),
-          saltBuckets = kv.getOrElse("salt-buckets", "0").toInt,
-          maxBytesPerTrigger = kv.get("max-bytes-per-trigger").map(_.toLong))
-        kv.get("max-restarts").map(_.toInt) match {
-          case Some(budget) if budget > 0 => pipe.runSupervised(maxRestarts = budget)
-          case _ => pipe.runAvailable()
-        }
+        val pipe = pipelineFromKnobs(spark, kv, targets, names.toSet,
+          metricsPathFor(root))
+        runPipeline(pipe, kv)
         val sec = (System.nanoTime() - t0) / 1e9
         val batches = pipe.stats.map(_._1).distinct.size
         val applied = pipe.stats.map(_._3.appliedKeys).sum
@@ -325,33 +363,13 @@ object Main {
       case "run" =>
         val root = kv("table-root")
         val tableName = kv.getOrElse("table", "repos")
-        val schema = kv.get("schema").map(StructType.fromDDL).getOrElse(reposSchema)
-        val keys = kv.get("keys").map(_.split(",").toSeq).getOrElse(Seq("repo", "path"))
-        val renameMap = if (kv.contains("schema")) Map.empty[String, String]
-          else reposRenameMap
-        val table = new LakeTable(spark, root,
-          maxDeltasPerBucket = kv.getOrElse("max-deltas", "64").toInt,
-          maxDeltaBytesPerBucket =
-            kv.getOrElse("max-delta-bytes", (32L * 1024 * 1024).toString).toLong,
-          manifestThresholdFiles = kv.getOrElse("manifest-threshold", "4096").toInt,
-          inlineCompaction = kv.getOrElse("inline-compaction", "true").toBoolean)
+        val (schema, keys, renameMap) = tableShape(kv)
+        val table = lakeFromKnobs(spark, root, kv)
         val target = TableTarget(tableName, table, schema, keys,
           nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap)
         val relevant = kv.get("relevant-tables")
           .map(_.split(",").toSet).getOrElse(Set(tableName))
-        // the lineage JSONL is appended with local file IO: only derive it
-        // from the table root when that root IS a local path (a scheme'd
-        // root would otherwise create a literal './hdfs:' directory)
-        val rootScheme = Option(new java.net.URI(root).getScheme)
-        val metricsPath = rootScheme match {
-          case None => Some(s"$root/_metrics/batches.jsonl")
-          case Some("file") =>
-            Some(s"${new java.net.URI(root).getPath}/_metrics/batches.jsonl")
-          case Some(s) =>
-            System.err.println(
-              s"note: lineage JSONL skipped — $s: table root has no local metrics dir")
-            None
-        }
+        val metricsPath = metricsPathFor(root)
         val t0 = System.nanoTime()
         val (batches, applied) = kv.getOrElse("sink", "foreachbatch") match {
           case "connector" =>
@@ -425,19 +443,9 @@ object Main {
                   .map(_.group(1).toLong)).sum)
             } else ((snapId - preSnapId).toInt, snapKeys - preKeys)
           case _ =>
-            val pipe = new CdcPipeline(spark, kv("wal-dir"), kv("checkpoint"),
-              Seq(target), relevant,
-              metricsPath = metricsPath,
-              maxFilesPerTrigger = kv.get("max-segments-per-trigger").map(_.toInt),
-              strictDecode = kv.getOrElse("strict", "true").toBoolean,
-              walRetention = kv.get("retention").contains("delete"),
-              walSplitBytes = kv.get("split-bytes").map(_.toLong),
-              saltBuckets = kv.getOrElse("salt-buckets", "0").toInt,
-              maxBytesPerTrigger = kv.get("max-bytes-per-trigger").map(_.toLong))
-            kv.get("max-restarts").map(_.toInt) match {
-              case Some(budget) if budget > 0 => pipe.runSupervised(maxRestarts = budget)
-              case _ => pipe.runAvailable()
-            }
+            val pipe = pipelineFromKnobs(spark, kv, Seq(target), relevant,
+              metricsPath)
+            runPipeline(pipe, kv)
             (pipe.stats.size, pipe.stats.map(_._3.appliedKeys).sum)
         }
         val sec = (System.nanoTime() - t0) / 1e9

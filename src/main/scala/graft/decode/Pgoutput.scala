@@ -18,8 +18,10 @@ import java.nio.charset.StandardCharsets
  * format documentation: single-byte message tag, network byte order,
  * NUL-terminated UTF-8 strings, text-format tuple values. Protocol v1
  * message types covered: Begin 'B', Commit 'C', Relation 'R', Insert 'I',
- * Update 'U', Delete 'D' (Origin/Type/Truncate are recognized-and-skipped
- * — they carry nothing the CDC apply consumes). Protocol v2 (PostgreSQL
+ * Update 'U', Delete 'D', Truncate 'T' (fully parsed — the transcoder
+ * skips truncates of tables the pipeline doesn't consume and fails typed
+ * on consumed ones); Origin/Type are recognized-and-skipped — they carry
+ * nothing the CDC apply consumes. Protocol v2 (PostgreSQL
  * 14+) adds STREAMED in-progress transactions: Stream Start 'S' / Stop
  * 'E' / Commit 'c' / Abort 'A', with every message between Start and Stop
  * carrying an extra Int32 xid after its tag (the xid of the transaction
@@ -70,8 +72,14 @@ object Pgoutput {
                           newTuple: IndexedSeq[TupleValue]) extends Message
   final case class Delete(relationId: Int, oldTag: Char,
                           oldTuple: IndexedSeq[TupleValue]) extends Message
-  /** Recognized non-DML messages (Origin 'O', Type 'Y', Truncate 'T'). */
+  /** Recognized non-DML no-op messages (Origin 'O', Type 'Y'). */
   final case class Skipped(tag: Char) extends Message
+  /** TRUNCATE of one or more relations. `options` bits: 1 = CASCADE,
+    * 2 = RESTART IDENTITY (public pgoutput protocol documentation). Fully
+    * parsed — the transcoder must know WHICH tables were truncated to
+    * decide consumed-table-fail vs irrelevant-table-skip. */
+  final case class Truncate(options: Int,
+                            relationIds: IndexedSeq[Int]) extends Message
 
   // ----------------------------------------------- protocol v2: streaming
 
@@ -189,14 +197,19 @@ object Pgoutput {
         val tag = buf.get().toChar
         if (tag != 'K' && tag != 'O') fail(s"unknown Delete tuple tag '$tag'")
         Delete(oid, tag, tuple())
-      case t @ ('O' | 'Y' | 'T') => Skipped(t)
+      case 'T' =>
+        val n = buf.getInt()
+        if (n < 0) fail(s"negative Truncate relation count $n")
+        val opts = buf.get().toInt
+        Truncate(opts, (0 until n).map(_ => buf.getInt()))
+      case t @ ('O' | 'Y') => Skipped(t)
       case t => fail(s"unknown message tag '$t'")
     }
     // a fully-parsed message must consume its bytes exactly: a valid
     // prefix followed by garbage is framing/version drift, the same class
     // as truncation — accepting it silently would mask exactly what the
-    // other guards exist to surface. (Skipped messages — Origin/Type/
-    // Truncate — are exempt: their bodies are intentionally unconsumed.)
+    // other guards exist to surface. (Skipped messages — Origin/Type —
+    // are exempt: their bodies are intentionally unconsumed.)
     inner match {
       case Skipped(_) => ()
       case _ if buf.hasRemaining =>
@@ -248,6 +261,8 @@ object Pgoutput {
         u8('N'); tuple(nt)
       case Delete(oid, tag, old) => u8('D'); u32(oid); u8(tag); tuple(old)
       case Skipped(t) => u8(t)
+      case Truncate(opts, oids) =>
+        u8('T'); u32(oids.length); u8(opts); oids.foreach(u32)
       case StreamStart(xid, first) =>
         u8('S'); u32(xid.toInt); u8(if (first) 1 else 0)
       case StreamStop => u8('E')
@@ -318,7 +333,9 @@ object Pgoutput {
  * surviving changes into the same wal2json-parity line a non-streamed
  * Commit produces — downstream cannot tell the two apart.
  */
-final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
+final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20,
+                               truncateSkippable: String => Boolean =
+                                 _ => false) {
   import Pgoutput._
 
   private val relations = scala.collection.mutable.Map.empty[Int, Relation]
@@ -335,16 +352,31 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
   private def fail(msg: String): Nothing =
     throw new Pgoutput.MalformedPgoutputException(msg)
 
-  /** TRUNCATE cannot be expressed as keyed changes — skipping it would
-    * leave the lake/mirror silently diverged from a truncated source
-    * (publications include truncate by DEFAULT). Fail typed under the
-    * DataError taxonomy, like D-without-identity: repair = exclude
-    * truncate from the publication or resync the table. (Origin 'O' and
-    * Type 'Y' messages remain genuine no-ops.) */
-  private def failTruncate(): Nothing = fail(
-    "TRUNCATE is not applicable as keyed changes — exclude truncate " +
-      "from the publication (publish = 'insert, update, delete') or " +
-      "resync the table")
+  /** TRUNCATE cannot be expressed as keyed changes — skipping one on a
+    * CONSUMED table would leave the lake/mirror silently diverged from a
+    * truncated source (publications include truncate by DEFAULT). But a
+    * FOR-ALL-TABLES publication also carries truncates of tables the
+    * pipeline never consumes (ops/staging tables): failing on those would
+    * wedge ingestion of every table permanently (DataError never retries,
+    * the LSN is never acked) over a change that cannot affect the lake.
+    * So: a truncate whose EVERY relation `truncateSkippable` says is
+    * irrelevant is skipped; any consumed relation fails typed under the
+    * DataError taxonomy, like D-without-identity — repair = exclude
+    * truncate from the publication or resync the table. An OID with no
+    * cached Relation fails too: irrelevance cannot be proven for a
+    * nameless table. (Origin 'O' and Type 'Y' messages remain genuine
+    * no-ops.) */
+  private def onTruncate(oids: Seq[Int]): Option[String] = {
+    val names = oids.map(oid => relations.get(oid).map(_.name).getOrElse(
+      fail(s"Truncate for relation $oid before its Relation message")))
+    val consumed = names.filterNot(truncateSkippable)
+    if (consumed.isEmpty) None
+    else fail(
+      s"TRUNCATE of consumed table(s) ${consumed.mkString(", ")} is not " +
+        "applicable as keyed changes — exclude truncate from the " +
+        "publication (publish = 'insert, update, delete') or resync the " +
+        "table")
+  }
 
   private def esc(s: String): String = graft.util.Json.escape(s)
 
@@ -461,7 +493,7 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
         if (streamXid.isDefined) fail("Commit inside an open stream segment")
         inTxn = false
         Some(s"""{"lsn":$commitLsn,"xid":$xid,"change":[$changes]}""")
-      case Skipped('T') => failTruncate()
+      case Truncate(_, oids) => onTruncate(oids)
       case Skipped(_) => None
 
       // ------------------------------------- protocol v2 streamed txns
@@ -486,7 +518,7 @@ final class PgoutputTranscoder(spillThresholdBytes: Long = 8L << 20) {
         val top = streamXid.getOrElse(
           fail("streamed DML outside a stream segment"))
         spools(top).append(sub, renderDml(m)); None
-      case Streamed(_, Skipped('T')) => failTruncate()
+      case Streamed(_, Truncate(_, oids)) => onTruncate(oids)
       case Streamed(_, Skipped(_)) => None
       case Streamed(_, other) => fail(s"unexpected streamed message $other")
       case StreamAbort(x, sub) =>

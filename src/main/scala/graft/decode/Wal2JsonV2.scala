@@ -45,7 +45,8 @@ object Wal2JsonV2 {
  * open transaction would misclassify the redelivered B as a framing
  * violation (the pgoutput reopen lesson, CLAUDE.md lesson 25).
  */
-final class Wal2JsonV2Transcoder {
+final class Wal2JsonV2Transcoder(truncateSkippable: String => Boolean =
+                                   _ => false) {
   import Wal2JsonV2._
 
   // USE_BIG_DECIMAL_FOR_FLOATS: numeric column values re-render via
@@ -89,14 +90,23 @@ final class Wal2JsonV2Transcoder {
         if (!inTxn) fail(s"$a outside a transaction")
         appendChange(renderAction(a, n)); None
       case "T" =>
-        // TRUNCATE cannot be expressed as keyed changes — skipping it would
-        // leave the lake/mirror silently diverged from a truncated source
-        // (publications include truncate by DEFAULT). Fail typed under the
-        // DataError taxonomy, like D-without-identity: repair = exclude
-        // truncate from the publication (`WITH (publish = 'insert, update,
-        // delete')`) or resync the table.
-        fail("TRUNCATE is not applicable as keyed changes — exclude " +
-          "truncate from the publication or resync the table")
+        // TRUNCATE cannot be expressed as keyed changes — skipping one on
+        // a CONSUMED table would leave the lake/mirror silently diverged
+        // from a truncated source (publications include truncate by
+        // DEFAULT). But a FOR-ALL-TABLES publication also carries
+        // truncates of tables the pipeline never consumes: failing on
+        // those would wedge ingestion of EVERY table permanently
+        // (DataError never retries; the LSN is never acked) over a change
+        // that cannot affect the lake. Skip the irrelevant ones; fail
+        // typed on consumed ones — repair = exclude truncate from the
+        // publication (`WITH (publish = 'insert, update, delete')`) or
+        // resync the table.
+        if (!inTxn) fail("T outside a transaction")
+        val table = textField(n, "table", "T")
+        if (truncateSkippable(table)) None
+        else fail(s"TRUNCATE of consumed table $table is not applicable " +
+          "as keyed changes — exclude truncate from the publication or " +
+          "resync the table")
       case "M" => None // logical message: no row change
       case other => fail(s"unknown action '$other'")
     }

@@ -220,7 +220,15 @@ class LakeTable(val spark: SparkSession, val root: String,
                 // latency (no bucket rewrite ever lands inside an ingest
                 // commit) against read amplification between maintenance
                 // runs. CompactionBench measures both sides of that trade.
-                val inlineCompaction: Boolean = true) {
+                val inlineCompaction: Boolean = true,
+                // TEST/BENCH ONLY: per-metadata-read latency emulating an
+                // object store's ~tens-of-ms GET round-trip (local fs reads
+                // in ~50 µs, which would hide a serial-read bottleneck
+                // entirely). IMMUTABLE by construction: a mutable hook a
+                // failing bench forgot to reset would leave every later
+                // metadata read of the instance sleeping — benches build a
+                // dedicated delayed instance over the same root instead.
+                val metaReadDelayMs: Long = 0L) {
   import LakeTable._
 
   private val rootPath = new HPath(root)
@@ -300,12 +308,14 @@ class LakeTable(val spark: SparkSession, val root: String,
     * catch-up cost testable (a 10^3-commit range must NOT mean 10^3
     * sequential root reads). Every metadata-file read increments it. */
   private[graft] val metaReads = new java.util.concurrent.atomic.AtomicLong
-  /** TEST/BENCH hook: per-metadata-read latency emulating an object store's
-    * ~tens-of-ms GET round-trip (local fs reads in ~50 µs, which would hide
-    * a serial-read bottleneck entirely). Never set on production paths. */
-  @volatile private[graft] var metaReadDelayMs = 0L
   /** Bound on concurrent snapshot-root fetches during a feed catch-up. */
   @volatile private[graft] var feedMetaParallelism = 32
+  /** Feed ranges NARROWER than this resolve by parallel root fetch alone,
+    * never consulting the feed-log index: consulting it starts with a full
+    * LIST of meta/, and on a never-indexed table with many retained
+    * snapshots that paginated LIST costs more round-trips than the one
+    * parallel fetch round it could save. Default = one fetch round. */
+  @volatile private[graft] var feedIndexMinRange = 32
 
   /** Create the table with an initial empty snapshot (idempotent — tolerates
     * "already exists" like the reference's slot creation,
@@ -743,21 +753,34 @@ class LakeTable(val spark: SparkSession, val root: String,
 
   /** Bounded-parallel driver-side map for metadata fetches — immutable
     * files, thread-safe FileSystem reads, latency-bound work (an object
-    * store's GET RTT, not CPU). Failures rethrow their cause. */
+    * store's GET RTT, not CPU). Runs on the SHARED daemon pool
+    * ([[LakeTable.metaPool]]): a per-call Executors.newFixedThreadPool +
+    * shutdownNow would pay thread spawn/teardown on every batched lookup
+    * and feed read — exactly the high-QPS point-read path this exists
+    * for. At most `width` workers drain a shared index; the first failure
+    * stops the drain and rethrows its cause. */
   private def parMap[A, B](xs: Seq[A], width: Int)(f: A => B): Seq[B] =
     if (xs.size <= 1) xs.map(f)
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(math.max(1, width), xs.size))
-      try {
-        val futs = xs.map(x => pool.submit(
-          new java.util.concurrent.Callable[B] {
-            override def call(): B = f(x)
-          }))
-        futs.map(fu => try fu.get()
-        catch { case e: java.util.concurrent.ExecutionException =>
-          throw Option(e.getCause).getOrElse(e) })
-      } finally pool.shutdownNow()
+      val xv = xs.toIndexedSeq
+      val results = new Array[AnyRef](xv.size)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val next = new java.util.concurrent.atomic.AtomicInteger(0)
+      val workers = (0 until math.min(math.max(1, width), xv.size)).map { _ =>
+        LakeTable.metaPool.submit(new Runnable {
+          override def run(): Unit = {
+            var i = next.getAndIncrement()
+            while (i < xv.size && err.get() == null) {
+              try results(i) = f(xv(i)).asInstanceOf[AnyRef]
+              catch { case t: Throwable => err.compareAndSet(null, t) }
+              i = next.getAndIncrement()
+            }
+          }
+        })
+      }
+      workers.foreach(_.get())
+      if (err.get() != null) throw err.get()
+      results.view.map(_.asInstanceOf[B]).toIndexedSeq
     }
 
   /** Fetch `ids`' per-commit delta lists with at most
@@ -774,7 +797,10 @@ class LakeTable(val spark: SparkSession, val root: String,
     * to root reads; the index is a pure metadata-cost optimization and
     * never a correctness dependency. */
   private def readFeedLogRange(ids: Seq[Long]): Map[Long, Seq[String]] = {
-    if (ids.isEmpty) return Map.empty
+    // a range at most one parallel fetch round wide can never win from the
+    // index — skip its meta/ LIST entirely (see feedIndexMinRange): the
+    // common mirror-a-few-commits-behind read pays zero extra metadata IO
+    if (ids.isEmpty || ids.size < feedIndexMinRange) return Map.empty
     val (lo, hi) = (ids.head, ids.last)
     listMetaNames().collect {
       case n @ FeedLogRe(a, b) if a.toLong <= hi && b.toLong >= lo => n
@@ -863,6 +889,13 @@ class LakeTable(val spark: SparkSession, val root: String,
       } catch {
         case _: FileAlreadyExistsException =>
           fs.delete(tmp, false); false
+        case _: java.nio.file.NoSuchFileException =>
+          // a CONCURRENT indexer's startup sweep deleted our in-flight tmp
+          // (it looked stranded from over there). Losing the race is fine
+          // — the winner's segment is byte-identical — but it must lose as
+          // "publish failed, retry next pass", never as a raw
+          // NoSuchFileException aborting this whole maintenance run
+          false
       }
     } else {
       val ok = try fs.rename(tmp, target)
@@ -909,8 +942,12 @@ class LakeTable(val spark: SparkSession, val root: String,
   def lookup(keys: Seq[Map[String, Any]]): DataFrame = {
     val distinctKeys = keys.distinct
     val snap = snapshotForKeys(distinctKeys)
-    require(snap.keyColumns.toSet == distinctKeys.head.keySet,
-      s"lookup needs exactly the key columns ${snap.keyColumns.mkString(",")}")
+    // EVERY key validates, on both snapshot forms — the distributed branch
+    // checks inside snapshotForKeys, but the inline form skips that branch
+    // and a malformed non-head key would otherwise surface as a raw
+    // NoSuchElementException out of bucketOf
+    distinctKeys.foreach(k => require(snap.keyColumns.toSet == k.keySet,
+      s"lookup needs exactly the key columns ${snap.keyColumns.mkString(",")}"))
     val byBucket = distinctKeys.map(k => planFiles(snap, k))
       .groupBy(_._1).toSeq.sortBy(_._1).map { case (_, planned) =>
         (planned.flatMap(_._2).distinct, planned.flatMap(_._3).distinct)
@@ -934,16 +971,28 @@ class LakeTable(val spark: SparkSession, val root: String,
         snap.keyColumns.map(c => col(c) === typed(c, k(c))).reduce(_ && _))
         .reduce(_ || _))
     else {
-      // the key relation goes through the string form + a cast to the
-      // declared type — the same literal-cast semantics as the predicate
-      // path (never a lossy DOUBLE comparison)
-      val strSchema = StructType(
-        snap.keyColumns.map(c => StructField(c, StringType)))
+      // the key relation is built by evaluating the SAME
+      // Cast(Literal, declaredType) the predicate path's lit(v).cast uses,
+      // driver-side (the bucketOf pattern, CLAUDE.md lesson 22) — a
+      // String.valueOf round-trip would corrupt binary keys
+      // ("[B@1a2b3c".getBytes) and conflate null with the string "null",
+      // flipping lookup results when the batch size crosses
+      // lookupPredicateKeys
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+      import org.apache.spark.sql.catalyst.CatalystTypeConverters
+      val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      val keySchema = StructType(
+        snap.keyColumns.map(c => StructField(c, snap.schema(c).dataType)))
       val keyDf = spark.createDataFrame(
-        distinctKeys.map(k => org.apache.spark.sql.Row.fromSeq(
-          snap.keyColumns.map(c => String.valueOf(k(c))))).asJava, strSchema)
-        .select(snap.keyColumns.map(c =>
-          col(c).cast(snap.schema(c).dataType).as(c)): _*)
+        distinctKeys.map { k =>
+          org.apache.spark.sql.Row.fromSeq(snap.keyColumns.map { c =>
+            val dt = snap.schema(c).dataType
+            val raw = Literal.create(k(c))
+            val internal =
+              if (raw.dataType == dt) raw.value else Cast(raw, dt, tz).eval(null)
+            CatalystTypeConverters.convertToScala(internal, dt)
+          })
+        }.asJava, keySchema)
       df.join(broadcast(keyDf), snap.keyColumns.toSeq, "left_semi")
     }
   }
@@ -1686,6 +1735,23 @@ object LakeTable {
   /** Batched-lookup residual filter: OR-of-conjunctions up to this many
     * keys (pushdown-friendly), broadcast semi join above (bounded plan). */
   val lookupPredicateKeys = 64
+
+  /** SHARED daemon pool for driver-side metadata IO fan-out (manifest and
+    * snapshot-root fetches). Cached: threads appear on demand up to each
+    * call's own `width` bound, are reused across calls, and retire after
+    * 60 s idle — a point-read service issuing thousands of batched lookups
+    * per second must not pay pool construction + thread spawn + teardown
+    * per request. Daemon threads: metadata IO never blocks JVM exit. */
+  private[lake] lazy val metaPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-meta-io-${n.getAndIncrement()}")
+          t.setDaemon(true); t
+        }
+      })
+
   private val mapper = new ObjectMapper()
 
   private type JsonNode = com.fasterxml.jackson.databind.JsonNode

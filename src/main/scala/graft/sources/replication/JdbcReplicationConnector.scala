@@ -131,14 +131,16 @@ final class JdbcReplicationConnector(
     * lines (the engine analog of the reference's getSlotMessage
     * extension point, README.md:101-104). */
   private val pgoutputTranscoder: Option[graft.decode.PgoutputTranscoder] =
-    if (slot.outputPlugin == "pgoutput") Some(new graft.decode.PgoutputTranscoder)
+    if (slot.outputPlugin == "pgoutput")
+      Some(new graft.decode.PgoutputTranscoder(
+        truncateSkippable = slot.truncateSkippable))
     else None
 
   /** wal2json format-version 2: per-ACTION lines folded back to one
     * v1-parity line per transaction at the same boundary. */
   private val wal2jsonV2Transcoder: Option[graft.decode.Wal2JsonV2Transcoder] =
     if (slot.outputPlugin == "wal2json" && slot.formatVersion >= 2)
-      Some(new graft.decode.Wal2JsonV2Transcoder)
+      Some(new graft.decode.Wal2JsonV2Transcoder(slot.truncateSkippable))
     else None
 
   override def readPending(): Option[WalChunk] = mapped {

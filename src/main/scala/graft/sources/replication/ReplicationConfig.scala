@@ -111,7 +111,14 @@ final case class SlotConfig(
     // (the reference's configuration); 2 = one document per ACTION
     // (B/I/U/D/C lines — large txns stream without one giant document),
     // folded back to the v1-parity envelope at the ingest boundary
-    formatVersion: Int = 1) {
+    formatVersion: Int = 1,
+    // the tables the pipeline CONSUMES (empty = all of them). Only used
+    // to classify TRUNCATE messages at the transcoding boundary: a
+    // truncate of a table NOT in a non-empty set is skipped (it cannot
+    // affect the lake), while a truncate of a consumed table fails typed
+    // — failing table-blind would wedge ingestion of every table over an
+    // ops-table truncate the pipeline never reads
+    relevantTables: Set[String] = Set.empty) {
 
   def validate(): this.type = {
     def bad(msg: String) = throw new IllegalArgumentException(
@@ -136,8 +143,16 @@ final case class SlotConfig(
     if (formatVersion >= 2 && !includeXids)
       bad("format-version 2 requires include-xids (the v2 fold needs the " +
         "xid on every B action)")
+    if (relevantTables.exists(_.isEmpty))
+      bad("relevant table names must be non-empty")
     this
   }
+
+  /** The TRUNCATE-skip predicate the transcoders take: with a non-empty
+    * consumed-table set, truncates of every OTHER table are safe to drop;
+    * with an empty set every table is consumed and no truncate may pass. */
+  def truncateSkippable: String => Boolean =
+    t => relevantTables.nonEmpty && !relevantTables.contains(t)
 
   /** Plugin options sent at stream start: wal2json's include-xids
     * (matching ReplicationConfiguration.getSlotOptions), or pgoutput's

@@ -115,7 +115,8 @@ final class SyntheticReplicationServer(genCfg: GenConfig, initialTxns: Long) {
       * fallback. */
     private val transcoder: Option[graft.decode.PgoutputTranscoder] =
       if (slot.outputPlugin == "pgoutput")
-        Some(new graft.decode.PgoutputTranscoder)
+        Some(new graft.decode.PgoutputTranscoder(
+          truncateSkippable = slot.truncateSkippable))
       else None
     /** With `--format-version 2` the wal2json plugin emits per-ACTION
       * lines; the synthetic server serves that true wire shape folded
@@ -123,7 +124,7 @@ final class SyntheticReplicationServer(genCfg: GenConfig, initialTxns: Long) {
       * code path a live v2 stream takes. */
     private val v2Transcoder: Option[graft.decode.Wal2JsonV2Transcoder] =
       if (slot.outputPlugin == "wal2json" && slot.formatVersion >= 2)
-        Some(new graft.decode.Wal2JsonV2Transcoder)
+        Some(new graft.decode.Wal2JsonV2Transcoder(slot.truncateSkippable))
       else None
     private var lastEra: Option[graft.gen.PgoutputGen.Era] = None
 

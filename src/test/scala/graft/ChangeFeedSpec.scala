@@ -204,6 +204,7 @@ class ChangeFeedSpec extends SparkSpec {
 
   test("feed-log index: indexed catch-up matches root resolution and caps metadata reads") {
     val t = newTable("feedidx")
+    t.feedIndexMinRange = 2 // ranges here are tiny; production gates at 32
     (0 until 9).foreach { i =>
       MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(i * 12L, (i + 1) * 12L)))
     }
@@ -231,6 +232,7 @@ class ChangeFeedSpec extends SparkSpec {
 
   test("feed-log index: a torn segment is skipped and a stale one cannot serve expired history") {
     val t = newTable("feedidxtorn")
+    t.feedIndexMinRange = 2 // ranges here are tiny; production gates at 32
     (0 until 6).foreach { i =>
       MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(i * 12L, (i + 1) * 12L)))
     }

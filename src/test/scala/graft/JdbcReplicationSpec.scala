@@ -580,4 +580,61 @@ class JdbcReplicationSpec extends SparkSpec {
     assert(e.getMessage.contains("org.postgresql"))
     assert(e.getMessage.contains("pgjdbc"))
   }
+
+  test("TRUNCATE through the live binding: irrelevant tables skip, consumed tables fail typed") {
+    // a FOR-ALL-TABLES publication carries EVERY table's truncates; the
+    // binding must pass SlotConfig.relevantTables down to the transcoder
+    // so an ops-table truncate cannot wedge the whole stream, while a
+    // consumed-table truncate still fails loud under DataError
+    import graft.decode.Pgoutput
+    import Pgoutput._
+    def scripted(msgs: Seq[Array[Byte]]): PgReplicationShim =
+      new PgReplicationShim {
+        override def createLogicalSlot(n: String, p: String): Unit = ()
+        override def startStream(n: String, o: Map[String, String],
+            s: Long): PgReplicationStreamShim = new PgReplicationStreamShim {
+          private val q = scala.collection.mutable.Queue(msgs: _*)
+          private var recv = 0L
+          override def readPending(): java.nio.ByteBuffer =
+            if (q.isEmpty) null
+            else { recv += 1; java.nio.ByteBuffer.wrap(q.dequeue()) }
+          override def getLastReceiveLSN(): Long = recv
+          override def setAppliedLSN(l: Long): Unit = ()
+          override def setFlushedLSN(l: Long): Unit = ()
+          override def forceUpdateStatus(): Unit = ()
+          override def close(): Unit = ()
+        }
+        override def close(): Unit = ()
+      }
+    val relOps = Relation(8, "public", "ops_scratch", 'd'.toByte,
+      IndexedSeq(RelationColumn(1, "id", 23, -1)))
+    val relRepos = Relation(7, "public", "repos", 'd'.toByte,
+      IndexedSeq(RelationColumn(1, "id", 23, -1)))
+    val slot = SlotConfig("graft_slot", outputPlugin = "pgoutput",
+      publication = Some("pub"), relevantTables = Set("repos"))
+    val good = Seq(
+      Pgoutput.write(Begin(1, 0, 42)),
+      Pgoutput.write(relOps),
+      Pgoutput.write(relRepos),
+      Pgoutput.write(Truncate(0, IndexedSeq(8))), // irrelevant: skipped
+      Pgoutput.write(Insert(7, IndexedSeq(TextValue("1")))),
+      Pgoutput.write(Commit(0, 5L, 6L, 7L)))
+    val c = new JdbcReplicationConnector(conn, slot, () => scripted(good))
+    c.createSlotIfAbsent(); c.openStream()
+    val chunk = c.readPending().get
+    assert(chunk.line.contains("\"insert\""),
+      "the transaction around the skipped truncate must still deliver")
+    assert(!chunk.line.toLowerCase.contains("truncate"))
+    c.close()
+    val bad = Seq(
+      Pgoutput.write(Begin(1, 0, 43)),
+      Pgoutput.write(relRepos),
+      Pgoutput.write(Truncate(0, IndexedSeq(7)))) // consumed: must fail
+    val c2 = new JdbcReplicationConnector(conn, slot, () => scripted(bad))
+    c2.createSlotIfAbsent(); c2.openStream()
+    val ex = intercept[Exception] { c2.readPending() }
+    assert(ex.getMessage.contains("repos"))
+    assert(CdcPipeline.classify(ex) === CdcPipeline.FailureKind.DataError)
+    c2.close()
+  }
 }

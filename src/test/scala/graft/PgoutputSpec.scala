@@ -97,27 +97,75 @@ class PgoutputSpec extends SparkSpec {
     intercept[MalformedPgoutputException] {
       Pgoutput.parse(begin :+ 0x7f.toByte)
     }
-    // Skipped messages (Origin/Type/Truncate) keep their unconsumed bodies
+    // Skipped messages (Origin/Type) keep their unconsumed bodies
     assert(Pgoutput.parse(Array[Byte]('O', 1, 2, 3)) === Skipped('O'))
   }
 
-  test("TRUNCATE fails typed — a skipped truncate silently diverges the lake") {
-    // publications publish truncate by DEFAULT; the engine cannot express
-    // a TRUNCATE as keyed changes, so it must fail loud under DataError
-    // (repair = exclude truncate from the publication or resync), exactly
-    // like D-without-identity — never silently drop it
-    val t = new PgoutputTranscoder
-    t.feed(Pgoutput.write(Begin(1, 0, 42)))
+  test("TRUNCATE is table-aware: consumed tables fail typed, irrelevant tables skip") {
+    // publications publish truncate by DEFAULT and a FOR-ALL-TABLES
+    // publication carries EVERY table's truncates; the engine cannot
+    // express a TRUNCATE of a CONSUMED table as keyed changes, so that
+    // fails loud under DataError (repair = exclude truncate from the
+    // publication or resync), exactly like D-without-identity — but a
+    // truncate of a table the pipeline never reads must NOT wedge
+    // ingestion of every table permanently
+    val relConsumed = Relation(7, "public", "events", 'd'.toByte,
+      IndexedSeq(RelationColumn(1, "id", 23, -1)))
+    val relOps = Relation(8, "public", "ops_scratch", 'd'.toByte,
+      IndexedSeq(RelationColumn(1, "id", 23, -1)))
+    def transcoder() = {
+      val t = new PgoutputTranscoder(truncateSkippable = _ != "events")
+      t.feed(Pgoutput.write(Begin(1, 0, 42)))
+      t.feed(Pgoutput.write(relConsumed))
+      t.feed(Pgoutput.write(relOps))
+      t
+    }
+    // consumed table => typed DataError naming the table
     val ex = intercept[MalformedPgoutputException] {
-      t.feed(Array[Byte]('T', 0, 0, 0, 1))
+      transcoder().feed(Pgoutput.write(Truncate(0, IndexedSeq(7))))
     }
     assert(ex.getMessage.contains("TRUNCATE"))
+    assert(ex.getMessage.contains("events"))
     assert(graft.streaming.CdcPipeline.classify(ex) ===
       graft.streaming.CdcPipeline.FailureKind.DataError)
+    // a multi-relation truncate with ANY consumed table fails too
+    intercept[MalformedPgoutputException] {
+      transcoder().feed(Pgoutput.write(Truncate(1, IndexedSeq(8, 7))))
+    }
+    // irrelevant table => skipped; the transaction commits normally
+    val tSkip = transcoder()
+    assert(tSkip.feed(Pgoutput.write(Truncate(0, IndexedSeq(8)))).isEmpty)
+    assert(tSkip.feed(Pgoutput.write(Commit(0, 5L, 6L, 7L))) ===
+      Some("""{"lsn":5,"xid":42,"change":[]}"""))
+    // unknown relation oid: irrelevance cannot be proven — fail
+    intercept[MalformedPgoutputException] {
+      transcoder().feed(Pgoutput.write(Truncate(0, IndexedSeq(99))))
+    }
+    // the default transcoder (no skip predicate) fails on EVERY truncate
+    val tDefault = new PgoutputTranscoder
+    tDefault.feed(Pgoutput.write(Begin(1, 0, 42)))
+    tDefault.feed(Pgoutput.write(relOps))
+    intercept[MalformedPgoutputException] {
+      tDefault.feed(Pgoutput.write(Truncate(0, IndexedSeq(8))))
+    }
+    // streamed truncates take the same classification
+    val tStream = new PgoutputTranscoder(truncateSkippable = _ != "events")
+    tStream.feed(Pgoutput.write(StreamStart(9L, firstSegment = true)))
+    tStream.feed(Pgoutput.write(Streamed(9L, relOps)))
+    assert(tStream.feed(
+      Pgoutput.write(Streamed(9L, Truncate(0, IndexedSeq(8))))).isEmpty)
+    tStream.feed(Pgoutput.write(Streamed(9L, relConsumed)))
+    intercept[MalformedPgoutputException] {
+      tStream.feed(Pgoutput.write(Streamed(9L, Truncate(0, IndexedSeq(7)))))
+    }
     // Origin/Type messages remain genuine no-ops
     val t2 = new PgoutputTranscoder
     t2.feed(Pgoutput.write(Begin(1, 0, 42)))
     assert(t2.feed(Array[Byte]('O', 1, 2, 3)).isEmpty)
+    // Truncate is fully parsed: trailing bytes after it fail typed
+    intercept[MalformedPgoutputException] {
+      Pgoutput.parse(Pgoutput.write(Truncate(0, IndexedSeq(8))) :+ 0x7f.toByte)
+    }
   }
 
   test("type OIDs render the SQL names wal2json prints") {
@@ -247,7 +295,7 @@ class PgoutputSpec extends SparkSpec {
       Streamed(4000000000L, Insert(7, IndexedSeq(TextValue("1")))),
       Streamed(9L, Update(7, None, None, IndexedSeq(TextValue("2")))),
       Streamed(9L, Delete(7, 'K', IndexedSeq(TextValue("3")))),
-      Streamed(9L, Skipped('T')))
+      Streamed(9L, Truncate(1, IndexedSeq(7, 8))))
     streamed.foreach { m =>
       assert(Pgoutput.parse(Pgoutput.write(m), inStream = true) === m, m.toString)
     }

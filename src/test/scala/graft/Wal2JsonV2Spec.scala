@@ -110,10 +110,13 @@ class Wal2JsonV2Spec extends SparkSpec {
     assert(ex.getMessage.contains("identity"))
     // the taxonomy pins all of this as deterministic DataError
     assert(CdcPipeline.classify(ex) === CdcPipeline.FailureKind.DataError)
-    // TRUNCATE cannot be applied as keyed changes — skipping it silently
-    // diverges the lake from a truncated source (publications publish
-    // truncate by DEFAULT), so it fails typed under DataError like
-    // D-without-identity; logical messages remain genuine no-ops
+    // TRUNCATE of a CONSUMED table cannot be applied as keyed changes —
+    // skipping it silently diverges the lake from a truncated source
+    // (publications publish truncate by DEFAULT), so it fails typed under
+    // DataError like D-without-identity; but a truncate of a table the
+    // pipeline never reads is SKIPPED (failing table-blind would wedge
+    // every table's ingestion over an ops-table truncate); logical
+    // messages remain genuine no-ops
     val t3 = fresh
     t3.feed("""{"action":"B","xid":4}""")
     val exT = intercept[MalformedWal2JsonV2Exception] {
@@ -121,6 +124,24 @@ class Wal2JsonV2Spec extends SparkSpec {
     }
     assert(exT.getMessage.contains("TRUNCATE"))
     assert(CdcPipeline.classify(exT) === CdcPipeline.FailureKind.DataError)
+    // with a skip predicate, the irrelevant table's truncate is dropped
+    // and the transaction commits; the consumed table still fails
+    val tAware = new Wal2JsonV2Transcoder(truncateSkippable = _ != "t")
+    tAware.feed("""{"action":"B","xid":4}""")
+    assert(tAware.feed(
+      """{"action":"T","schema":"s","table":"ops_scratch"}""").isEmpty)
+    assert(tAware.feed("""{"action":"C"}""") ===
+      Some("""{"xid":4,"change":[]}"""))
+    tAware.feed("""{"action":"B","xid":5}""")
+    val exT2 = intercept[MalformedWal2JsonV2Exception] {
+      tAware.feed("""{"action":"T","schema":"s","table":"t"}""")
+    }
+    assert(exT2.getMessage.contains("\"t\"") || exT2.getMessage.contains(" t "))
+    // even a skippable truncate outside a transaction is a framing error
+    val tOut = new Wal2JsonV2Transcoder(truncateSkippable = _ => true)
+    intercept[MalformedWal2JsonV2Exception] {
+      tOut.feed("""{"action":"T","schema":"s","table":"x"}""")
+    }
     val t3b = fresh
     t3b.feed("""{"action":"B","xid":4}""")
     assert(t3b.feed("""{"action":"M","prefix":"p","content":"c"}""").isEmpty)
