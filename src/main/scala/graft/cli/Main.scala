@@ -101,6 +101,7 @@ object Main {
       "table-root" -> (true, "lake table root directory"),
       "query" -> (true, "SQL over the view `t` (the table's merged current state)"),
       "as-of" -> (false, "historical snapshot id (time travel)"),
+      "via" -> (false, "library|connector: connector resolves `t` through CREATE TEMPORARY VIEW ... USING graft-lake (the batch read connector) instead of the library API (default library)"),
       "limit" -> (false, "rows to print (default 20)")),
     "stage" -> Map(
       "wal-dir" -> (true, "staging directory to publish WAL segments into"),
@@ -590,9 +591,21 @@ object Main {
 
       case "sql" =>
         // ad-hoc analytics over the merged table state: register the
-        // merge-on-read view under `t`, let Catalyst plan the rest
-        val t = new LakeTable(spark, kv("table-root"))
-        t.createOrReplaceView("t", kv.get("as-of").map(_.toLong))
+        // merge-on-read view under `t`, let Catalyst plan the rest.
+        // --via connector exercises the batch READ connector instead of
+        // the library API — both must answer identically.
+        kv.getOrElse("via", "library") match {
+          case "library" =>
+            val t = new LakeTable(spark, kv("table-root"))
+            t.createOrReplaceView("t", kv.get("as-of").map(_.toLong))
+          case "connector" =>
+            val opts = s"path '${kv("table-root")}'" +
+              kv.get("as-of").map(id => s", asOf '$id'").getOrElse("")
+            spark.sql(
+              s"CREATE OR REPLACE TEMPORARY VIEW t USING `graft-lake` OPTIONS ($opts)")
+          case other => throw new IllegalArgumentException(
+            s"sql: unknown --via '$other' (library|connector)")
+        }
         spark.sql(kv("query"))
           .show(kv.getOrElse("limit", "20").toInt, truncate = false)
 

@@ -340,6 +340,40 @@ object CdcQueries {
        |      FROM events) WHERE rn = 1 AND $kindSql <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** Batch READ connector (`spark.read.format("graft-lake")` /
+    * `CREATE TEMPORARY VIEW ... USING graft-lake`): the two-commit lake
+    * table read back through PURE SQL — current merged state AND `asOf`
+    * time travel to the mid-stream snapshot, tagged by era. The oracle
+    * recomputes both keep-last non-deleted states relationally (the `mid`
+    * era over the first half of the stream only), so the connector's
+    * merged view, snapshot resolution, and time travel are all under the
+    * DuckDB gate. */
+  def batchReadConnector(spark: SparkSession, dir: String): DataFrame = {
+    val (t, mid) = twoCommitTable(spark, dir, "graft-cdc-bread")
+    def era(tag: String, asOf: Option[Long]): DataFrame = {
+      val vn = s"graft_bread_$tag"
+      val opts = s"path '${t.root}'" + asOf.map(id => s", asOf '$id'").getOrElse("")
+      spark.sql(
+        s"CREATE OR REPLACE TEMPORARY VIEW $vn USING `graft-lake` OPTIONS ($opts)")
+      spark.table(vn).select(lit(tag).as("era"), col("user_id"), col("value"))
+    }
+    era("final", None).unionByName(era("mid", Some(mid)))
+      .orderBy("era", "user_id")
+  }
+
+  val batchReadConnectorSql: String =
+    s"""WITH halves AS (
+       |  SELECT 'final' AS era, * FROM events
+       |  UNION ALL
+       |  SELECT 'mid', * FROM events
+       |  WHERE event_id <= (SELECT CAST(max(event_id) // 2 AS BIGINT) FROM events)),
+       |ranked AS (
+       |  SELECT era, user_id, value, $kindSql AS kind,
+       |    row_number() OVER (PARTITION BY era, user_id ORDER BY event_id DESC) rn
+       |  FROM halves)
+       |SELECT era, user_id, value FROM ranked
+       |WHERE rn = 1 AND kind <> 'delete' ORDER BY era, user_id""".stripMargin
+
   /** SINGLE-PASS MULTI-TABLE APPLY through the REAL engine: the mixed
     * events_a/events_b WAL (the reference's single slot carries EVERY
     * table — SlotReaderKinesisWriter.java:281-287) pushed through
@@ -473,6 +507,7 @@ object CdcQueries {
     "cdc_dedup_keeplast" -> (dedupKeepLast _, dedupKeepLastSql),
     "cdc_merge_final_state" -> (mergeFinalState _, mergeFinalStateSql),
     "cdc_multi_table" -> (multiTableApply _, multiTableSql),
+    "cdc_batch_read" -> (batchReadConnector _, batchReadConnectorSql),
     "cdc_change_feed" -> (changeFeed _, changeFeedSql),
     "cdc_change_feed_streamed" -> (changeFeedStreamed _, changeFeedSql),
     "cdc_feed_mirror" -> (feedMirror _, feedMirrorSql),

@@ -2,9 +2,10 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.lake.LakeTable
+import graft.sources.{LakeFeedRelation, LakeRelation}
 import graft.streaming.{CdcPipeline, TableTarget}
 
 /**
@@ -43,8 +44,29 @@ import graft.streaming.{CdcPipeline, TableTarget}
  *   - `manifestThreshold` (default 4096): live files before snapshots
  *     spill to distributed per-bucket manifests
  */
-class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
+class LakeSinkProvider extends StreamSinkProvider with RelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-lake"
+
+  /** Batch READ: `spark.read.format("graft-lake")` (merged keep-last state,
+    * `asOf` time travel) or the batch change feed (`changes=true` with
+    * `fromSnapshot`/`toSnapshot`). See [[graft.sources.LakeRelation]]. */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-lake read requires option 'path'"))
+    val table = new LakeTable(sqlContext.sparkSession, root)
+    if (!table.exists) throw new IllegalArgumentException(
+      s"graft-lake read: no table at $root — create it first (LakeTable.create)")
+    if (parameters.get("changes").exists(_.toBoolean)) {
+      val to = parameters.get("toSnapshot").map(_.toLong)
+        .getOrElse(table.currentSnapshot.get.snapshotId)
+      val from = parameters.get("fromSnapshot").map(_.toLong).getOrElse(-1L)
+      new LakeFeedRelation(sqlContext, table, from, to)
+    } else {
+      new LakeRelation(sqlContext, table, parameters.get("asOf").map(_.toLong))
+    }
+  }
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],

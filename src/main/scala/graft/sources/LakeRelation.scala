@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import graft.lake.LakeTable
+
+/**
+ * Batch READ half of the `graft-lake` format: `spark.read
+ * .format("graft-lake").option("path", root).load()` returns the table's
+ * merged (keep-last) state as a DataFrame — the connector counterpart of
+ * [[graft.lake.LakeTable.read]] — so pure-SQL / pure-DataFrame users never
+ * touch the library API. `CREATE TEMPORARY VIEW t USING `graft-lake``
+ * works through the same seam.
+ *
+ * Options:
+ *   - `path` (required): table root (any Hadoop filesystem scheme)
+ *   - `asOf` (optional): snapshot id — time travel over immutable snapshots
+ *   - `changes` (optional, boolean): read the CHANGE DATA FEED instead of
+ *     table state; with `fromSnapshot` (exclusive, default -1 = from the
+ *     beginning) and `toSnapshot` (inclusive, default latest) this is the
+ *     batch form of `readStream.format("graft-changes")` — output schema is
+ *     the table schema plus `_lsn`, `_seq`, `_kind`, `_snapshot`
+ *
+ * Shape: the relation delegates to the Catalyst-planned merged view (the
+ * same data-aware local/shuffle merge every other reader uses), FORWARDING
+ * the scan's pruned columns and pushed filters into that inner DataFrame —
+ * so key-column predicates still reach the parquet scans' PushedFilters and
+ * an unreferenced column is still pruned out of ReadSchema. The V1 relation
+ * seam re-applies every filter above the scan (`unhandledFilters` default),
+ * so a partially translatable predicate is forwarded best-effort and never
+ * trusted for correctness. The one cost of the seam is a Row materialization
+ * boundary at the relation's top edge; scans below it keep whole-stage
+ * codegen, and library callers who want zero boundary keep using
+ * [[graft.lake.LakeTable.read]] directly.
+ */
+class LakeRelation(override val sqlContext: SQLContext, table: LakeTable,
+                   asOf: Option[Long]) extends DataFrameRelation {
+  override val schema: StructType = {
+    val id = asOf.getOrElse(table.currentSnapshot.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-lake read: no table at ${table.root} — create it first " +
+          "(LakeTable.create)")).snapshotId)
+    table.snapshotAt(id).schema
+  }
+  override protected def view(): DataFrame = table.read(asOfSnapshot = asOf)
+}
+
+/** Batch change-feed read: `option("changes", "true")`. Range is
+  * `(fromSnapshot, toSnapshot]`, matching [[graft.lake.LakeTable.changes]]. */
+class LakeFeedRelation(override val sqlContext: SQLContext, table: LakeTable,
+                       fromSnapshot: Long, toSnapshot: Long)
+    extends DataFrameRelation {
+  override val schema: StructType =
+    ChangesSource.feedSchema(table.snapshotAt(toSnapshot).schema)
+  override protected def view(): DataFrame =
+    table.changes(fromSnapshot, toSnapshot)
+}
+
+/** A V1 relation over a computed DataFrame: prunes + filters by pushing the
+  * scan's `requiredColumns`/`Filter`s into the inner (fully Catalyst-planned)
+  * view, then crosses the Row boundary the V1 seam requires. */
+abstract class DataFrameRelation extends BaseRelation with PrunedFilteredScan {
+
+  protected def view(): DataFrame
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val base = view()
+    val filtered = filters
+      .flatMap(DataFrameRelation.toColumn(base, _))
+      .foldLeft(base)(_.filter(_))
+    // contract: exactly requiredColumns, in order (empty = count(*) shape)
+    filtered.select(requiredColumns.toSeq.map(quotedCol(filtered, _)): _*).rdd
+  }
+
+  private def quotedCol(df: DataFrame, name: String): Column =
+    df.col("`" + name.replace("`", "``") + "`")
+}
+
+object DataFrameRelation {
+  /** Best-effort V1 Filter -> Column translation. Untranslatable nodes
+    * return None and are simply not forwarded — Spark re-evaluates every
+    * filter above the relation, so this affects IO, never correctness. */
+  private[graft] def toColumn(df: DataFrame, f: Filter): Option[Column] = {
+    def c(n: String): Column = df.col("`" + n.replace("`", "``") + "`")
+    f match {
+      case EqualTo(a, v)            => Some(c(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(c(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v)           => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(c(a) <= lit(v))
+      case In(a, vs)                => Some(c(a).isin(vs.toSeq: _*))
+      case IsNull(a)                => Some(c(a).isNull)
+      case IsNotNull(a)             => Some(c(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(c(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(c(a).endsWith(v))
+      case StringContains(a, v)     => Some(c(a).contains(v))
+      case And(l, r) =>
+        // a conjunction forwards best-effort: either side alone still only
+        // narrows (the dropped side is re-applied above the relation)
+        (toColumn(df, l), toColumn(df, r)) match {
+          case (Some(lc), Some(rc)) => Some(lc && rc)
+          case (one, other)         => one.orElse(other)
+        }
+      case Or(l, r) =>
+        // an Or is only forwardable if BOTH sides are (a dropped side would
+        // wrongly narrow the disjunction)
+        for { lc <- toColumn(df, l); rc <- toColumn(df, r) } yield lc || rc
+      case Not(x) => toColumn(df, x).map(!_)
+      case _      => None
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import graft.apply.MergeEngine
+import graft.decode.ChangeDecoder
+import graft.gen.{ChangeStreamGen, GenConfig}
+import graft.lake.LakeTable
+import graft.cli.Main
+import graft.sources.DataFrameRelation
+
+/**
+ * Batch READ connector (`spark.read.format("graft-lake")`): the pure-SQL /
+ * pure-DataFrame face of [[LakeTable.read]] and [[LakeTable.changes]] —
+ * merged keep-last state, `asOf` time travel, and the batch change feed,
+ * with scan pruning/filters forwarded into the inner Catalyst plan.
+ */
+class LakeBatchReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg = GenConfig(seed = 77L, nRepos = 8, pathsPerRepo = 4, maxChangesPerTxn = 3)
+
+  private def lines(from: Long, until: Long) =
+    spark.createDataset((from until until)
+      .map(id => ChangeStreamGen.renderLine(cfg, ChangeStreamGen.txn(cfg, id)))).toDF("value")
+
+  private def newTable(dir: String): LakeTable = {
+    val t = new LakeTable(spark, tmpDir(dir))
+    t.create(Main.reposSchema, Seq("repo", "path"), 4, Main.reposRenameMap)
+    t
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.orderBy(df.columns.map(c => col("`" + c + "`")).toSeq: _*)
+      .collect().map(_.toString).toSeq
+
+  test("format('graft-lake') load == LakeTable.read, schema included") {
+    val t = newTable("bread")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 150)))
+    val viaConnector = spark.read.format("graft-lake").option("path", t.root).load()
+    assert(viaConnector.schema === t.read().schema)
+    assert(sortedRows(viaConnector) === sortedRows(t.read()))
+    // count(*) exercises the empty-projection buildScan shape
+    assert(viaConnector.count() === t.read().count())
+  }
+
+  test("asOf option time-travels to the immutable snapshot") {
+    val t = newTable("bread-asof")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 100)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(100, 200)))
+    val old = spark.read.format("graft-lake")
+      .option("path", t.root).option("asOf", "1").load()
+    assert(sortedRows(old) === sortedRows(t.read(asOfSnapshot = Some(1))))
+    assert(sortedRows(old) !== sortedRows(t.read())) // the table moved on
+  }
+
+  test("filters and projection prune through the connector correctly") {
+    val t = newTable("bread-filter")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 150)))
+    val full = t.read()
+    val someRepo = full.select("repo").limit(1).collect()(0).getString(0)
+    val viaConnector = spark.read.format("graft-lake").option("path", t.root).load()
+      .filter(col("repo") === someRepo && col("commit").isNotNull)
+      .select("repo", "path", "commit")
+    val direct = full.filter(col("repo") === someRepo && col("commit").isNotNull)
+      .select("repo", "path", "commit")
+    assert(viaConnector.schema.fieldNames.toSeq === Seq("repo", "path", "commit"))
+    assert(sortedRows(viaConnector) === sortedRows(direct))
+  }
+
+  test("changes=true reads the batch change feed, range and schema exact") {
+    val t = newTable("bread-feed")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 100)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(100, 200)))
+    val feed = spark.read.format("graft-lake")
+      .option("path", t.root).option("changes", "true").load()
+    assert(feed.schema === t.changes(-1, 2).schema)
+    assert(sortedRows(feed) === sortedRows(t.changes(-1, 2)))
+    val tail = spark.read.format("graft-lake")
+      .option("path", t.root).option("changes", "true")
+      .option("fromSnapshot", "1").option("toSnapshot", "2").load()
+    assert(sortedRows(tail) === sortedRows(t.changes(1, 2)))
+  }
+
+  test("pure-SQL access: CREATE TEMPORARY VIEW ... USING graft-lake") {
+    val t = newTable("bread-sql")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 120)))
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_sql_v
+                  USING `graft-lake` OPTIONS (path '${t.root}')""")
+    val viaSql = spark.sql(
+      "SELECT repo, count(*) AS n FROM lake_sql_v GROUP BY repo")
+    val direct = t.read().groupBy("repo").agg(count(lit(1)).as("n"))
+    assert(sortedRows(viaSql) === sortedRows(direct))
+  }
+
+  test("missing path / missing table fail loudly") {
+    val noPath = intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").load()
+    }
+    assert(noPath.getMessage.contains("path"))
+    val noTable = intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").option("path", tmpDir("bread-none")).load()
+    }
+    assert(noTable.getMessage.contains("create it first"))
+  }
+
+  test("Filter -> Column translation: exact nodes forward, unknown drop safely") {
+    val t = newTable("bread-xlate")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 50)))
+    val df = t.read()
+    def tr(f: Filter) = DataFrameRelation.toColumn(df, f)
+    assert(tr(EqualTo("repo", "r")).isDefined)
+    assert(tr(In("repo", Array("a", "b"))).isDefined)
+    assert(tr(And(EqualTo("repo", "r"), IsNotNull("path"))).isDefined)
+    // And forwards its one translatable side
+    assert(tr(And(EqualTo("repo", "r"),
+      AlwaysFalse)).isDefined === tr(EqualTo("repo", "r")).isDefined)
+    // Or with an untranslatable side must NOT forward (would narrow wrongly)
+    assert(tr(Or(EqualTo("repo", "r"), AlwaysFalse)).isEmpty)
+    assert(tr(Not(AlwaysFalse)).isEmpty)
+  }
+}
