@@ -58,6 +58,18 @@ object Main {
       "salt-buckets" -> (false, "two-phase salted dedup for hot keys (default off)"),
       "strict" -> (false, "true|false: abort batches with malformed lines (default true)"),
       "max-restarts" -> (false, "supervision budget for data errors/flakes (default 0 = unsupervised)")),
+    "apply" -> Map(
+      "wal-dir" -> (true, "WAL segment directory to backfill in ONE batch (df.write.format(\"graft-lake\").mode(\"append\") — no checkpoint; the LSN fence makes re-applies no-ops)"),
+      "table-root" -> (true, "lake table root directory (created if absent)"),
+      "buckets" -> (false, "primary-key hash buckets when creating (default 32)"),
+      "table" -> (false, "wal2json table name to apply (default repos)"),
+      "schema" -> (false, "table schema as SQL DDL when creating (default: the repos schema)"),
+      "keys" -> (false, "comma-separated primary-key columns when creating (default repo,path)"),
+      "max-deltas" -> (false, "hard cap on delta files per bucket (default 64)"),
+      "max-delta-bytes" -> (false, "accumulated delta bytes per bucket before compaction (default 33554432)"),
+      "manifest-threshold" -> (false, "live files before the snapshot spills to per-bucket manifests (default 4096)"),
+      "inline-compaction" -> (false, "false defers compaction to the `compact` maintenance command (default true)"),
+      "strict" -> (false, "true|false: abort on malformed lines (default true)")),
     "show" -> Map(
       "table-root" -> (true, "lake table root directory"),
       "as-of" -> (false, "historical snapshot id (time travel)"),
@@ -360,6 +372,40 @@ object Main {
         }.mkString("{", ",", "}")
         println(s"""{"batches":$batches,"appliedKeys":$applied,""" +
           s""""tables":$perTable,"seconds":$sec}""")
+
+      case "apply" =>
+        // ONE-BATCH backfill through the batch WRITE connector
+        // (df.write.format("graft-lake")) — the DataFrameWriter face of
+        // `run`: no checkpoint, no streaming query; idempotency is the LSN
+        // fence itself, so re-applying the same WAL is a committed no-op
+        val root = kv("table-root")
+        val t = lakeFromKnobs(spark, root, kv)
+        if (!t.exists) {
+          val (schema, keys, renameMap) = tableShape(kv)
+          t.create(schema, keys, kv.getOrElse("buckets", "32").toInt, renameMap)
+        }
+        val before = t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+        val t0 = System.nanoTime()
+        val writer = spark.read.textFile(kv("wal-dir")).toDF("value")
+          .write.format("graft-lake")
+          .option("path", root)
+          .option("table", kv.getOrElse("table", "repos"))
+          .option("strict", kv.getOrElse("strict", "true"))
+          .option("maxDeltas", kv.getOrElse("max-deltas", "64"))
+          .option("maxDeltaBytes",
+            kv.getOrElse("max-delta-bytes", (32L * 1024 * 1024).toString))
+          .option("manifestThreshold", kv.getOrElse("manifest-threshold", "4096"))
+          .option("inlineCompaction", kv.getOrElse("inline-compaction", "true"))
+          .mode("append")
+        metricsPathFor(root).foreach(p => writer.option("metricsPath", p))
+        writer.save()
+        val after = new LakeTable(spark, root).currentSnapshot.get
+        val applied = after.bucketLineage.values.map(_.getOrElse("keys", 0L)).sum
+        println(s"""{"snapshotId":${after.snapshotId},""" +
+          s""""newCommit":${after.snapshotId != before},""" +
+          s""""cumulativeKeys":$applied,""" +
+          s""""highWatermark":${after.lsnHighWatermark},""" +
+          s""""seconds":${(System.nanoTime() - t0) / 1e9}}""")
 
       case "run" =>
         val root = kv("table-root")

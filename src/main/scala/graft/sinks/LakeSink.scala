@@ -1,9 +1,10 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StringType
 import graft.lake.LakeTable
 import graft.sources.{LakeFeedRelation, LakeRelation}
 import graft.streaming.{CdcPipeline, TableTarget}
@@ -45,7 +46,7 @@ import graft.streaming.{CdcPipeline, TableTarget}
  *     spill to distributed per-bucket manifests
  */
 class LakeSinkProvider extends StreamSinkProvider with RelationProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake"
 
   /** Batch READ: `spark.read.format("graft-lake")` (merged keep-last state,
@@ -68,6 +69,33 @@ class LakeSinkProvider extends StreamSinkProvider with RelationProvider
     }
   }
 
+  /** Batch WRITE: `df.write.format("graft-lake").mode("append")` — one
+    * batch of WAL lines (`value: string`, the streaming sink's contract)
+    * through the identical decode -> validate -> LSN-fenced MERGE ->
+    * fenced-commit pipeline. The one meaningful mode is Append: a CDC
+    * apply is inherently additive, and the LSN watermark fence makes a
+    * re-save of the same batch a no-op — batch backfills get the same
+    * exactly-once the streaming sink has. Overwrite/Ignore are refused
+    * loudly (truncating a CDC lake is a maintenance decision, not a
+    * DataFrameWriter default). Returns the table's read relation. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    if (mode != SaveMode.Append) throw new IllegalArgumentException(
+      s"graft-lake batch write supports SaveMode.Append only (the LSN fence " +
+        s"already makes replayed batches no-ops); got $mode — use " +
+        "df.write.mode(\"append\")")
+    val valueField = data.schema.fields.find(_.name == "value")
+    if (!valueField.exists(_.dataType == StringType))
+      throw new IllegalArgumentException(
+        "graft-lake batch write expects WAL lines as a `value: string` " +
+          s"column (the graft-wal source's shape); got ${data.schema.simpleString}")
+    val sink = createSink(sqlContext, parameters, Nil, OutputMode.Append())
+      .asInstanceOf[LakeSink]
+    sink.applyBatchNow(data)
+    new LakeRelation(sqlContext, sink.lakeTable, asOf = None)
+  }
+
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
@@ -81,7 +109,9 @@ class LakeSinkProvider extends StreamSinkProvider with RelationProvider
       maxDeltaBytesPerBucket = parameters.get("maxDeltaBytes").map(_.toLong)
         .getOrElse(32L * 1024 * 1024),
       manifestThresholdFiles =
-        parameters.get("manifestThreshold").map(_.toInt).getOrElse(4096))
+        parameters.get("manifestThreshold").map(_.toInt).getOrElse(4096),
+      inlineCompaction =
+        parameters.get("inlineCompaction").forall(_.toBoolean))
     val snap = table.currentSnapshot.getOrElse(throw new IllegalArgumentException(
       s"graft-lake sink: no table at $root — create it first (LakeTable.create)"))
     new LakeSink(table, tableName, snap.keyColumns, snap.nBuckets,
@@ -121,6 +151,15 @@ class LakeSink(table: LakeTable, tableName: String, keyColumns: Seq[String],
     // same physical rows as a batch DF (what ForeachBatchSink itself does)
     // so the single-pass observe validation and the batch writes work
     pipeline.processBatch(org.apache.spark.sql.graft.BatchRewrap.asBatch(data), batchId)
+
+  /** Batch-write entry ([[LakeSinkProvider.createRelation]]): already-batch
+    * data, batch id labeled by the snapshot it will produce (metrics/errors
+    * name a real commit instead of a synthetic stream position). */
+  private[sinks] def applyBatchNow(data: DataFrame): Unit =
+    pipeline.processBatch(data,
+      table.currentSnapshot.map(_.snapshotId + 1).getOrElse(0L))
+
+  private[sinks] def lakeTable: LakeTable = table
 
   override def toString: String = s"GraftLakeSink($tableName -> ${table.root})"
 }

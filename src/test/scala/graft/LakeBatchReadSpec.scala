@@ -105,6 +105,39 @@ class LakeBatchReadSpec extends SparkSpec {
     assert(noTable.getMessage.contains("create it first"))
   }
 
+  test("batch WRITE: df.write.format('graft-lake').mode('append') applies, fenced") {
+    // connector write == direct MergeEngine apply, and the LSN fence makes
+    // a re-save of the same batch a no-op (batch exactly-once)
+    val viaLib = newTable("bwrite-lib")
+    MergeEngine.applyBatch(viaLib, ChangeDecoder.decode(lines(0, 120)))
+    val viaConn = newTable("bwrite-conn")
+    def save(): Unit = lines(0, 120).write.format("graft-lake")
+      .option("path", viaConn.root).option("table", "repos")
+      .mode("append").save()
+    save()
+    assert(sortedRows(viaConn.read()) === sortedRows(viaLib.read()))
+    val snapAfterFirst = viaConn.currentSnapshot.get.snapshotId
+    save() // replayed batch: every LSN below the watermark -> no new state
+    assert(sortedRows(viaConn.read()) === sortedRows(viaLib.read()))
+    assert(viaConn.currentSnapshot.get.snapshotId === snapAfterFirst)
+  }
+
+  test("batch WRITE rejects non-append modes and non-WAL schemas loudly") {
+    val t = newTable("bwrite-reject")
+    val overwrite = intercept[IllegalArgumentException] {
+      lines(0, 10).write.format("graft-lake")
+        .option("path", t.root).option("table", "repos")
+        .mode("overwrite").save()
+    }
+    assert(overwrite.getMessage.contains("Append only"))
+    val badSchema = intercept[IllegalArgumentException] {
+      spark.range(3).toDF("value") // value: bigint, not string
+        .write.format("graft-lake").option("path", t.root)
+        .option("table", "repos").mode("append").save()
+    }
+    assert(badSchema.getMessage.contains("value: string"))
+  }
+
   test("Filter -> Column translation: exact nodes forward, unknown drop safely") {
     val t = newTable("bread-xlate")
     MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 50)))
