@@ -684,6 +684,21 @@ class LakeTable(val spark: SparkSession, val root: String,
   def snapshotAt(id: Long): Snapshot =
     LakeTable.parseRootOnly(readMetaFile(f"meta/snapshot-$id%012d.json"))._1
 
+  /** Total recorded data bytes at a snapshot, CHEAP form: exact for INLINE
+    * snapshots (the same single metadata read `snapshotAt` pays — the
+    * snapshot document carries every file's size), None for
+    * distributed-manifest snapshots (exactness there would cost O(buckets)
+    * manifest reads, and a table past the manifest threshold is too big
+    * for the planner decisions this feeds — e.g. auto-broadcast — anyway).
+    * Files from pre-upgrade snapshots may lack sizes and count zero. */
+  def inlineDataBytes(id: Long): Option[Long] = {
+    val json = readMetaFile(f"meta/snapshot-$id%012d.json")
+    LakeTable.parseRootOnly(json) match {
+      case (_, Some(_)) => None // distributed form
+      case (_, None)    => Some(LakeTable.fromJson(json).fileBytes.values.sum)
+    }
+  }
+
   /** @param projectTo read the feed under this (LATER-era) schema instead
     *        of `toSnapshot`'s own — additive-evolution projection for
     *        streaming replay: a column absent when a delta was written

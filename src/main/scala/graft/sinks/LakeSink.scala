@@ -59,13 +59,19 @@ class LakeSinkProvider extends StreamSinkProvider with RelationProvider
     val table = new LakeTable(sqlContext.sparkSession, root)
     if (!table.exists) throw new IllegalArgumentException(
       s"graft-lake read: no table at $root — create it first (LakeTable.create)")
-    if (parameters.get("changes").exists(_.toBoolean)) {
-      val to = parameters.get("toSnapshot").map(_.toLong)
-        .getOrElse(table.currentSnapshot.get.snapshotId)
-      val from = parameters.get("fromSnapshot").map(_.toLong).getOrElse(-1L)
-      new LakeFeedRelation(sqlContext, table, from, to)
-    } else {
-      new LakeRelation(sqlContext, table, parameters.get("asOf").map(_.toLong))
+    parameters.get("meta") match {
+      case Some("snapshots") =>
+        new graft.sources.LakeHistoryRelation(sqlContext, table,
+          parameters.get("limit").map(_.toInt).getOrElse(100))
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-lake read: unknown meta '$other' (supported: snapshots)")
+      case None if parameters.get("changes").exists(_.toBoolean) =>
+        val to = parameters.get("toSnapshot").map(_.toLong)
+          .getOrElse(table.currentSnapshot.get.snapshotId)
+        val from = parameters.get("fromSnapshot").map(_.toLong).getOrElse(-1L)
+        new LakeFeedRelation(sqlContext, table, from, to)
+      case None =>
+        new LakeRelation(sqlContext, table, parameters.get("asOf").map(_.toLong))
     }
   }
 

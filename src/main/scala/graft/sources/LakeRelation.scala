@@ -28,7 +28,17 @@ import graft.lake.LakeTable
  * same data-aware local/shuffle merge every other reader uses), FORWARDING
  * the scan's pruned columns and pushed filters into that inner DataFrame —
  * so key-column predicates still reach the parquet scans' PushedFilters and
- * an unreferenced column is still pruned out of ReadSchema. The V1 relation
+ * an unreferenced column is still pruned out of ReadSchema.
+ *
+ * Schema freshness: the relation's schema is resolved ONCE at creation
+ * (so a persistent `CREATE TEMPORARY VIEW` pins it), while each scan reads
+ * the table's state as of scan time. Under additive evolution that is
+ * safe — new columns simply aren't in the pinned projection; the scan's
+ * select-by-name still resolves. A RENAME between view creation and scan
+ * fails loudly at resolution (the pinned name no longer exists) — the same
+ * fail-loud-then-recreate policy the streaming feed source uses.
+ *
+ * The V1 relation
  * seam re-applies every filter above the scan (`unhandledFilters` default),
  * so a partially translatable predicate is forwarded best-effort and never
  * trusted for correctness. The one cost of the seam is a Row materialization
@@ -38,14 +48,61 @@ import graft.lake.LakeTable
  */
 class LakeRelation(override val sqlContext: SQLContext, table: LakeTable,
                    asOf: Option[Long]) extends DataFrameRelation {
-  override val schema: StructType = {
-    val id = asOf.getOrElse(table.currentSnapshot.getOrElse(
-      throw new IllegalArgumentException(
-        s"graft-lake read: no table at ${table.root} — create it first " +
-          "(LakeTable.create)")).snapshotId)
-    table.snapshotAt(id).schema
-  }
+  private val resolvedId: Long = asOf.getOrElse(table.currentSnapshot.getOrElse(
+    throw new IllegalArgumentException(
+      s"graft-lake read: no table at ${table.root} — create it first " +
+        "(LakeTable.create)")).snapshotId)
+
+  override val schema: StructType = table.snapshotAt(resolvedId).schema
+
+  /** Honest stats where they're cheap: an INLINE snapshot records every
+    * file's bytes in the one metadata document already read, so a small
+    * lake table joins as the broadcast side instead of inheriting the
+    * "unknown = huge" default that forbids auto-broadcast forever. A
+    * distributed-manifest table keeps the huge default — it's past the
+    * size where broadcasting could ever be right, so exact stats there
+    * would buy nothing for O(buckets) metadata reads. */
+  // lazy + cached: planning may consult stats repeatedly; one metadata read
+  private lazy val statsBytes: Option[Long] = table.inlineDataBytes(resolvedId)
+  override def sizeInBytes: Long = statsBytes.getOrElse(super.sizeInBytes)
+
   override protected def view(): DataFrame = table.read(asOfSnapshot = asOf)
+}
+
+/** Snapshot HISTORY as a DataFrame: `option("meta", "snapshots")` — the
+  * SQL face of the CLI `snapshots` command (DESCRIBE-HISTORY-shaped ops
+  * visibility: id, watermark, lineage, per-commit delta counts). Newest
+  * first, bounded by `limit` (default 100). Metadata is root-only — one
+  * small read per retained snapshot in range, driver-side (an ops query
+  * over a bounded history, not a data scan); expired ids are skipped. */
+class LakeHistoryRelation(override val sqlContext: SQLContext,
+                          table: LakeTable, limit: Int)
+    extends DataFrameRelation {
+  override val schema: StructType = LakeHistoryRelation.schema
+  override protected def view(): DataFrame = {
+    val spark = sqlContext.sparkSession
+    val cur = table.currentSnapshot.getOrElse(throw new IllegalArgumentException(
+      s"graft-lake read: no table at ${table.root}")).snapshotId
+    val rows = (cur to math.max(0L, cur - limit + 1) by -1L)
+      .flatMap(id => scala.util.Try(table.snapshotAt(id)).toOption)
+      .map(s => org.apache.spark.sql.Row(
+        s.snapshotId, s.lsnHighWatermark, s.nBuckets, s.keyColumns,
+        s.renameMap, s.lineage, s.commitDeltas.values.map(_.size).sum))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), LakeHistoryRelation.schema)
+  }
+}
+
+object LakeHistoryRelation {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("snapshot_id", LongType, nullable = false),
+    StructField("high_watermark", LongType, nullable = false),
+    StructField("n_buckets", IntegerType, nullable = false),
+    StructField("key_columns", ArrayType(StringType), nullable = false),
+    StructField("rename_map", MapType(StringType, StringType), nullable = false),
+    StructField("lineage", MapType(StringType, LongType), nullable = false),
+    StructField("commit_delta_files", IntegerType, nullable = false)))
 }
 
 /** Batch change-feed read: `option("changes", "true")`. Range is

@@ -105,6 +105,43 @@ class LakeBatchReadSpec extends SparkSpec {
     assert(noTable.getMessage.contains("create it first"))
   }
 
+  test("meta=snapshots exposes history as a DataFrame (ids desc, lineage)") {
+    val t = newTable("bread-hist")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 80)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(80, 160)))
+    val hist = spark.read.format("graft-lake")
+      .option("path", t.root).option("meta", "snapshots").load()
+    val rows = hist.select("snapshot_id", "high_watermark").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L)) // newest first
+    assert(rows.map(_.getLong(1)).toSeq === Seq(160L, 80L, -1L)) // create = -1
+    // pure SQL + limit honored
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_hist USING `graft-lake`
+                  OPTIONS (path '${t.root}', meta 'snapshots', limit '2')""")
+    assert(spark.table("lake_hist").count() === 2)
+    val badMeta = intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake")
+        .option("path", t.root).option("meta", "nope").load()
+    }
+    assert(badMeta.getMessage.contains("unknown meta"))
+  }
+
+  test("inline-snapshot tables report honest sizeInBytes -> dim joins auto-broadcast") {
+    val t = newTable("bread-stats")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 60)))
+    val dim = spark.read.format("graft-lake").option("path", t.root).load()
+    val rel = dim.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.get
+    // recorded snapshot bytes, not the "unknown = huge" default that
+    // forbids auto-broadcast forever
+    assert(rel.sizeInBytes > 0 && rel.sizeInBytes < 64L * 1024 * 1024)
+    val facts = spark.range(1000).toDF("n")
+      .withColumn("repo", concat(lit("repo-"), col("n") % 8))
+    val plan = facts.join(dim, Seq("repo")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("batch WRITE: df.write.format('graft-lake').mode('append') applies, fenced") {
     // connector write == direct MergeEngine apply, and the LSN fence makes
     // a re-save of the same batch a no-op (batch exactly-once)
