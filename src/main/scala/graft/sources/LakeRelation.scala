@@ -67,6 +67,58 @@ class LakeRelation(override val sqlContext: SQLContext, table: LakeTable,
   override def sizeInBytes: Long = statsBytes.getOrElse(super.sizeInBytes)
 
   override protected def view(): DataFrame = table.read(asOfSnapshot = asOf)
+
+  /** POINT-LOOKUP ROUTING: a SQL `WHERE pk1 = ... AND pk2 = ...` (or IN
+    * lists, up to 256 key combinations) over the connector pins every key
+    * column, so the scan routes to [[graft.lake.LakeTable.lookup]] — ONE
+    * job over the keys' buckets' stats-pruned files — instead of reading
+    * the whole merged view and trusting parquet pushdown to skim it. At
+    * 10^10 rows that is the difference between a point read and a table
+    * scan. Residual/extra predicates stay safe: every filter is still
+    * applied above the routed result (and Spark re-applies them above the
+    * relation regardless). Time-travel reads never route — lookup serves
+    * the CURRENT snapshot only. */
+  override protected def scanBase(filters: Array[Filter]): DataFrame =
+    (if (asOf.isEmpty) LakeRelation.pinnedKeys(filters, keyColumns) else None)
+      .map(ks => table.lookup(ks))
+      .getOrElse(view())
+
+  private lazy val keyColumns: Seq[String] = table.snapshotAt(resolvedId).keyColumns
+}
+
+object LakeRelation {
+  /** The key maps a filter set fully pins, if it pins ALL of `keyCols` via
+    * equality / IN conjuncts: top-level filters are implicitly ANDed, Ands
+    * flatten, multiple pins on one column intersect. None when any key
+    * column is unpinned, an intersection is contradictory, or the cartesian
+    * expansion exceeds `maxKeys` (a plan-size bound; the fallback scan is
+    * always correct, routing is purely an IO optimization). Null pin values
+    * never match a key and are dropped. */
+  private[graft] def pinnedKeys(filters: Array[Filter], keyCols: Seq[String],
+                                maxKeys: Int = 256): Option[Seq[Map[String, Any]]] = {
+    if (keyCols.isEmpty) return None
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    val flat = filters.toSeq.flatMap(conjuncts)
+    val perCol: Seq[Seq[Any]] = keyCols.map { c =>
+      val pins: Seq[Seq[Any]] = flat.collect {
+        case EqualTo(`c`, v) if v != null       => Seq(v)
+        case EqualNullSafe(`c`, v) if v != null => Seq(v)
+        case In(`c`, vs)                        => vs.toSeq.filter(_ != null)
+      }
+      if (pins.isEmpty) Seq.empty
+      else pins.map(_.distinct).reduce(_ intersect _)
+    }
+    // unpinned column OR contradictory pins: both look empty — don't route
+    // (the fallback scan computes the [possibly empty] answer correctly)
+    if (perCol.exists(_.isEmpty)) return None
+    if (perCol.map(_.size.toLong).product > maxKeys) return None
+    Some(keyCols.zip(perCol).foldLeft(Seq(Map.empty[String, Any])) {
+      case (acc, (c, vs)) => for { m <- acc; v <- vs } yield m + (c -> v)
+    })
+  }
 }
 
 /** Snapshot HISTORY as a DataFrame: `option("meta", "snapshots")` — the
@@ -125,13 +177,18 @@ abstract class DataFrameRelation extends BaseRelation with PrunedFilteredScan {
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val base = view()
+    val base = scanBase(filters)
     val filtered = filters
       .flatMap(DataFrameRelation.toColumn(base, _))
       .foldLeft(base)(_.filter(_))
     // contract: exactly requiredColumns, in order (empty = count(*) shape)
     filtered.select(requiredColumns.toSeq.map(quotedCol(filtered, _)): _*).rdd
   }
+
+  /** The DataFrame a scan starts from; subclasses may exploit the pushed
+    * filters to pick a cheaper-but-equivalent source (e.g. the key-pruned
+    * lookup path). Every filter is still applied on top of the result. */
+  protected def scanBase(filters: Array[Filter]): DataFrame = view()
 
   private def quotedCol(df: DataFrame, name: String): Column =
     df.col("`" + name.replace("`", "``") + "`")

@@ -175,6 +175,58 @@ class LakeBatchReadSpec extends SparkSpec {
     assert(badSchema.getMessage.contains("value: string"))
   }
 
+  test("pinnedKeys: equality/IN conjuncts over ALL key columns route, else not") {
+    import graft.sources.LakeRelation.{pinnedKeys => pk}
+    val cols = Seq("repo", "path")
+    // full equality pin (incl. And-nesting and a residual non-key filter)
+    assert(pk(Array(EqualTo("repo", "r"), EqualTo("path", "p")), cols) ===
+      Some(Seq(Map("repo" -> "r", "path" -> "p"))))
+    assert(pk(Array(And(EqualTo("repo", "r"),
+      And(EqualTo("path", "p"), IsNotNull("commit")))), cols) ===
+      Some(Seq(Map("repo" -> "r", "path" -> "p"))))
+    // IN expands (2 x 1 keys)
+    assert(pk(Array(In("repo", Array("a", "b")), EqualTo("path", "p")), cols)
+      .map(_.toSet) === Some(Set(
+        Map("repo" -> "a", "path" -> "p"), Map("repo" -> "b", "path" -> "p"))))
+    // multiple pins on one column intersect
+    assert(pk(Array(In("repo", Array("a", "b")), EqualTo("repo", "a"),
+      EqualTo("path", "p")), cols) ===
+      Some(Seq(Map("repo" -> "a", "path" -> "p"))))
+    // unpinned key column / contradiction / cap / range-only: no route
+    assert(pk(Array(EqualTo("repo", "r")), cols).isEmpty)
+    assert(pk(Array(EqualTo("repo", "a"), EqualTo("repo", "b"),
+      EqualTo("path", "p")), cols).isEmpty)
+    assert(pk(Array(In("repo", (1 to 300).map(i => s"r$i").toArray[Any]),
+      EqualTo("path", "p")), cols).isEmpty)
+    assert(pk(Array(GreaterThan("repo", "a"), EqualTo("path", "p")), cols).isEmpty)
+    // null pin values never match a key
+    assert(pk(Array(EqualTo("repo", null), EqualTo("path", "p")), cols).isEmpty)
+  }
+
+  test("point queries route to the pruned lookup with identical answers") {
+    val t = newTable("bread-point")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 150)))
+    val direct = t.read()
+    val probe = direct.select("repo", "path").orderBy("repo", "path")
+      .limit(3).collect().map(r => (r.getString(0), r.getString(1)))
+    val conn = spark.read.format("graft-lake").option("path", t.root).load()
+    // single-key equality (+ a residual non-key predicate)
+    val (r0, p0) = probe(0)
+    assert(sortedRows(conn.filter(col("repo") === r0 && col("path") === p0
+        && col("commit").isNotNull)) ===
+      sortedRows(direct.filter(col("repo") === r0 && col("path") === p0
+        && col("commit").isNotNull)))
+    // IN over repo (expands to multiple key combos)
+    val repos = probe.map(_._1).distinct.toSeq
+    assert(sortedRows(conn.filter(col("repo").isin(repos: _*)
+        && col("path") === p0)) ===
+      sortedRows(direct.filter(col("repo").isin(repos: _*)
+        && col("path") === p0)))
+    // a key pin that matches nothing returns empty, not an error
+    assert(conn.filter(col("repo") === "no-such-repo"
+      && col("path") === "nope").count() === 0)
+  }
+
   test("Filter -> Column translation: exact nodes forward, unknown drop safely") {
     val t = newTable("bread-xlate")
     MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 50)))
