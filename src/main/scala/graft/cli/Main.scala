@@ -645,8 +645,11 @@ object Main {
             val t = new LakeTable(spark, kv("table-root"))
             t.createOrReplaceView("t", kv.get("as-of").map(_.toLong))
           case "connector" =>
-            val opts = s"path '${kv("table-root")}'" +
-              kv.get("as-of").map(id => s", asOf '$id'").getOrElse("")
+            // escape single quotes: a legal path like /data/bob's-lake must
+            // not break (or be interpreted as) the spliced DDL
+            def lit(s: String) = s.replace("'", "''")
+            val opts = s"path '${lit(kv("table-root"))}'" +
+              kv.get("as-of").map(id => s", asOf '${lit(id)}'").getOrElse("")
             spark.sql(
               s"CREATE OR REPLACE TEMPORARY VIEW t USING `graft-lake` OPTIONS ($opts)")
           case other => throw new IllegalArgumentException(

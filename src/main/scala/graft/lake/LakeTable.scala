@@ -288,6 +288,17 @@ class LakeTable(val spark: SparkSession, val root: String,
     case id => Some(readSnapshot(id))
   }
 
+  /** The latest snapshot id without resolving ANY snapshot content — one
+    * directory listing. Readers that need only the id (or will follow with
+    * a root-only [[snapshotAt]]) must use this instead of
+    * [[currentSnapshot]]: the latter fully resolves the snapshot, which on
+    * a distributed-manifest table means O(buckets) manifest reads
+    * (lesson 18's metadata-cost class). */
+  def currentSnapshotId: Option[Long] = latestSnapshotId match {
+    case -1L => None
+    case id  => Some(id)
+  }
+
   def readSnapshot(id: Long): Snapshot = readSnapshot(id, None)
 
   /** `only = Some(buckets)`: on a distributed snapshot, resolve ONLY those

@@ -352,7 +352,9 @@ object CdcQueries {
     val (t, mid) = twoCommitTable(spark, dir, "graft-cdc-bread")
     def era(tag: String, asOf: Option[Long]): DataFrame = {
       val vn = s"graft_bread_$tag"
-      val opts = s"path '${t.root}'" + asOf.map(id => s", asOf '$id'").getOrElse("")
+      // single quotes in the scratch path must not break the spliced DDL
+      val opts = s"path '${t.root.replace("'", "''")}'" +
+        asOf.map(id => s", asOf '$id'").getOrElse("")
       spark.sql(
         s"CREATE OR REPLACE TEMPORARY VIEW $vn USING `graft-lake` OPTIONS ($opts)")
       spark.table(vn).select(lit(tag).as("era"), col("user_id"), col("value"))

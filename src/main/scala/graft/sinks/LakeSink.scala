@@ -41,7 +41,8 @@ import graft.streaming.{CdcPipeline, TableTarget}
  *   - `strict` (default true): abort the batch on any malformed WAL line
  *   - `saltBuckets` (default 0): explicit two-phase salted dedup for
  *     hot-key streams
- *   - `maxDeltas` (default 8): delta files per bucket before compaction
+ *   - `maxDeltas` (default 64): delta-file fan-in cap per bucket (the
+ *     compaction TRIGGER is `maxDeltaBytes`, default 32 MiB)
  *   - `manifestThreshold` (default 4096): live files before snapshots
  *     spill to distributed per-bucket manifests
  */
@@ -59,18 +60,31 @@ class LakeSinkProvider extends StreamSinkProvider with RelationProvider
     val table = new LakeTable(sqlContext.sparkSession, root)
     if (!table.exists) throw new IllegalArgumentException(
       s"graft-lake read: no table at $root — create it first (LakeTable.create)")
+    // Options that silently do nothing are worse than errors: a feed range
+    // without changes=true would hand back the ENTIRE merged table to a
+    // consumer expecting a delta, and asOf on a feed/meta read would
+    // time-travel nothing. Reject wrong combinations loudly.
+    def reject(context: String, names: String*): Unit = {
+      val stray = names.filter(parameters.contains)
+      if (stray.nonEmpty) throw new IllegalArgumentException(
+        s"graft-lake read: option(s) ${stray.mkString(", ")} have no effect " +
+          s"with $context — remove them or change the read mode")
+    }
     parameters.get("meta") match {
       case Some("snapshots") =>
+        reject("meta='snapshots'", "asOf", "changes", "fromSnapshot", "toSnapshot")
         new graft.sources.LakeHistoryRelation(sqlContext, table,
           parameters.get("limit").map(_.toInt).getOrElse(100))
       case Some(other) => throw new IllegalArgumentException(
         s"graft-lake read: unknown meta '$other' (supported: snapshots)")
       case None if parameters.get("changes").exists(_.toBoolean) =>
+        reject("changes=true", "asOf")
         val to = parameters.get("toSnapshot").map(_.toLong)
-          .getOrElse(table.currentSnapshot.get.snapshotId)
+          .getOrElse(table.currentSnapshotId.get)
         val from = parameters.get("fromSnapshot").map(_.toLong).getOrElse(-1L)
         new LakeFeedRelation(sqlContext, table, from, to)
       case None =>
+        reject("a state read (no changes=true)", "fromSnapshot", "toSnapshot")
         new LakeRelation(sqlContext, table, parameters.get("asOf").map(_.toLong))
     }
   }

@@ -48,12 +48,20 @@ import graft.lake.LakeTable
  */
 class LakeRelation(override val sqlContext: SQLContext, table: LakeTable,
                    asOf: Option[Long]) extends DataFrameRelation {
-  private val resolvedId: Long = asOf.getOrElse(table.currentSnapshot.getOrElse(
-    throw new IllegalArgumentException(
+  // ALL metadata here is LAZY and ROOT-ONLY: relation construction must be
+  // free (the batch-write path returns a relation Spark discards unused),
+  // and a distributed-manifest table must never pay O(buckets) manifest
+  // reads just to resolve schema/stats (the lesson-18 metadata-cost class)
+  // — currentSnapshotId is one directory listing, snapshotAt one root read
+  // shared by schema and key columns.
+  private lazy val resolvedId: Long = asOf.getOrElse(
+    table.currentSnapshotId.getOrElse(throw new IllegalArgumentException(
       s"graft-lake read: no table at ${table.root} — create it first " +
-        "(LakeTable.create)")).snapshotId)
+        "(LakeTable.create)")))
 
-  override val schema: StructType = table.snapshotAt(resolvedId).schema
+  private lazy val rootSnap = table.snapshotAt(resolvedId)
+
+  override def schema: StructType = rootSnap.schema
 
   /** Honest stats where they're cheap: an INLINE snapshot records every
     * file's bytes in the one metadata document already read, so a small
@@ -83,7 +91,7 @@ class LakeRelation(override val sqlContext: SQLContext, table: LakeTable,
       .map(ks => table.lookup(ks))
       .getOrElse(view())
 
-  private lazy val keyColumns: Seq[String] = table.snapshotAt(resolvedId).keyColumns
+  private def keyColumns: Seq[String] = rootSnap.keyColumns
 }
 
 object LakeRelation {
@@ -133,8 +141,8 @@ class LakeHistoryRelation(override val sqlContext: SQLContext,
   override val schema: StructType = LakeHistoryRelation.schema
   override protected def view(): DataFrame = {
     val spark = sqlContext.sparkSession
-    val cur = table.currentSnapshot.getOrElse(throw new IllegalArgumentException(
-      s"graft-lake read: no table at ${table.root}")).snapshotId
+    val cur = table.currentSnapshotId.getOrElse(throw new IllegalArgumentException(
+      s"graft-lake read: no table at ${table.root}"))
     val rows = (cur to math.max(0L, cur - limit + 1) by -1L)
       .flatMap(id => scala.util.Try(table.snapshotAt(id)).toOption)
       .map(s => org.apache.spark.sql.Row(
@@ -198,7 +206,15 @@ object DataFrameRelation {
   /** Best-effort V1 Filter -> Column translation. Untranslatable nodes
     * return None and are simply not forwarded — Spark re-evaluates every
     * filter above the relation, so this affects IO, never correctness. */
-  private[graft] def toColumn(df: DataFrame, f: Filter): Option[Column] = {
+  private[graft] def toColumn(df: DataFrame, f: Filter): Option[Column] =
+    toColumn(df, f, exact = false)
+
+  /** `exact = true` (everything under a Not): best-effort WEAKENING is
+    * forbidden — a weakened child negated becomes a STRONGER predicate than
+    * the original filter, and rows the scan drops can never be resurrected
+    * by Spark's re-application above the relation. In positive polarity a
+    * weaker (superset) push is always safe. */
+  private def toColumn(df: DataFrame, f: Filter, exact: Boolean): Option[Column] = {
     def c(n: String): Column = df.col("`" + n.replace("`", "``") + "`")
     f match {
       case EqualTo(a, v)            => Some(c(a) === lit(v))
@@ -213,18 +229,22 @@ object DataFrameRelation {
       case StringStartsWith(a, v)   => Some(c(a).startsWith(v))
       case StringEndsWith(a, v)     => Some(c(a).endsWith(v))
       case StringContains(a, v)     => Some(c(a).contains(v))
-      case And(l, r) =>
-        // a conjunction forwards best-effort: either side alone still only
-        // narrows (the dropped side is re-applied above the relation)
-        (toColumn(df, l), toColumn(df, r)) match {
+      case And(l, r) if !exact =>
+        // positive polarity: a conjunction forwards best-effort — either
+        // side alone only narrows (the dropped side re-applies above)
+        (toColumn(df, l, exact), toColumn(df, r, exact)) match {
           case (Some(lc), Some(rc)) => Some(lc && rc)
           case (one, other)         => one.orElse(other)
         }
+      case And(l, r) => // under a Not: both sides or nothing
+        for { lc <- toColumn(df, l, exact); rc <- toColumn(df, r, exact) }
+          yield lc && rc
       case Or(l, r) =>
         // an Or is only forwardable if BOTH sides are (a dropped side would
         // wrongly narrow the disjunction)
-        for { lc <- toColumn(df, l); rc <- toColumn(df, r) } yield lc || rc
-      case Not(x) => toColumn(df, x).map(!_)
+        for { lc <- toColumn(df, l, exact); rc <- toColumn(df, r, exact) }
+          yield lc || rc
+      case Not(x) => toColumn(df, x, exact = true).map(!_)
       case _      => None
     }
   }

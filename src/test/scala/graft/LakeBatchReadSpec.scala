@@ -241,5 +241,33 @@ class LakeBatchReadSpec extends SparkSpec {
     // Or with an untranslatable side must NOT forward (would narrow wrongly)
     assert(tr(Or(EqualTo("repo", "r"), AlwaysFalse)).isEmpty)
     assert(tr(Not(AlwaysFalse)).isEmpty)
+    // Not over an exactly-translatable child forwards...
+    assert(tr(Not(EqualTo("repo", "r"))).isDefined)
+    // ...but Not over a WEAKENED And must not: !(x) is STRONGER than
+    // !(x && untranslatable) — pushed rows lost forever
+    assert(tr(Not(And(EqualTo("repo", "r"), AlwaysFalse))).isEmpty)
+    assert(tr(Not(Or(EqualTo("repo", "r"), AlwaysFalse))).isEmpty)
+  }
+
+  test("wrong option combinations fail loudly instead of silently ignoring") {
+    val t = newTable("bread-opts")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 40)))
+    // a feed range WITHOUT changes=true would return the ENTIRE table
+    val strayRange = intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").option("path", t.root)
+        .option("fromSnapshot", "0").load()
+    }
+    assert(strayRange.getMessage.contains("no effect"))
+    // asOf on a feed read would time-travel nothing
+    val feedAsOf = intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").option("path", t.root)
+        .option("changes", "true").option("asOf", "1").load()
+    }
+    assert(feedAsOf.getMessage.contains("no effect"))
+    val metaAsOf = intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").option("path", t.root)
+        .option("meta", "snapshots").option("asOf", "1").load()
+    }
+    assert(metaAsOf.getMessage.contains("no effect"))
   }
 }
