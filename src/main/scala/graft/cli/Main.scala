@@ -384,7 +384,7 @@ object Main {
           val (schema, keys, renameMap) = tableShape(kv)
           t.create(schema, keys, kv.getOrElse("buckets", "32").toInt, renameMap)
         }
-        val before = t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+        val before = t.currentSnapshotId.getOrElse(-1L)
         val t0 = System.nanoTime()
         val writer = spark.read.textFile(kv("wal-dir")).toDF("value")
           .write.format("graft-lake")

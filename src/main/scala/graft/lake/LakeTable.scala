@@ -299,6 +299,13 @@ class LakeTable(val spark: SparkSession, val root: String,
     case id  => Some(id)
   }
 
+  /** The latest snapshot's ROOT-ONLY metadata (schema, key columns,
+    * watermarks, rename map, lineage, commit provenance) — one listing +
+    * one metadata read, zero manifest resolution. Use instead of
+    * [[currentSnapshot]] whenever file-level fields (bucketFiles/Deltas,
+    * fileStats/fileBytes) aren't needed. */
+  def currentRootSnapshot: Option[Snapshot] = currentSnapshotId.map(snapshotAt)
+
   def readSnapshot(id: Long): Snapshot = readSnapshot(id, None)
 
   /** `only = Some(buckets)`: on a distributed snapshot, resolve ONLY those

@@ -132,7 +132,9 @@ class LakeSinkProvider extends StreamSinkProvider with RelationProvider
         parameters.get("manifestThreshold").map(_.toInt).getOrElse(4096),
       inlineCompaction =
         parameters.get("inlineCompaction").forall(_.toBoolean))
-    val snap = table.currentSnapshot.getOrElse(throw new IllegalArgumentException(
+    // root-only: keyColumns/nBuckets are root fields; a full currentSnapshot
+    // would resolve O(buckets) manifests on a distributed-manifest table
+    val snap = table.currentRootSnapshot.getOrElse(throw new IllegalArgumentException(
       s"graft-lake sink: no table at $root — create it first (LakeTable.create)"))
     new LakeSink(table, tableName, snap.keyColumns, snap.nBuckets,
       parameters.get("metricsPath"),
@@ -156,7 +158,7 @@ class LakeSink(table: LakeTable, tableName: String, keyColumns: Seq[String],
   // Reuse the pipeline's per-batch apply verbatim: single-pass validated
   // decode, observe-based malformed gate, LSN-fenced MERGE, lineage JSONL.
   private val pipeline = {
-    val snap = table.currentSnapshot.get
+    val snap = table.currentRootSnapshot.get // schema/renameMap: root fields
     new CdcPipeline(table.spark, walDir = "", checkpointDir = "",
       targets = Seq(TableTarget(tableName, table, snap.schema,
         keyColumns, nBuckets, snap.renameMap)),
@@ -177,7 +179,7 @@ class LakeSink(table: LakeTable, tableName: String, keyColumns: Seq[String],
     * name a real commit instead of a synthetic stream position). */
   private[sinks] def applyBatchNow(data: DataFrame): Unit =
     pipeline.processBatch(data,
-      table.currentSnapshot.map(_.snapshotId + 1).getOrElse(0L))
+      table.currentSnapshotId.map(_ + 1).getOrElse(0L))
 
   private[sinks] def lakeTable: LakeTable = table
 

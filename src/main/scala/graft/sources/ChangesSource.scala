@@ -66,7 +66,8 @@ class ChangesSourceProvider extends StreamSourceProvider with DataSourceRegister
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-changes source requires option 'path' (the lake table root)"))
     val table = new LakeTable(sqlContext.sparkSession, root)
-    val snap = table.currentSnapshot.getOrElse(throw new IllegalArgumentException(
+    // root-only: schema + id are all the source needs at open
+    val snap = table.currentRootSnapshot.getOrElse(throw new IllegalArgumentException(
       s"graft-changes source: no table at $root — create it first"))
     (table, snap)
   }
@@ -126,8 +127,11 @@ class ChangesSource(table: LakeTable, startSchema: StructType,
     * committing. */
   private var availableNowEnd: Option[Long] = None
 
+  // id-only, called EVERY trigger: currentSnapshotId is one directory
+  // listing; currentSnapshot would resolve O(buckets) manifests per
+  // trigger on a distributed-manifest table
   private def latestTableSnapshot: Long =
-    table.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+    table.currentSnapshotId.getOrElse(-1L)
 
   private def snapId(o: OffsetV2): Long = o match {
     case s: SnapshotOffset => s.snapshotId

@@ -111,7 +111,10 @@ object Mirror {
     * columns' data forever. */
   def applyFeedBatch(mirror: LakeTable, feed: DataFrame,
                      saltBuckets: Int = 0): MergeEngine.MergeStats = {
-    val snap = mirror.currentSnapshot.getOrElse(throw new IllegalStateException(
+    // root-only: keyColumns is all this needs, and it runs EVERY batch —
+    // currentSnapshot would resolve O(buckets) manifests per batch on a
+    // distributed-manifest mirror
+    val snap = mirror.currentRootSnapshot.getOrElse(throw new IllegalStateException(
       "mirror table must exist before applying feed batches"))
     val dataSchema = StructType(
       feed.schema.fields.filterNot(f => feedMetaColumns.contains(f.name)))
@@ -134,7 +137,7 @@ object Mirror {
              maxSnapshotsPerTrigger: Option[Long] = None,
              onBatch: MergeEngine.MergeStats => Unit = _ => ()): StreamingQuery = {
     val source = new LakeTable(spark, sourceRoot)
-    val snap = source.currentSnapshot.getOrElse(throw new IllegalArgumentException(
+    val snap = source.currentRootSnapshot.getOrElse(throw new IllegalArgumentException(
       s"no source table at $sourceRoot"))
     val mirror = ensureMirror(spark, mirrorRoot, snap)
     var reader = spark.readStream.format("graft-changes")
