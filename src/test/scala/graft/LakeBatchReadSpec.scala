@@ -25,8 +25,9 @@ class LakeBatchReadSpec extends SparkSpec {
     spark.createDataset((from until until)
       .map(id => ChangeStreamGen.renderLine(cfg, ChangeStreamGen.txn(cfg, id)))).toDF("value")
 
-  private def newTable(dir: String): LakeTable = {
-    val t = new LakeTable(spark, tmpDir(dir))
+  private def newTable(dir: String, manifestThreshold: Int = 4096): LakeTable = {
+    val t = new LakeTable(spark, tmpDir(dir),
+      manifestThresholdFiles = manifestThreshold)
     t.create(Main.reposSchema, Seq("repo", "path"), 4, Main.reposRenameMap)
     t
   }
@@ -225,6 +226,36 @@ class LakeBatchReadSpec extends SparkSpec {
     // a key pin that matches nothing returns empty, not an error
     assert(conn.filter(col("repo") === "no-such-repo"
       && col("path") === "nope").count() === 0)
+  }
+
+  test("connector works on DISTRIBUTED-manifest tables: state, point route, feed, stats") {
+    // threshold 0 => every snapshot stores per-bucket manifest files behind
+    // an O(buckets) root; the relation's root-only metadata, the routed
+    // lookup's manifest resolution, and the stats fallback all differ
+    val t = newTable("bread-dist", manifestThreshold = 0)
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 100)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(100, 200)))
+    assert(new java.io.File(s"${t.root}/meta/manifests").exists(), "precondition")
+    val conn = spark.read.format("graft-lake").option("path", t.root).load()
+    assert(sortedRows(conn) === sortedRows(t.read()))
+    // distributed snapshots carry no inline fileBytes: stats stay at the
+    // huge default (never auto-broadcast a big table)
+    val rel = conn.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.get
+    assert(rel.sizeInBytes === spark.sessionState.conf.defaultSizeInBytes)
+    // point route resolves root + touched manifests only, same answer
+    val (r0, p0) = {
+      val r = t.read().select("repo", "path").orderBy("repo", "path").head()
+      (r.getString(0), r.getString(1))
+    }
+    assert(sortedRows(conn.filter(col("repo") === r0 && col("path") === p0)) ===
+      sortedRows(t.read().filter(col("repo") === r0 && col("path") === p0)))
+    // batch feed over distributed snapshots
+    val feed = spark.read.format("graft-lake").option("path", t.root)
+      .option("changes", "true").option("fromSnapshot", "1").load()
+    assert(sortedRows(feed) === sortedRows(t.changes(1, 2)))
   }
 
   test("Filter -> Column translation: exact nodes forward, unknown drop safely") {
