@@ -266,10 +266,33 @@ object MergeEngine {
           .select((keyCols.map(col) :+ col("w.*")).toIndexedSeq: _*)
         salted
       }
-    val deduped = dedupInput
-      .groupBy(keyCols.map(col): _*)
-      .agg(max_by(rowStruct, ordStruct).as("w"))
-      .select((keyCols.map(col) :+ col("w.*")).toIndexedSeq: _*)
+    val deduped =
+      if (snap.partialUpdates) {
+        // PARTIAL-UPDATE tables: column-wise keep-last
+        // ([[graft.functions.OverlayKeepLast]]) — the only dedup that is
+        // correct when update tuples OMIT unchanged-TOAST columns (a
+        // whole-row max_by would null exactly the big column TOAST exists
+        // for). Still one hash aggregation with map-side partial combine
+        // (ObjectHashAggregate merges serialized overlay buffers), so the
+        // hot-key story is unchanged. The explicit salted two-phase is NOT
+        // applied here: re-aggregating already-collapsed maps loses the
+        // per-column ordering the overlay depends on (two salt partitions
+        // of one key interleave in (lsn,seq)).
+        fresh
+          .groupBy(keyCols.map(col): _*)
+          .agg(
+            graft.functions.OverlayKeepLast.overlayKeepLast(table.spark,
+              col("lsn"), col("seq").cast("int"), col("kind"),
+              col("_row"), col("_types"), col("kind") =!= "update").as("w"),
+            max(col("_bucket")).as("_bucket"))
+          .select((keyCols.map(col) ++ Seq(col("w.lsn").as("lsn"),
+            col("w.seq").as("seq"), col("w.kind").as("kind"), col("_bucket"),
+            col("w._row").as("_row"), col("w._types").as("_types"),
+            col("w._barrier").as("_barrier"))).toIndexedSeq: _*)
+      } else dedupInput
+        .groupBy(keyCols.map(col): _*)
+        .agg(max_by(rowStruct, ordStruct).as("w"))
+        .select((keyCols.map(col) :+ col("w.*")).toIndexedSeq: _*)
 
     // 4. SINGLE PASS to storage: the surviving events are written directly
     //    as per-bucket DELTA files in the raw self-describing encoding
@@ -284,7 +307,11 @@ object MergeEngine {
     val deltaRows = deduped.select((keyCols.map(col) ++ Seq(
         col("_row"), col("_types"),
         col("lsn").as("_lsn"), col("seq").cast("int").as("_seq"),
-        col("kind").as("_kind"), col("_bucket"))).toIndexedSeq: _*)
+        col("kind").as("_kind"), col("_bucket")) ++
+        // whether the collapsed window contained an insert/delete — the
+        // read-side overlay must not coalesce PAST such a row
+        (if (snap.partialUpdates) Seq(col("_barrier")) else Nil))
+        .toIndexedSeq: _*)
       .repartition(col("_bucket")) // one delta file per touched bucket
     val newId = snap.snapshotId + 1
     val deltaDir = table.newCommitDirName(newId, "delta")
@@ -486,12 +513,14 @@ object MergeEngine {
       if (compactBuckets.size <= table.maxLocalMergeBuckets)
         table.mergedViewLocal(schema, keyCols, snap.renameMap,
           compactBuckets.map(b => (snap.bucketFiles.getOrElse(b, Nil),
-            deltasAfter.getOrElse(b, Nil))))
+            deltasAfter.getOrElse(b, Nil))),
+          partialUpdates = snap.partialUpdates)
           .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
       else
         table.mergedView(schema, keyCols, snap.renameMap,
           compactBuckets.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
-          compactBuckets.flatMap(b => deltasAfter.getOrElse(b, Nil)))
+          compactBuckets.flatMap(b => deltasAfter.getOrElse(b, Nil)),
+          partialUpdates = snap.partialUpdates)
           .withColumn("_bucket", table.bucketExpr(keyCols, snap.nBuckets))
           .repartition(col("_bucket"))
           .sortWithinPartitions(keyCols.map(col): _*)

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StringType, StructField, StructType}
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 
@@ -116,7 +116,16 @@ final case class Snapshot(
     // compaction. Counted into allFiles => retained by expire/orphan
     // liveness exactly as long as this snapshot. Stored INLINE in the
     // root even in distributed-manifest form (O(touched buckets) small).
-    commitDeltas: Map[Int, Seq[String]] = Map.empty) {
+    commitDeltas: Map[Int, Seq[String]] = Map.empty,
+    // PARTIAL-UPDATE (unchanged-TOAST) semantics, a PERSISTENT table
+    // property set at create time: update tuples may OMIT columns whose
+    // value did not change (Postgres never re-sends an unchanged TOASTed
+    // value), and every keep-last resolution — write-side dedup, both
+    // merge-read shapes, lookups, compaction, the change feed — resolves
+    // each column to its latest PRESENT value (never past an
+    // insert/delete barrier) instead of taking the whole latest row.
+    // False (default) keeps the full-tuple whole-row semantics.
+    partialUpdates: Boolean = false) {
   def allFiles: Seq[String] =
     (bucketFiles.values.flatten ++ bucketDeltas.values.flatten ++
       commitDeltas.values.flatten).toSeq.distinct.sorted
@@ -339,14 +348,16 @@ class LakeTable(val spark: SparkSession, val root: String,
     * "already exists" like the reference's slot creation,
     * PostgresConnector.java:80-97). */
   def create(schema: StructType, keyColumns: Seq[String], nBuckets: Int,
-             renameMap: Map[String, String] = Map.empty): Snapshot = {
+             renameMap: Map[String, String] = Map.empty,
+             partialUpdates: Boolean = false): Snapshot = {
     fs.mkdirs(metaDir)
     fs.mkdirs(dataDir)
     currentSnapshot match {
       case Some(s) => s
       case None =>
         val s = Snapshot(0L, schema, keyColumns, nBuckets,
-          Map.empty, Map.empty, Map.empty, -1L, renameMap, Map.empty)
+          Map.empty, Map.empty, Map.empty, -1L, renameMap, Map.empty,
+          partialUpdates = partialUpdates)
         try commit(s, expectedSnapshotId = -1L)
         catch { case _: CommitConflictException => () } // concurrent create
         currentSnapshot.get
@@ -663,12 +674,14 @@ class LakeTable(val spark: SparkSession, val root: String,
         if (localBuckets.nonEmpty)
           Some(mergedViewLocal(snap.schema, snap.keyColumns, snap.renameMap,
             localBuckets.map(b => (snap.bucketFiles.getOrElse(b, Nil),
-              snap.bucketDeltas.getOrElse(b, Nil)))))
+              snap.bucketDeltas.getOrElse(b, Nil))),
+            partialUpdates = snap.partialUpdates))
         else None,
         if (shuffleBuckets.nonEmpty)
           Some(mergedView(snap.schema, snap.keyColumns, snap.renameMap,
             shuffleBuckets.flatMap(b => snap.bucketFiles.getOrElse(b, Nil)),
-            shuffleBuckets.flatMap(b => snap.bucketDeltas.getOrElse(b, Nil))))
+            shuffleBuckets.flatMap(b => snap.bucketDeltas.getOrElse(b, Nil)),
+            partialUpdates = snap.partialUpdates))
         else None).flatten
       (cleanDf +: parts).reduce(_.unionByName(_))
     }
@@ -952,7 +965,8 @@ class LakeTable(val spark: SparkSession, val root: String,
     val df =
       if (deltaFiles.isEmpty) readConformed(baseFiles, snap.schema, snap.renameMap)
       else mergedViewLocal(snap.schema, snap.keyColumns, snap.renameMap,
-        Seq((baseFiles, deltaFiles))) // one bucket => zero-shuffle merge
+        Seq((baseFiles, deltaFiles)), // one bucket => zero-shuffle merge
+        partialUpdates = snap.partialUpdates)
     // cast the literal to the key column's DECLARED type: a raw String
     // against a numeric column would compare through lossy DOUBLE
     // (neighboring bigint keys collide above 2^53)
@@ -992,7 +1006,7 @@ class LakeTable(val spark: SparkSession, val root: String,
       else None,
       if (withDeltas.nonEmpty)
         Some(mergedViewLocal(snap.schema, snap.keyColumns, snap.renameMap,
-          withDeltas))
+          withDeltas, partialUpdates = snap.partialUpdates))
       else None).flatten
     if (parts.isEmpty)
       return spark.createDataFrame(
@@ -1187,13 +1201,21 @@ class LakeTable(val spark: SparkSession, val root: String,
    */
   def mergedViewLocal(schema: StructType, keyColumns: Seq[String],
                       renameMap: Map[String, String],
-                      bucketGroups: Seq[(Seq[String], Seq[String])]): DataFrame = {
+                      bucketGroups: Seq[(Seq[String], Seq[String])],
+                      partialUpdates: Boolean = false): DataFrame = {
     val perBucket = bucketGroups.map { case (baseFiles, deltaFiles) =>
-      val base = readConformed(baseFiles, schema, renameMap)
+      var base = readConformed(baseFiles, schema, renameMap)
         .withColumn("_lsn", lit(-1L))
         .withColumn("_seq", lit(-1).cast("int"))
         .withColumn("_kind", lit("insert"))
-      base.unionByName(readDeltas(deltaFiles, schema, keyColumns)).coalesce(1)
+      if (partialUpdates)
+        // base rows are FULL (every compaction emits complete rows) and
+        // are the coalescing floor: _cols null = all present, barrier =
+        // nothing older than base exists to coalesce from
+        base = base.withColumn("_cols", lit(null).cast(ArrayType(StringType)))
+          .withColumn("_barrier", lit(true))
+      base.unionByName(readDeltas(deltaFiles, schema, keyColumns,
+        withPresence = partialUpdates)).coalesce(1)
     }
     val all = perBucket.reduce(_.unionByName(_))
     val sorted = all.sortWithinPartitions(
@@ -1203,17 +1225,38 @@ class LakeTable(val spark: SparkSession, val root: String,
     val kindIdx = full.fieldIndex("_kind")
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(full)
-    val deduped = sorted.mapPartitions { it =>
-      var prev: Seq[Any] = null
-      it.flatMap { r =>
-        val k = kIdx.map(r.get)
-        if (prev != null && k == prev) None // older version of the same key
-        else {
-          prev = k
-          if (r.getString(kindIdx) == "delete") None else Some(r)
+    val deduped =
+      if (!partialUpdates) sorted.mapPartitions { it =>
+        var prev: Seq[Any] = null
+        it.flatMap { r =>
+          val k = kIdx.map(r.get)
+          if (prev != null && k == prev) None // older version of the same key
+          else {
+            prev = k
+            if (r.getString(kindIdx) == "delete") None else Some(r)
+          }
         }
       }
-    }
+      else {
+        // PARTIAL-UPDATE fold, still streaming over the same key-desc
+        // order with zero exchange: the newest version decides liveness
+        // (delete = dead) and lsn/seq/kind; each column missing from it
+        // coalesces from the next-older version that CARRIED the column,
+        // walking no further back than the first barrier version (insert/
+        // delete/base — a row redefined there must not inherit its dead
+        // predecessor's columns).
+        val colsIdx = full.fieldIndex("_cols")
+        val barIdx = full.fieldIndex("_barrier")
+        // only non-key schema fields can be absent (keys are typed columns)
+        val dataIdx = schema.fieldNames.filterNot(keyColumns.contains)
+          .map(full.fieldIndex).toArray
+        val nameOf = full.fieldNames
+        val kIdxArr = kIdx.toArray
+        // companion-object call: a nested def / anonymous class here would
+        // capture the enclosing LakeTable (non-serializable $outer)
+        sorted.mapPartitions(it => LakeTable.partialOverlayFold(
+          it, kIdxArr, kindIdx, colsIdx, barIdx, dataIdx, nameOf, full))
+      }
     deduped.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
@@ -1226,7 +1269,11 @@ class LakeTable(val spark: SparkSession, val root: String,
    */
   def mergedView(schema: StructType, keyColumns: Seq[String],
                  renameMap: Map[String, String],
-                 baseFiles: Seq[String], deltaFiles: Seq[String]): DataFrame = {
+                 baseFiles: Seq[String], deltaFiles: Seq[String],
+                 partialUpdates: Boolean = false): DataFrame = {
+    if (partialUpdates)
+      return mergedViewPartialShuffle(schema, keyColumns, renameMap,
+        baseFiles, deltaFiles)
     val base = readConformed(baseFiles, schema, renameMap)
       .withColumn("_lsn", lit(-1L))
       .withColumn("_seq", lit(-1).cast("int"))
@@ -1243,16 +1290,72 @@ class LakeTable(val spark: SparkSession, val root: String,
         (if (keyColumns.contains(n)) col(n) else col(s"_w.$n")).as(n)).toIndexedSeq: _*)
   }
 
+  /** The shuffle merge under PARTIAL-UPDATE semantics: delta versions of a
+    * key collapse through the same column-wise overlay the write-side
+    * dedup uses ([[graft.functions.OverlayKeepLast]] — per column, the
+    * latest version that CARRIED it, never past an insert/delete barrier),
+    * then a full-outer join against base resolves, per column, whether the
+    * overlay's window reached a barrier (its value stands, absent = null)
+    * or still patches the base row (absent columns coalesce from base).
+    * Shuffle budget matches the full-tuple form: deltas exchange once into
+    * the aggregation, base exchanges once into the join (vs one exchange
+    * of their union), both on the same key hash. */
+  private def mergedViewPartialShuffle(schema: StructType,
+      keyColumns: Seq[String], renameMap: Map[String, String],
+      baseFiles: Seq[String], deltaFiles: Seq[String]): DataFrame = {
+    val raw = readDeltaRaw(deltaFiles, schema, keyColumns)
+    val agg = raw.groupBy(keyColumns.map(col): _*)
+      .agg(graft.functions.OverlayKeepLast.overlayKeepLast(spark,
+        col("_lsn"), col("_seq"), col("_kind"), col("_row"), col("_types"),
+        coalesce(col("_barrier"), col("_kind") =!= "update")).as("_w"))
+    val base = readConformed(baseFiles, schema, renameMap)
+    val joined = base.join(agg, keyColumns.toSeq, "full_outer")
+    joined
+      .filter(col("_w").isNull || col("_w.kind") =!= "delete")
+      .select(schema.fields.map { f =>
+        if (keyColumns.contains(f.name)) col(f.name).as(f.name)
+        else
+          when(col("_w").isNull, col(f.name))
+            .when(col("_w._barrier") ||
+                map_contains_key(col("_w._row"), f.name),
+              element_at(col("_w._row"), f.name).cast(f.dataType))
+            .otherwise(col(f.name))
+            .as(f.name)
+      }.toIndexedSeq: _*)
+  }
+
+  /** Raw delta rows — typed keys + the self-describing maps, NOT pivoted
+    * through the schema (the partial-update shuffle merge aggregates the
+    * maps themselves; pivoting first would erase absent-vs-null). */
+  private def readDeltaRaw(files: Seq[String], schema: StructType,
+                           keyColumns: Seq[String]): DataFrame = {
+    val physical = StructType((
+      keyColumns.map(k => StructField(k, schema(k).dataType)) ++ Seq(
+        StructField("_row", MapType(StringType, StringType)),
+        StructField("_types", MapType(StringType, StringType)),
+        StructField("_lsn", LongType),
+        StructField("_seq", IntegerType),
+        StructField("_kind", StringType),
+        StructField("_barrier", BooleanType))).map(_.copy(nullable = true)))
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physical)
+    else spark.read.schema(physical).parquet(files.map(f => s"$root/$f"): _*)
+  }
+
   /** Read delta files (typed keys + self-describing _row/_types maps +
     * _lsn/_seq/_kind) and pivot them through `schema`: a delta written
     * before a column existed simply yields null for it, and delete markers
     * carry _row = null — the read-time half of schema evolution. */
   private def readDeltas(files: Seq[String], schema: StructType,
                          keyColumns: Seq[String],
-                         withSourceFile: Boolean = false): DataFrame = {
+                         withSourceFile: Boolean = false,
+                         withPresence: Boolean = false): DataFrame = {
     if (files.isEmpty) {
       val full = StructType(schema.fields ++ Seq(StructField("_lsn", LongType),
         StructField("_seq", IntegerType), StructField("_kind", StringType)) ++
+        (if (withPresence) Seq(StructField("_cols", ArrayType(StringType)),
+          StructField("_barrier", BooleanType)) else Nil) ++
         (if (withSourceFile) Seq(StructField("_source_file", StringType)) else Nil))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
     } else {
@@ -1267,13 +1370,23 @@ class LakeTable(val spark: SparkSession, val root: String,
           StructField("_types", MapType(StringType, StringType)),
           StructField("_lsn", LongType),
           StructField("_seq", IntegerType),
-          StructField("_kind", StringType))).map(_.copy(nullable = true)))
+          StructField("_kind", StringType),
+          // written only by partial-update tables; elsewhere reads null
+          StructField("_barrier", BooleanType))).map(_.copy(nullable = true)))
       val df = spark.read.schema(physical)
         .parquet(files.map(f => s"$root/$f"): _*)
       val cols = schema.fields.map { f =>
         if (keyColumns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else element_at(col("_row"), f.name).cast(f.dataType).as(f.name)
       } ++ Seq(col("_lsn"), col("_seq"), col("_kind")) ++
+        // PARTIAL-UPDATE reads keep what the pivot erases: WHICH columns
+        // the collapsed tuple actually carried (absent != present-null)
+        // and whether its window contained an insert/delete barrier
+        // (pre-upgrade rows lack the flag: kind decides, matching the
+        // full-tuple assumption those rows were written under)
+        (if (withPresence) Seq(map_keys(col("_row")).as("_cols"),
+          coalesce(col("_barrier"), col("_kind") =!= "update").as("_barrier"))
+        else Nil) ++
         (if (withSourceFile)
           // the parquet file NAME a row came from (globally unique — each
           // write job embeds its own UUID) — lets the change feed attribute
@@ -1762,6 +1875,56 @@ object LakeTable {
     "s3", "s3a", "s3n", "gs", "oss", "cos", "obs",
     "wasb", "wasbs", "abfs", "abfss", "swift")
 
+  /** The PARTIAL-UPDATE streaming fold behind [[LakeTable.mergedViewLocal]]
+    * — executor-side, so it lives on the companion (a nested def or
+    * anonymous class inside the instance method would capture the
+    * non-serializable table as `$outer`). Input: one partition's rows
+    * sorted (key ASC, _lsn DESC, _seq DESC), each carrying `_cols` (the
+    * columns its tuple actually CARRIED; null = all, i.e. base/full rows)
+    * and `_barrier` (insert/delete/base — coalescing must not walk past
+    * it). Output: one live row per key, every column resolved to its
+    * latest carried value within the barrier window. */
+  private[lake] def partialOverlayFold(
+      it: Iterator[org.apache.spark.sql.Row],
+      kIdx: Array[Int], kindIdx: Int, colsIdx: Int, barIdx: Int,
+      dataIdx: Array[Int], nameOf: Array[String],
+      full: StructType): Iterator[org.apache.spark.sql.Row] = {
+    type R = org.apache.spark.sql.Row
+    val bit = it.buffered
+    def keyOf(r: R): Seq[Any] = kIdx.toSeq.map(r.get)
+    def presentIn(r: R, fi: Int): Boolean =
+      r.isNullAt(colsIdx) || r.getSeq[String](colsIdx).contains(nameOf(fi))
+    def barrierOf(r: R): Boolean = r.isNullAt(barIdx) || r.getBoolean(barIdx)
+    new Iterator[Option[R]] {
+      override def hasNext: Boolean = bit.hasNext
+      override def next(): Option[R] = {
+        val head = bit.next()
+        val k = keyOf(head)
+        if (head.getString(kindIdx) == "delete") {
+          while (bit.hasNext && keyOf(bit.head) == k) bit.next()
+          None
+        } else {
+          val vals = Array.tabulate(full.size)(head.get)
+          var missing = dataIdx.toList.filterNot(presentIn(head, _))
+          var stop = barrierOf(head)
+          while (bit.hasNext && keyOf(bit.head) == k) {
+            val r = bit.next()
+            if (!stop) {
+              if (r.getString(kindIdx) != "delete" && missing.nonEmpty) {
+                val (found, still) = missing.partition(presentIn(r, _))
+                found.foreach(fi => vals(fi) = r.get(fi))
+                missing = still
+              }
+              if (barrierOf(r)) stop = true
+            }
+          }
+          Some(new org.apache.spark.sql.catalyst.expressions
+            .GenericRowWithSchema(vals, full))
+        }
+      }
+    }.flatten
+  }
+
   private val SnapshotRe = "snapshot-(\\d+)\\.json".r
   // feed-log index segment covering snapshot ids [first, last], inclusive
   private val FeedLogRe = "feedlog-(\\d+)-(\\d+)\\.json".r
@@ -1831,6 +1994,7 @@ object LakeTable {
     putStrSeq(n, "keyColumns", s.keyColumns)
     n.put("nBuckets", s.nBuckets)
     n.put("lsnHighWatermark", s.lsnHighWatermark)
+    if (s.partialUpdates) n.put("partialUpdates", true)
     val rm = n.putObject("renameMap")
     s.renameMap.toSeq.sorted.foreach { case (o, nn) => rm.put(o, nn) }
     putLongMap(n, "lineage", s.lineage)
@@ -1921,7 +2085,9 @@ object LakeTable {
       lineage = objToMap(n, "lineage").map { case (k, v) => k -> v.asLong() },
       commitDeltas = objToMap(n, "commitDeltas").map { case (k, v) =>
         k.toInt -> strSeq(v)
-      })
+      },
+      // pre-upgrade snapshots lack the field: full-tuple semantics
+      partialUpdates = Option(n.get("partialUpdates")).exists(_.asBoolean()))
     val pointers =
       if (!n.has("bucketManifests")) None
       else Some(objToMap(n, "bucketManifests")

@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.apply.MergeEngine
+import graft.decode.ChangeDecoder
+import graft.lake.LakeTable
+
+/**
+ * PARTIAL-UPDATE (unchanged-TOAST) semantics: PostgreSQL logical decoding
+ * does not re-send an unchanged TOASTed value — wal2json omits the column
+ * from the update's columnnames, pgoutput sends the 'u' marker the
+ * transcoder likewise omits (reference behavior; see PgoutputSpec's
+ * "unchanged TOAST columns are omitted"). A table created with
+ * `partialUpdates = true` must resolve every column to its latest PRESENT
+ * value instead of nulling whatever the last tuple did not carry — across
+ * the write-side dedup, both merge-read shapes, lookups, compaction, and
+ * crucially WITHOUT resurrecting columns across insert/delete barriers.
+ */
+class PartialUpdateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("val", DoubleType),
+    StructField("content", StringType)))
+
+  private def q(s: String) = "\"" + s + "\""
+
+  /** insert always carries the FULL tuple (Postgres sends complete new
+    * tuples on INSERT; TOAST omission only happens on UPDATE). */
+  private def ins(lsn: Long, id: Long, v: Double, content: String): String =
+    s"""{"lsn":$lsn,"xid":${lsn + 100},"change":[{"kind":"insert","schema":"public","table":"t",""" +
+      s""""columnnames":["id","val","content"],"columntypes":["bigint","double precision","text"],""" +
+      s""""columnvalues":[$id,$v,${q(content)}]}]}"""
+
+  /** update carrying an arbitrary subset of data columns (the key is always
+    * present — keys are never TOASTed away); content = None means OMITTED,
+    * Some(null) means explicit SQL NULL. */
+  private def upd(lsn: Long, id: Long, v: Option[Double],
+                  content: Option[String], hasContent: Boolean,
+                  newId: Option[Long] = None): String = {
+    val cols = Seq(("id", "bigint", newId.getOrElse(id).toString)) ++
+      v.map(x => ("val", "double precision", x.toString)) ++
+      (if (hasContent) Seq(("content", "text",
+        content.filter(_ != null).map(q).getOrElse("null"))) else Nil)
+    s"""{"lsn":$lsn,"xid":${lsn + 100},"change":[{"kind":"update","schema":"public","table":"t",""" +
+      s""""columnnames":[${cols.map(c => q(c._1)).mkString(",")}],""" +
+      s""""columntypes":[${cols.map(c => q(c._2)).mkString(",")}],""" +
+      s""""columnvalues":[${cols.map(_._3).mkString(",")}],""" +
+      s""""oldkeys":{"keynames":["id"],"keytypes":["bigint"],"keyvalues":[$id]}}]}"""
+  }
+
+  private def del(lsn: Long, id: Long): String =
+    s"""{"lsn":$lsn,"xid":${lsn + 100},"change":[{"kind":"delete","schema":"public","table":"t",""" +
+      s""""oldkeys":{"keynames":["id"],"keytypes":["bigint"],"keyvalues":[$id]}}]}"""
+
+  private def apply(t: LakeTable, lines: Seq[String]): Unit =
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(
+      spark.createDataset(lines).toDF("value")))
+
+  private def newTable(prefix: String, partial: Boolean = true,
+                       maxDeltas: Int = 64): LakeTable = {
+    val t = new LakeTable(spark, tmpDir(prefix), maxDeltasPerBucket = maxDeltas)
+    t.create(schema, Seq("id"), nBuckets = 4, partialUpdates = partial)
+    t
+  }
+
+  private def state(t: LakeTable): Map[Long, (Option[Double], Option[String])] =
+    t.read().collect().map { r =>
+      r.getLong(0) -> (Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[String]))
+    }.toMap
+
+  test("partialUpdates persists in the snapshot and survives reopen") {
+    val t = newTable("pu-flag")
+    assert(t.currentSnapshot.get.partialUpdates)
+    val reopened = new LakeTable(spark, t.root)
+    assert(reopened.currentSnapshot.get.partialUpdates)
+    val off = newTable("pu-flag-off", partial = false)
+    assert(!off.currentSnapshot.get.partialUpdates)
+  }
+
+  test("in-batch: an update omitting the TOASTed column keeps the inserted value") {
+    val t = newTable("pu-inbatch")
+    apply(t, Seq(
+      ins(1, 1, 1.0, "BIG-CONTENT"),
+      upd(2, 1, Some(2.0), None, hasContent = false)))
+    assert(state(t) === Map(1L -> (Some(2.0), Some("BIG-CONTENT"))))
+  }
+
+  test("the same stream on a NON-partial table keeps the documented full-tuple semantics") {
+    val t = newTable("pu-off", partial = false)
+    apply(t, Seq(
+      ins(1, 1, 1.0, "BIG-CONTENT"),
+      upd(2, 1, Some(2.0), None, hasContent = false)))
+    // whole-row keep-last: the partial tuple IS the row
+    assert(state(t) === Map(1L -> (Some(2.0), None)))
+  }
+
+  test("cross-batch: the coalesce walks base rows and multiple deltas") {
+    val t = newTable("pu-cross")
+    apply(t, Seq(ins(1, 1, 1.0, "C1"), ins(2, 2, 1.0, "C2")))
+    apply(t, Seq(upd(3, 1, Some(3.0), None, hasContent = false)))
+    apply(t, Seq(upd(4, 1, Some(4.0), None, hasContent = false),
+      upd(5, 2, None, Some("C2-v2"), hasContent = true)))
+    assert(state(t) === Map(
+      1L -> (Some(4.0), Some("C1")),
+      2L -> (Some(1.0), Some("C2-v2"))))
+  }
+
+  test("explicit SQL NULL is not 'absent': a carried null overwrites") {
+    val t = newTable("pu-null")
+    apply(t, Seq(ins(1, 1, 1.0, "KEEP")))
+    apply(t, Seq(upd(2, 1, Some(2.0), Some(null), hasContent = true)))
+    assert(state(t) === Map(1L -> (Some(2.0), None)))
+  }
+
+  test("in-batch delete+reinsert: the new row does not inherit the dead row's columns") {
+    val t = newTable("pu-barrier1")
+    apply(t, Seq(ins(1, 1, 1.0, "OLD")))
+    // one batch: delete then a PK-CHANGING update moving id 2 -> 1 whose
+    // new tuple omits content (unchanged TOAST). The split's synthetic
+    // insert at id=1 carries no content; the dead id=1 row's "OLD" must
+    // NOT resurrect through the coalesce.
+    apply(t, Seq(
+      ins(2, 2, 5.0, "MOVED"),
+      del(3, 1),
+      upd(4, 2, Some(6.0), None, hasContent = false, newId = Some(1))))
+    assert(state(t) === Map(1L -> (Some(6.0), None)))
+  }
+
+  test("cross-batch barrier: a reinserted key stops coalescing at the insert") {
+    val t = newTable("pu-barrier2")
+    apply(t, Seq(ins(1, 1, 1.0, "OLD")))
+    apply(t, Seq(del(2, 1)))
+    // new incarnation, then a partial update in a LATER batch: content
+    // coalesces back to the new insert ("NEW"), never to "OLD"
+    apply(t, Seq(ins(3, 1, 2.0, "NEW")))
+    apply(t, Seq(upd(4, 1, Some(9.0), None, hasContent = false)))
+    assert(state(t) === Map(1L -> (Some(9.0), Some("NEW"))))
+  }
+
+  test("an update to a never-inserted key reads null for the omitted column") {
+    val t = newTable("pu-orphan")
+    apply(t, Seq(upd(1, 7, Some(1.5), None, hasContent = false)))
+    assert(state(t) === Map(7L -> (Some(1.5), None)))
+  }
+
+  test("local and shuffle merge shapes agree, including lookups") {
+    val t = newTable("pu-shapes")
+    apply(t, Seq(ins(1, 1, 1.0, "A"), ins(2, 2, 2.0, "B"), ins(3, 3, 3.0, "C")))
+    apply(t, Seq(
+      upd(4, 1, Some(10.0), None, hasContent = false),
+      upd(5, 2, None, Some("B2"), hasContent = true),
+      del(6, 3)))
+    val expected = Map(
+      1L -> (Some(10.0), Some("A")),
+      2L -> (Some(2.0), Some("B2")))
+    assert(state(t) === expected)
+    val shuffleTwin = new LakeTable(spark, t.root, maxLocalMergeBytesPerBucket = 0L)
+    assert(state(shuffleTwin) === expected)
+    // point lookup goes through the zero-shuffle slice
+    val one = t.lookup(Map("id" -> 1L)).collect()
+    assert(one.length === 1 && one(0).getString(2) === "A" &&
+      one(0).getDouble(1) === 10.0)
+    // batched lookup shares the same merge slices
+    val batched = t.lookup(Seq(Map("id" -> 1L), Map("id" -> 2L), Map("id" -> 3L)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(batched === Map(1L -> "A", 2L -> "B2"))
+  }
+
+  test("compaction folds coalesced state into full base rows; reads stay correct") {
+    val t = newTable("pu-compact", maxDeltas = 1)
+    apply(t, Seq(ins(1, 1, 1.0, "CONTENT-1"), ins(2, 2, 1.0, "CONTENT-2")))
+    apply(t, Seq(upd(3, 1, Some(2.0), None, hasContent = false)))
+    apply(t, Seq(upd(4, 2, Some(3.0), None, hasContent = false)))
+    MergeEngine.compactAll(t)
+    val snap = t.currentSnapshot.get
+    assert(snap.bucketDeltas.values.forall(_.isEmpty), "fixture must compact")
+    assert(state(t) === Map(
+      1L -> (Some(2.0), Some("CONTENT-1")),
+      2L -> (Some(3.0), Some("CONTENT-2"))))
+    // post-compaction partial updates coalesce against the NEW base
+    apply(t, Seq(upd(5, 1, Some(7.0), None, hasContent = false)))
+    assert(state(t)(1L) === (Some(7.0), Some("CONTENT-1")))
+  }
+
+  test("property: random partial streams match a sequential per-column oracle") {
+    val rnd = new scala.util.Random(20260819L)
+    val nKeys = 12
+    var lsn = 0L
+    val batches = (0 until 4).map { _ =>
+      (0 until 30).map { _ =>
+        lsn += 1
+        val id = 1L + rnd.nextInt(nKeys)
+        rnd.nextInt(10) match {
+          case k if k < 4 =>
+            ("insert", lsn, id, Some(lsn.toDouble), Some(s"c$lsn"): Option[String], true)
+          case k if k < 8 =>
+            val hasV = rnd.nextBoolean()
+            val hasC = rnd.nextBoolean()
+            val cVal = if (rnd.nextInt(4) == 0) None else Some(s"c$lsn")
+            ("update", lsn, id,
+              if (hasV) Some(lsn.toDouble) else None,
+              if (hasC) cVal else None, hasC)
+          case _ => ("delete", lsn, id, None, None, false)
+        }
+      }
+    }
+    // sequential oracle: per key, inserts replace, updates patch carried
+    // columns, deletes remove
+    val oracle = scala.collection.mutable.Map[Long, (Option[Double], Option[String])]()
+    batches.flatten.foreach {
+      case ("insert", _, id, v, c, _) => oracle(id) = (v, c)
+      case ("update", _, id, v, c, hasC) =>
+        val (pv, pc) = oracle.getOrElse(id, (None, None))
+        oracle(id) = (v.orElse(pv), if (hasC) c else pc)
+      case ("delete", _, id, _, _, _) => oracle.remove(id)
+    }
+    val t = newTable("pu-prop", maxDeltas = 2) // force compactions mid-stream
+    batches.foreach { b =>
+      apply(t, b.map {
+        case ("insert", l, id, v, c, _) => ins(l, id, v.get, c.get)
+        case ("update", l, id, v, c, hasC) => upd(l, id, v, c, hasC)
+        case ("delete", l, id, _, _, _) => del(l, id)
+      })
+    }
+    assert(state(t) === oracle.toMap)
+    val shuffleTwin = new LakeTable(spark, t.root, maxLocalMergeBytesPerBucket = 0L)
+    assert(state(shuffleTwin) === oracle.toMap)
+  }
+
+  test("replayed batch is a fenced no-op on a partial table") {
+    val t = newTable("pu-replay")
+    val batch = Seq(ins(1, 1, 1.0, "X"), upd(2, 1, Some(2.0), None, hasContent = false))
+    apply(t, batch)
+    val snapBefore = t.currentSnapshot.get.snapshotId
+    apply(t, batch) // crash-replay of the SAME batch
+    assert(t.currentSnapshot.get.snapshotId === snapBefore,
+      "all events at/below the watermark => no new commit")
+    assert(state(t) === Map(1L -> (Some(2.0), Some("X"))))
+  }
+}
