@@ -776,8 +776,14 @@ class LakeTable(val spark: SparkSession, val root: String,
     val fileToSnap: Map[String, Long] = perSnap.flatMap { case (s, fs) =>
       fs.map(f => f.split("/").last -> s) // keyed by unique parquet file name
     }.toMap
+    // PARTIAL-UPDATE tables: the pivot to typed columns erases which
+    // columns an update actually CARRIED (absent != present-null), and a
+    // feed consumer re-applying rows as full tuples would null exactly the
+    // unchanged-TOAST columns. Expose presence (`_cols`) and the barrier
+    // flag so consumers (Mirror.feedAsChanges) can replay faithfully.
     val attributed = readDeltas(perSnap.flatMap(_._2),
-      projectTo.getOrElse(to.schema), to.keyColumns, withSourceFile = true)
+      projectTo.getOrElse(to.schema), to.keyColumns, withSourceFile = true,
+      withPresence = to.partialUpdates)
     // Attribution cost matters at scale: element_at on a LITERAL map is a
     // linear scan per row (ArrayBasedMapData), fine for a micro-batch's
     // handful of files but O(rows x files) for a long-history read — past a

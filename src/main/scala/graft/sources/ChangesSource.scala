@@ -77,7 +77,7 @@ class ChangesSourceProvider extends StreamSourceProvider with DataSourceRegister
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val (_, snap) = tableAnd(sqlContext, parameters)
-    (shortName(), ChangesSource.feedSchema(snap.schema))
+    (shortName(), ChangesSource.feedSchema(snap.schema, snap.partialUpdates))
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -91,19 +91,27 @@ class ChangesSourceProvider extends StreamSourceProvider with DataSourceRegister
     val maxSnaps = parameters.get("maxSnapshotsPerTrigger").map(_.toLong)
       .getOrElse(Long.MaxValue)
     require(maxSnaps > 0, s"maxSnapshotsPerTrigger must be positive: got $maxSnaps")
-    new ChangesSource(table, snap.schema, from, maxSnaps)
+    new ChangesSource(table, snap.schema, from, maxSnaps,
+      partialUpdates = snap.partialUpdates)
   }
 }
 
 object ChangesSource {
   /** The fixed stream schema: the table's columns (nullable — deletes carry
     * null non-key columns) plus the feed metadata, in [[LakeTable.changes]]
-    * output order. */
-  def feedSchema(tableSchema: StructType): StructType =
+    * output order. PARTIAL-UPDATE tables additionally expose `_cols` (the
+    * columns the collapsed tuple actually carried) and `_barrier` (the
+    * window contained an insert/delete) — without them a consumer cannot
+    * tell an unchanged-TOAST omission from an explicit SQL NULL. */
+  def feedSchema(tableSchema: StructType,
+                 partialUpdates: Boolean = false): StructType =
     StructType(tableSchema.fields.map(_.copy(nullable = true)) ++ Seq(
       StructField("_lsn", LongType),
       StructField("_seq", IntegerType),
-      StructField("_kind", StringType),
+      StructField("_kind", StringType)) ++
+      (if (partialUpdates) Seq(
+        StructField("_cols", ArrayType(StringType)),
+        StructField("_barrier", BooleanType)) else Nil) ++ Seq(
       StructField("_snapshot", LongType)))
 }
 
@@ -115,11 +123,13 @@ object ChangesSource {
   * offset to `latestOffset`, so a restarted query resumes purely from its
   * checkpoint. */
 class ChangesSource(table: LakeTable, startSchema: StructType,
-                    fromSnapshot: Long, maxSnapshotsPerTrigger: Long)
+                    fromSnapshot: Long, maxSnapshotsPerTrigger: Long,
+                    partialUpdates: Boolean = false)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow
   with Logging {
 
-  override val schema: StructType = ChangesSource.feedSchema(startSchema)
+  override val schema: StructType =
+    ChangesSource.feedSchema(startSchema, partialUpdates)
 
   /** Fixed at AvailableNow start: the catch-up target. A rate-limited
     * AvailableNow run advances maxSnapshotsPerTrigger per batch until it

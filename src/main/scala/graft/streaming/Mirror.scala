@@ -60,13 +60,39 @@ object Mirror {
    * wal2json emits them; updates carry the full new tuple plus `oldkeys`
    * naming the (unchanged) key — the feed's key columns ARE the row
    * identity, so a feed row can never be a PK-changing update.
+   *
+   * PARTIAL-UPDATE sources (the feed carries `_cols`/`_barrier`): only the
+   * columns the collapsed source tuple actually CARRIED are re-encoded —
+   * replaying a pivoted row as a full tuple would null exactly the
+   * unchanged-TOAST columns in the target. A window that contained an
+   * insert/delete (`_barrier`) DEFINES the row, so it replays as an
+   * `insert` (the apply-side barrier): the target must not coalesce the
+   * row's absent columns from a dead predecessor.
    */
   def feedAsChanges(feed: DataFrame, tableSchema: StructType,
                     keyColumns: Seq[String], tableName: String): DataFrame = {
     val dataFields = tableSchema.fields.toSeq
-    val names = array(dataFields.map(f => lit(f.name)): _*)
-    val types = array(dataFields.map(f => lit(sparkTypeToPg(f.dataType))): _*)
-    val vals = array(dataFields.map(f => col(f.name).cast(StringType)): _*)
+    val partial = feed.columns.contains("_cols")
+    val (names, types, vals, kindCol) =
+      if (!partial) (
+        array(dataFields.map(f => lit(f.name)): _*),
+        array(dataFields.map(f => lit(sparkTypeToPg(f.dataType))): _*),
+        array(dataFields.map(f => col(f.name).cast(StringType)): _*),
+        col("_kind"))
+      else {
+        val entries = array(dataFields.map(f => struct(
+          lit(f.name).as("n"),
+          lit(sparkTypeToPg(f.dataType)).as("t"),
+          col(f.name).cast(StringType).as("v"))): _*)
+        val present = filter(entries,
+          e => array_contains(col("_cols"), e.getField("n")))
+        (transform(present, _.getField("n")),
+          transform(present, _.getField("t")),
+          transform(present, _.getField("v")),
+          when(col("_kind") === "delete", "delete")
+            .when(col("_barrier"), "insert")
+            .otherwise("update"))
+      }
     val keyFields = dataFields.filter(f => keyColumns.contains(f.name))
     val oldkeys = struct(
       array(keyFields.map(f => lit(f.name)): _*).as("keynames"),
@@ -77,13 +103,13 @@ object Mirror {
       col("_seq").as("seq"),
       col("_lsn").as("xid"), // the feed does not retain xids; lsn is a
                              // valid stand-in (apply never reads it)
-      col("_kind").as("kind"),
+      kindCol.as("kind"),
       lit("public").as("schema"),
       lit(tableName).as("table"),
-      when(col("_kind") =!= "delete", names).as("columnnames"),
-      when(col("_kind") =!= "delete", types).as("columntypes"),
-      when(col("_kind") =!= "delete", vals).as("columnvalues"),
-      when(col("_kind") =!= "insert", oldkeys).as("oldkeys"))
+      when(kindCol =!= "delete", names).as("columnnames"),
+      when(kindCol =!= "delete", types).as("columntypes"),
+      when(kindCol =!= "delete", vals).as("columnvalues"),
+      when(kindCol =!= "insert", oldkeys).as("oldkeys"))
   }
 
   /** Create the mirror table if absent, cloning the SOURCE's current shape:
@@ -93,12 +119,14 @@ object Mirror {
                    source: Snapshot, maxDeltasPerBucket: Int = 64): LakeTable = {
     val t = new LakeTable(spark, mirrorRoot, maxDeltasPerBucket = maxDeltasPerBucket)
     if (!t.exists)
-      t.create(source.schema, source.keyColumns, source.nBuckets)
+      t.create(source.schema, source.keyColumns, source.nBuckets,
+        partialUpdates = source.partialUpdates)
     t
   }
 
   /** The feed's data columns: its stream schema minus the feed metadata. */
-  private val feedMetaColumns = Set("_lsn", "_seq", "_kind", "_snapshot")
+  private val feedMetaColumns =
+    Set("_lsn", "_seq", "_kind", "_snapshot", "_cols", "_barrier")
 
   /** Apply one micro-batch of feed rows to the mirror. Idempotent (LSN
     * watermark fencing), so safe under Structured Streaming's replay.
@@ -116,6 +144,12 @@ object Mirror {
     // distributed-manifest mirror
     val snap = mirror.currentRootSnapshot.getOrElse(throw new IllegalStateException(
       "mirror table must exist before applying feed batches"))
+    // A partial-tuple feed applied under whole-row keep-last would null the
+    // mirror's unchanged-TOAST columns — refuse loudly, never corrupt.
+    if (feed.columns.contains("_cols") && !snap.partialUpdates)
+      throw new IllegalStateException(
+        "the source table uses partialUpdates (its feed carries partial " +
+          "tuples); the mirror table must be created with partialUpdates = true")
     val dataSchema = StructType(
       feed.schema.fields.filterNot(f => feedMetaColumns.contains(f.name)))
     MergeEngine.applyBatch(mirror,

@@ -231,6 +231,67 @@ class PartialUpdateSpec extends SparkSpec {
     assert(state(shuffleTwin) === oracle.toMap)
   }
 
+  test("change feed on a partial table exposes presence and barrier") {
+    val t = newTable("pu-feed")
+    apply(t, Seq(ins(1, 1, 1.0, "BIG")))
+    apply(t, Seq(upd(2, 1, Some(2.0), None, hasContent = false)))
+    val feed = t.changes(-1, t.currentSnapshot.get.snapshotId)
+    assert(feed.columns.contains("_cols") && feed.columns.contains("_barrier"))
+    val rows = feed.orderBy("_snapshot").collect()
+    assert(rows.length === 2)
+    val insRow = rows(0)
+    assert(insRow.getAs[String]("_kind") === "insert" &&
+      insRow.getAs[Boolean]("_barrier") &&
+      insRow.getAs[Seq[String]]("_cols").toSet === Set("id", "val", "content"))
+    val updRow = rows(1)
+    assert(updRow.getAs[String]("_kind") === "update" &&
+      !updRow.getAs[Boolean]("_barrier") &&
+      updRow.getAs[Seq[String]]("_cols").toSet === Set("id", "val"),
+      "the omitted TOAST column must not appear as present")
+    assert(updRow.isNullAt(updRow.fieldIndex("content")))
+  }
+
+  test("mirror of a partial table converges under TOAST omission and barriers") {
+    val t = newTable("pu-mirror-src")
+    apply(t, Seq(ins(1, 1, 1.0, "BIG-1"), ins(2, 2, 2.0, "BIG-2"),
+      ins(3, 3, 3.0, "BIG-3")))
+    apply(t, Seq(
+      upd(4, 1, Some(10.0), None, hasContent = false),  // TOAST omission
+      upd(5, 2, Some(20.0), Some(null), hasContent = true), // explicit null
+      del(6, 3)))
+    apply(t, Seq(ins(7, 3, 30.0, "BIG-3-NEW"),
+      upd(8, 3, Some(33.0), None, hasContent = false))) // post-reinsert patch
+    val mirrorRoot = tmpDir("pu-mirror-dst")
+    val q = graft.streaming.Mirror.follow(spark, t.root, mirrorRoot,
+      tmpDir("pu-mirror-ckpt"))
+    q.awaitTermination()
+    val mirror = new LakeTable(spark, mirrorRoot)
+    assert(mirror.currentSnapshot.get.partialUpdates,
+      "the mirror must inherit the source's partialUpdates property")
+    assert(state(mirror) === state(t))
+    assert(state(mirror) === Map(
+      1L -> (Some(10.0), Some("BIG-1")),
+      2L -> (Some(20.0), None),
+      3L -> (Some(33.0), Some("BIG-3-NEW"))))
+  }
+
+  test("a pre-existing non-partial mirror refuses a partial feed loudly") {
+    val t = newTable("pu-mirror-bad-src")
+    apply(t, Seq(ins(1, 1, 1.0, "X")))
+    val mirrorRoot = tmpDir("pu-mirror-bad-dst")
+    val bad = new LakeTable(spark, mirrorRoot)
+    bad.create(schema, Seq("id"), nBuckets = 4, partialUpdates = false)
+    val q = graft.streaming.Mirror.follow(spark, t.root, mirrorRoot,
+      tmpDir("pu-mirror-bad-ckpt"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("partialUpdates"))))
+  }
+
   test("replayed batch is a fenced no-op on a partial table") {
     val t = newTable("pu-replay")
     val batch = Seq(ins(1, 1, 1.0, "X"), upd(2, 1, Some(2.0), None, hasContent = false))
