@@ -430,6 +430,87 @@ object CdcQueries {
     t.read().select(col("user_id"), col("value")).orderBy("user_id")
   }
 
+  /** PARTIAL-UPDATE (unchanged-TOAST) semantics through the REAL engine:
+    * the events WAL re-rendered so UPDATE tuples deterministically OMIT
+    * columns — `value` only when `event_id` is even, `note` only when
+    * `event_id % 3 == 0` (PostgreSQL never re-sends an unchanged TOASTed
+    * value; wal2json drops it from `columnnames`) — decoded by the real
+    * ChangeDecoder and applied in TWO commits to a `partialUpdates` lake
+    * table, so the final state crosses base rows, older deltas, and the
+    * in-batch overlay. The DuckDB oracle resolves each column to its
+    * latest CARRIED value no older than the key's latest barrier
+    * (insert/delete), on live keys only — exactly the overlay contract. */
+  def partialUpdateState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val split = events(spark, dir).agg(max(col("event_id"))).head().getLong(0) / 2
+    val t = new graft.lake.LakeTable(spark,
+      graft.util.TempDirs.scratch("graft-cdc-partial"))
+    t.create(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("note", StringType))), Seq("user_id"), nBuckets = 8,
+      partialUpdates = true)
+    val ev = events(spark, dir)
+      .withColumn("kind", kindCol)
+      .withColumn("note", concat(lit("n"), col("event_id")))
+      .withColumn("has_value", col("kind") === "insert" || col("event_id") % 2 === 0)
+      .withColumn("has_note", col("kind") === "insert" || col("event_id") % 3 === 0)
+    val entries = array(
+      struct(lit("user_id").as("n"), lit("bigint").as("t"),
+        col("user_id").cast("string").as("v"), lit(true).as("p")),
+      struct(lit("value").as("n"), lit("double precision").as("t"),
+        col("value").cast("string").as("v"), col("has_value").as("p")),
+      struct(lit("note").as("n"), lit("text").as("t"),
+        col("note").as("v"), col("has_note").as("p")))
+    val present = filter(entries, _.getField("p"))
+    val lines = ev.select(to_json(struct(
+      col("event_id").as("lsn"),
+      (col("event_id") + 3000000000L).as("xid"),
+      array(struct(
+        col("kind"),
+        lit("public").as("schema"),
+        lit("events_p").as("table"),
+        when(col("kind") =!= "delete",
+          transform(present, _.getField("n"))).as("columnnames"),
+        when(col("kind") =!= "delete",
+          transform(present, _.getField("t"))).as("columntypes"),
+        when(col("kind") =!= "delete",
+          transform(present, _.getField("v"))).as("columnvalues"),
+        when(col("kind") =!= "insert", struct(
+          array(lit("user_id")).as("keynames"),
+          array(lit("bigint")).as("keytypes"),
+          array(col("user_id").cast("string")).as("keyvalues"))).as("oldkeys")
+      )).as("change"))).as("value"))
+    val decoded = ChangeDecoder.decode(lines)
+    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") <= split))
+    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") > split))
+    t.read().orderBy("user_id")
+  }
+
+  val partialUpdateSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id AS lsn, user_id, $kindSql AS kind, value,
+       |    'n' || CAST(event_id AS VARCHAR) AS note,
+       |    ($kindSql = 'insert' OR event_id % 2 = 0) AS has_value,
+       |    ($kindSql = 'insert' OR event_id % 3 = 0) AS has_note
+       |  FROM events),
+       |bar AS (
+       |  SELECT user_id,
+       |    COALESCE(MAX(lsn) FILTER (WHERE kind <> 'update'), -1) AS bar_lsn,
+       |    ARG_MAX(kind, lsn) AS last_kind
+       |  FROM ev GROUP BY user_id),
+       |vals AS (
+       |  SELECT e.user_id,
+       |    ARG_MAX(e.value, e.lsn) FILTER (WHERE e.has_value) AS value,
+       |    ARG_MAX(e.note, e.lsn) FILTER (WHERE e.has_note) AS note
+       |  FROM ev e JOIN bar b USING (user_id)
+       |  WHERE e.kind <> 'delete' AND e.lsn >= b.bar_lsn
+       |  GROUP BY e.user_id)
+       |SELECT b.user_id, v.value, v.note
+       |FROM bar b JOIN vals v USING (user_id)
+       |WHERE b.last_kind <> 'delete'
+       |ORDER BY user_id""".stripMargin
+
   /** Per-batch lineage metrics (north rule: per-partition lineage). */
   def lineageStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -516,6 +597,7 @@ object CdcQueries {
     // rebucket converges to the SAME final state as a straight apply, so
     // its oracle is the mirror query's keep-last non-deleted state
     "cdc_rebucket" -> (rebucketState _, feedMirrorSql),
+    "cdc_partial_update" -> (partialUpdateState _, partialUpdateSql),
     "cdc_lineage_stats" -> (lineageStats _, lineageStatsSql),
     "cdc_bucket_watermarks" -> (bucketWatermarks _, bucketWatermarksSql),
     "cdc_txn_elision" -> (txnElision _, txnElisionSql),
