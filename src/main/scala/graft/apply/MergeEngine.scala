@@ -281,7 +281,11 @@ object MergeEngine {
         fresh
           .groupBy(keyCols.map(col): _*)
           .agg(
-            graft.functions.OverlayKeepLast.overlayKeepLast(table.spark,
+            // register into the OPERAND's session: under foreachBatch the
+            // batch df lives in a micro-batch session CLONE whose function
+            // registry was copied at stream start — table.spark's registry
+            // is invisible to the clone's analyzer
+            graft.functions.OverlayKeepLast.overlayKeepLast(fresh.sparkSession,
               col("lsn"), col("seq").cast("int"), col("kind"),
               col("_row"), col("_types"), col("kind") =!= "update").as("w"),
             max(col("_bucket")).as("_bucket"))

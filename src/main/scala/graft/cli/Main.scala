@@ -35,7 +35,8 @@ object Main {
       "seed" -> (false, "deterministic stream seed (default 42)"),
       "add-col-at" -> (false, "LSN at which an additive column appears"),
       "rename-at" -> (false, "LSN at which a column rename appears"),
-      "tables" -> (false, "comma-separated table names for a MIXED-table stream (each change routes by repo hash; default repos)")),
+      "tables" -> (false, "comma-separated table names for a MIXED-table stream (each change routes by repo hash; default repos)"),
+      "toast-omit" -> (false, "true = updates OMIT content/size_bytes (unchanged-TOAST modeling; pair the consumer with run --partial-updates true)")),
     "run" -> Map(
       "wal-dir" -> (true, "WAL segment directory to tail"),
       "table-root" -> (true, "lake table root directory"),
@@ -45,6 +46,7 @@ object Main {
       "tables" -> (false, "comma-separated table names for SINGLE-PASS multi-table apply (one decode pass fanned out to one lake table per name under <table-root>/<name>; mutually exclusive with --table/--sink connector)"),
       "schema" -> (false, "table schema as SQL DDL (default: the repos schema)"),
       "keys" -> (false, "comma-separated primary-key columns (default repo,path)"),
+      "partial-updates" -> (false, "true = create the table with PARTIAL-UPDATE (unchanged-TOAST) semantics: columns absent from an update keep their stored value"),
       "sink" -> (false, "foreachbatch|connector: drive the MERGE inline or through writeStream.format(\"graft-lake\") (default foreachbatch)"),
       "relevant-tables" -> (false, "comma-separated table filter (default: the --table name)"),
       "max-segments-per-trigger" -> (false, "admission control: segments per micro-batch"),
@@ -69,6 +71,7 @@ object Main {
       "max-delta-bytes" -> (false, "accumulated delta bytes per bucket before compaction (default 33554432)"),
       "manifest-threshold" -> (false, "live files before the snapshot spills to per-bucket manifests (default 4096)"),
       "inline-compaction" -> (false, "false defers compaction to the `compact` maintenance command (default true)"),
+      "partial-updates" -> (false, "true = create the table with PARTIAL-UPDATE (unchanged-TOAST) semantics"),
       "strict" -> (false, "true|false: abort on malformed lines (default true)")),
     "show" -> Map(
       "table-root" -> (true, "lake table root directory"),
@@ -334,7 +337,8 @@ object Main {
           renameAtLsn = kv.get("rename-at").map(_.toLong).getOrElse(Long.MaxValue),
           tables = kv.get("tables")
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq)
-            .getOrElse(IndexedSeq("repos")))
+            .getOrElse(IndexedSeq("repos")),
+          toastOmitUpdates = kv.getOrElse("toast-omit", "false").toBoolean)
         val n = kv("txns").toLong
         val per = kv.getOrElse("txns-per-segment", "10000").toLong
         ChangeStreamGen.writeSegments(spark, cfg, kv("wal-dir"), n, per)
@@ -356,7 +360,8 @@ object Main {
         val (schema, keys, renameMap) = tableShape(kv)
         val targets = names.map { n =>
           TableTarget(n, lakeFromKnobs(spark, s"$root/$n", kv), schema, keys,
-            nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap)
+            nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap,
+            partialUpdates = kv.getOrElse("partial-updates", "false").toBoolean)
         }
         val t0 = System.nanoTime()
         val pipe = pipelineFromKnobs(spark, kv, targets, names.toSet,
@@ -382,7 +387,8 @@ object Main {
         val t = lakeFromKnobs(spark, root, kv)
         if (!t.exists) {
           val (schema, keys, renameMap) = tableShape(kv)
-          t.create(schema, keys, kv.getOrElse("buckets", "32").toInt, renameMap)
+          t.create(schema, keys, kv.getOrElse("buckets", "32").toInt, renameMap,
+            partialUpdates = kv.getOrElse("partial-updates", "false").toBoolean)
         }
         val before = t.currentSnapshotId.getOrElse(-1L)
         val t0 = System.nanoTime()
@@ -413,7 +419,8 @@ object Main {
         val (schema, keys, renameMap) = tableShape(kv)
         val table = lakeFromKnobs(spark, root, kv)
         val target = TableTarget(tableName, table, schema, keys,
-          nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap)
+          nBuckets = kv.getOrElse("buckets", "32").toInt, renameMap,
+          partialUpdates = kv.getOrElse("partial-updates", "false").toBoolean)
         val relevant = kv.get("relevant-tables")
           .map(_.split(",").toSet).getOrElse(Set(tableName))
         val metricsPath = metricsPathFor(root)
@@ -422,7 +429,8 @@ object Main {
           case "connector" =>
             // the MERGE protocol as a named connector: graft-wal source ->
             // graft-lake sink; table must pre-exist (create is idempotent)
-            table.create(schema, keys, target.nBuckets, renameMap)
+            table.create(schema, keys, target.nBuckets, renameMap,
+              partialUpdates = target.partialUpdates)
             // the metrics JSONL is append-only across runs: summarize only
             // the lines THIS run appends
             def metricsLines(): Seq[String] = metricsPath.toSeq.flatMap { p =>

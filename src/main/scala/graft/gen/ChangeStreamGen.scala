@@ -42,7 +42,14 @@ final case class GenConfig(
     // routes to tables(hash(repo) % n), a pure function of the repo so a
     // given key always lives in exactly ONE table. Default single-table
     // keeps every existing stream byte-identical.
-    tables: IndexedSeq[String] = IndexedSeq("repos"))
+    tables: IndexedSeq[String] = IndexedSeq("repos"),
+    // Unchanged-TOAST modeling: when true, UPDATE tuples treat `content`
+    // as unchanged and OMIT it (and its derived size_bytes) from the
+    // emitted columns — PostgreSQL never re-sends an unchanged TOASTed
+    // value (wal2json drops it from columnnames). Consumers need a
+    // partialUpdates lake table to keep the stored content. Updates then
+    // only ever change commit/lang; content changes on insert alone.
+    toastOmitUpdates: Boolean = false)
 
 object ChangeStreamGen {
 
@@ -153,17 +160,22 @@ object ChangeStreamGen {
         .append("\",\"schema\":\"public\",\"table\":\"").append(esc(c.table))
         .append('"')
       if (c.kind != "delete") {
+        // unchanged-TOAST: updates omit content (and its derived
+        // size_bytes) entirely — absent, not null
+        val withContent = !(cfg.toastOmitUpdates && c.kind == "update")
         sb.append(",\"columnnames\":[\"repo\",\"path\",\"commit\",\"")
-          .append(langCol).append("\",\"content\"")
-        if (withSize) sb.append(",\"size_bytes\"")
-        sb.append("],\"columntypes\":[\"text\",\"text\",\"text\",\"text\",\"text\"")
-        if (withSize) sb.append(",\"bigint\"")
+          .append(langCol).append('"')
+        if (withContent) sb.append(",\"content\"")
+        if (withSize && withContent) sb.append(",\"size_bytes\"")
+        sb.append("],\"columntypes\":[\"text\",\"text\",\"text\",\"text\"")
+        if (withContent) sb.append(",\"text\"")
+        if (withSize && withContent) sb.append(",\"bigint\"")
         sb.append("],\"columnvalues\":[\"").append(esc(c.repo))
           .append("\",\"").append(esc(c.path))
           .append("\",\"").append(c.commit)
-          .append("\",\"").append(c.lang)
-          .append("\",\"").append(esc(c.content)).append('"')
-        if (withSize) sb.append(',').append(c.sizeBytes)
+          .append("\",\"").append(c.lang).append('"')
+        if (withContent) sb.append(",\"").append(esc(c.content)).append('"')
+        if (withSize && withContent) sb.append(',').append(c.sizeBytes)
         sb.append(']')
       }
       if (c.kind != "insert") {
@@ -240,7 +252,17 @@ object ChangeStreamGen {
       val t = txn(cfg, id)
       t.changes.foreach { c =>
         val k = (c.repo, c.path)
-        if (c.kind == "delete") m.remove(k) else m(k) = c
+        if (c.kind == "delete") m.remove(k)
+        else if (cfg.toastOmitUpdates && c.kind == "update")
+          // the update omitted content/size_bytes: stored values persist;
+          // a never-inserted key reads them as null (content = null,
+          // sizeBytes sentinel -1 => null column)
+          m(k) = m.get(k) match {
+            case Some(prev) =>
+              c.copy(content = prev.content, sizeBytes = prev.sizeBytes)
+            case None => c.copy(content = null, sizeBytes = -1L)
+          }
+        else m(k) = c
       }
       id += 1
     }

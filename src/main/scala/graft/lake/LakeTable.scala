@@ -1311,7 +1311,7 @@ class LakeTable(val spark: SparkSession, val root: String,
       baseFiles: Seq[String], deltaFiles: Seq[String]): DataFrame = {
     val raw = readDeltaRaw(deltaFiles, schema, keyColumns)
     val agg = raw.groupBy(keyColumns.map(col): _*)
-      .agg(graft.functions.OverlayKeepLast.overlayKeepLast(spark,
+      .agg(graft.functions.OverlayKeepLast.overlayKeepLast(raw.sparkSession,
         col("_lsn"), col("_seq"), col("_kind"), col("_row"), col("_types"),
         coalesce(col("_barrier"), col("_kind") =!= "update")).as("_w"))
     val base = readConformed(baseFiles, schema, renameMap)

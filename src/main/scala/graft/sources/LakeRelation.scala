@@ -170,8 +170,10 @@ object LakeHistoryRelation {
 class LakeFeedRelation(override val sqlContext: SQLContext, table: LakeTable,
                        fromSnapshot: Long, toSnapshot: Long)
     extends DataFrameRelation {
-  override val schema: StructType =
-    ChangesSource.feedSchema(table.snapshotAt(toSnapshot).schema)
+  override val schema: StructType = {
+    val snap = table.snapshotAt(toSnapshot)
+    ChangesSource.feedSchema(snap.schema, snap.partialUpdates)
+  }
   override protected def view(): DataFrame =
     table.changes(fromSnapshot, toSnapshot)
 }

@@ -36,7 +36,9 @@ final case class TableTarget(
     schema: StructType,
     keyColumns: Seq[String],
     nBuckets: Int,
-    renameMap: Map[String, String] = Map.empty)
+    renameMap: Map[String, String] = Map.empty,
+    // PARTIAL-UPDATE (unchanged-TOAST) table property — see Snapshot
+    partialUpdates: Boolean = false)
 
 class CdcPipeline(
     spark: SparkSession,
@@ -74,7 +76,8 @@ class CdcPipeline(
 
   // Idempotent table creation (reference tolerates slot-already-exists,
   // PostgresConnector.java:90-97).
-  targets.foreach(t => t.table.create(t.schema, t.keyColumns, t.nBuckets, t.renameMap))
+  targets.foreach(t => t.table.create(t.schema, t.keyColumns, t.nBuckets,
+    t.renameMap, partialUpdates = t.partialUpdates))
 
   @volatile private var batchStats =
     List.empty[(Long, String, MergeEngine.MergeStats)]

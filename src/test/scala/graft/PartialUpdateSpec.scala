@@ -249,6 +249,13 @@ class PartialUpdateSpec extends SparkSpec {
       updRow.getAs[Seq[String]]("_cols").toSet === Set("id", "val"),
       "the omitted TOAST column must not appear as present")
     assert(updRow.isNullAt(updRow.fieldIndex("content")))
+    // the batch read connector's changes form carries the same presence
+    val viaConnector = spark.read.format("graft-lake")
+      .option("path", t.root).option("changes", "true")
+      .option("fromSnapshot", -1).load()
+    assert(viaConnector.columns.contains("_cols") &&
+      viaConnector.columns.contains("_barrier"))
+    assert(viaConnector.count() === 2)
   }
 
   test("mirror of a partial table converges under TOAST omission and barriers") {
@@ -290,6 +297,43 @@ class PartialUpdateSpec extends SparkSpec {
       if (x == null) Nil else x +: chain(x.getCause)
     assert(chain(e).exists(c =>
       Option(c.getMessage).exists(_.contains("partialUpdates"))))
+  }
+
+  test("e2e: TOAST-omitting generator through the pipeline matches the sequential oracle") {
+    import graft.cli.Main
+    import graft.gen.{ChangeStreamGen, GenConfig}
+    import graft.streaming.{CdcPipeline, TableTarget}
+    val cfg = GenConfig(seed = 91L, nRepos = 10, pathsPerRepo = 4,
+      maxChangesPerTxn = 3, renameAtLsn = 120L, toastOmitUpdates = true)
+    val wal = tmpDir("pu-e2e-wal")
+    ChangeStreamGen.writeSegments(spark, cfg, wal, 200L, txnsPerSegment = 50)
+    val table = new LakeTable(spark, tmpDir("pu-e2e-repos"),
+      maxDeltasPerBucket = 2) // force compactions mid-stream
+    val pipe = new CdcPipeline(spark, wal, tmpDir("pu-e2e-ckpt"),
+      Seq(TableTarget("repos", table, Main.reposSchema, Seq("repo", "path"),
+        4, Main.reposRenameMap, partialUpdates = true)),
+      Set("repos"), maxFilesPerTrigger = Some(1)) // 4 micro-batches
+    pipe.runAvailable()
+    assert(table.currentSnapshot.get.partialUpdates)
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exp = ChangeStreamGen.expectedFinalState(cfg, 200L).map { case (k, ch) =>
+      k -> (ch.commit, ch.lang, Option(ch.content).map(sha))
+    }
+    val got = table.read()
+      .select(col("repo"), col("path"), col("commit"), col("language"),
+        sha2(col("content"), 256))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getString(3), Option(r.getString(4)))).toMap
+    assert(got === exp)
+    // the stream genuinely exercised omission: at least one surviving key's
+    // content predates its last (update) change
+    assert(exp.exists { case (_, (_, _, c)) => c.isEmpty } ||
+      ChangeStreamGen.expectedFinalState(cfg.copy(toastOmitUpdates = false), 200L)
+        .exists { case (k, ch) =>
+          exp.get(k).exists(e => e._3 != Option(ch.content).map(sha)) })
   }
 
   test("replayed batch is a fenced no-op on a partial table") {
