@@ -67,7 +67,7 @@ object PartialBench {
         }
       }
       def checksum(tt: LakeTable): Long = tt.read()
-        .agg(sum(xxhash64(col("repo"), col("path"), col("commit"),
+        .agg(bit_xor(xxhash64(col("repo"), col("path"), col("commit"),
           col("language"), col("content")))).head().getLong(0)
       val (readLocalSec, c1) = timed(checksum(t))
       val shuffleTwin = new LakeTable(spark, root, maxLocalMergeBytesPerBucket = 0L)
