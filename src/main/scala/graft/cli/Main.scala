@@ -121,6 +121,7 @@ object Main {
     "stage" -> Map(
       "wal-dir" -> (true, "staging directory to publish WAL segments into"),
       "txns" -> (false, "synthetic-server transactions to stream (required with --endpoint synthetic; meaningless with jdbc)"),
+      "toast-omit" -> (false, "true = synthetic updates treat content as unchanged TOAST: wal2json omits the column, pgoutput sends the 'u' marker (synthetic endpoint only)"),
       "endpoint" -> (false, "synthetic|jdbc: jdbc binds to a live PostgreSQL via pgjdbc (driver jar required on the classpath; default synthetic)"),
       "host" -> (false, "server host (default localhost)"),
       "port" -> (false, "server port (default 5432)"),
@@ -302,7 +303,9 @@ object Main {
         val nTxns = kv.getOrElse("txns", throw new IllegalArgumentException(
           "--txns is required with --endpoint synthetic")).toLong
         new SyntheticReplicationServer(
-          GenConfig(seed = kv.getOrElse("seed", "42").toLong), nTxns)
+          GenConfig(seed = kv.getOrElse("seed", "42").toLong,
+            toastOmitUpdates = kv.getOrElse("toast-omit", "false").toBoolean),
+          nTxns)
           .connect(conn, slot)
       case other => throw new IllegalArgumentException(
         s"--endpoint must be synthetic|jdbc, got $other")

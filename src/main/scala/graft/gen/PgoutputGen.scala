@@ -44,11 +44,19 @@ object PgoutputGen {
 
   /** The DML message for one change (shared by the v1 and v2 renderings —
     * the same logical stream must produce the same tuples in both). */
-  private def dmlFor(withSize: Boolean, c: ChangeStreamGen.GenChange): Message = {
+  private def dmlFor(cfg: GenConfig, withSize: Boolean,
+                     c: ChangeStreamGen.GenChange): Message = {
+    // unchanged-TOAST: pgoutput's 'u' marker on updates whose content did
+    // not change — the transcoder then OMITS the column, matching
+    // wal2json's behavior and ChangeStreamGen.renderLine under the flag
+    val omit = cfg.toastOmitUpdates && c.kind == "update"
+    val contentV: TupleValue = if (omit) UnchangedToast else TextValue(c.content)
+    val sizeV: TupleValue =
+      if (omit) UnchangedToast else TextValue(c.sizeBytes.toString)
     val newTuple: IndexedSeq[TupleValue] =
       IndexedSeq[TupleValue](TextValue(c.repo), TextValue(c.path),
-        TextValue(c.commit), TextValue(c.lang), TextValue(c.content)) ++
-        (if (withSize) IndexedSeq[TupleValue](TextValue(c.sizeBytes.toString))
+        TextValue(c.commit), TextValue(c.lang), contentV) ++
+        (if (withSize) IndexedSeq[TupleValue](sizeV)
          else IndexedSeq.empty[TupleValue])
     // 'K' tuple: replica-identity columns populated, the rest null
     val keyTuple: IndexedSeq[TupleValue] =
@@ -75,7 +83,7 @@ object PgoutputGen {
     val msgs = scala.collection.mutable.ArrayBuffer.empty[Message]
     msgs += Begin(t.lsn, 1234567L, t.xid)
     if (!lastEra.contains(e)) msgs += relationFor(cfg, t.lsn)
-    t.changes.foreach(c => msgs += dmlFor(e._2, c))
+    t.changes.foreach(c => msgs += dmlFor(cfg, e._2, c))
     msgs += Commit(0, t.lsn, t.lsn + 1, 1234567L)
     (msgs.map(Pgoutput.write).toSeq, e)
   }
@@ -93,7 +101,7 @@ object PgoutputGen {
                           lastEra: Option[Era], changesPerSegment: Int):
       (Seq[Seq[Array[Byte]]], Array[Byte], Era) = {
     val e = era(cfg, t.lsn)
-    val dml: Seq[Message] = t.changes.map(dmlFor(e._2, _))
+    val dml: Seq[Message] = t.changes.map(dmlFor(cfg, e._2, _))
     val groups =
       if (dml.isEmpty) Seq(Seq.empty[Message])
       else dml.grouped(changesPerSegment.max(1)).toSeq

@@ -25,13 +25,18 @@ object Wal2JsonV2Gen {
       s""","identity":[${col("repo", "text", "\"" + escape(c.repo) + "\"")},""" +
         s"""${col("path", "text", "\"" + escape(c.path) + "\"")}]"""
     val body = t.changes.map { c =>
+      // unchanged-TOAST: updates drop content/size_bytes from the action's
+      // columns entirely (absent, not null) — wal2json v2's wire behavior,
+      // keeping the fold BYTE-IDENTICAL to v1 renderLine under the flag
+      val omit = cfg.toastOmitUpdates && c.kind == "update"
       val columns =
         Seq(col("repo", "text", "\"" + escape(c.repo) + "\""),
           col("path", "text", "\"" + escape(c.path) + "\""),
           col("commit", "text", "\"" + c.commit + "\""),
-          col(langCol, "text", "\"" + c.lang + "\""),
-          col("content", "text", "\"" + escape(c.content) + "\"")) ++
-          (if (withSize) Seq(col("size_bytes", "bigint", c.sizeBytes.toString))
+          col(langCol, "text", "\"" + c.lang + "\"")) ++
+          (if (!omit) Seq(col("content", "text", "\"" + escape(c.content) + "\"")) ++
+            (if (withSize) Seq(col("size_bytes", "bigint", c.sizeBytes.toString))
+             else Nil)
            else Nil)
       val tbl = escape(c.table)
       c.kind match {

@@ -208,6 +208,32 @@ class PgoutputSpec extends SparkSpec {
       "the two grammars must yield identical ChangeEvent rows")
   }
 
+  test("PARITY under unchanged-TOAST omission: the 'u' marker folds to wal2json's dropped column") {
+    val cfg = GenConfig(seed = 31L, nRepos = 20, pathsPerRepo = 6,
+      maxChangesPerTxn = 3, addColumnAtLsn = 80L, renameAtLsn = 140L,
+      toastOmitUpdates = true)
+    val n = 200L
+    val wal2json = (0L until n).map(i =>
+      ChangeStreamGen.renderLine(cfg, ChangeStreamGen.txn(cfg, i)))
+    val transcoder = new PgoutputTranscoder
+    var era: Option[PgoutputGen.Era] = None
+    val pgout = (0L until n).flatMap { i =>
+      val t = ChangeStreamGen.txn(cfg, i)
+      val (msgs, e) = PgoutputGen.txnMessages(cfg, t, era)
+      era = Some(e)
+      val lines = msgs.flatMap(m => transcoder.feed(m))
+      assert(lines.size === 1, s"txn $i must fold into exactly one line")
+      lines
+    }
+    assert(decodedRows(pgout) === decodedRows(wal2json),
+      "the two grammars must agree on which columns an update carries")
+    // and the omission really happened: single-change update txns never
+    // name content (multi-change lines may hold an insert beside an update)
+    val updOnly = wal2json.filter(l => l.contains("\"kind\":\"update\"") &&
+      l.indexOf("\"kind\":") == l.lastIndexOf("\"kind\":"))
+    assert(updOnly.nonEmpty && updOnly.forall(!_.contains("\"content\"")))
+  }
+
   test("update without an old tuple derives oldkeys from the new tuple's key columns") {
     val t = new PgoutputTranscoder
     t.feed(Pgoutput.write(Begin(5, 0, 42)))

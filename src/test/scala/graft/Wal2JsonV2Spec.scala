@@ -41,6 +41,18 @@ class Wal2JsonV2Spec extends SparkSpec {
     }
   }
 
+  test("grammar parity under unchanged-TOAST omission stays byte-identical") {
+    val omitCfg = cfg.copy(toastOmitUpdates = true)
+    val tr = new Wal2JsonV2Transcoder
+    (0L until nTxns).foreach { id =>
+      val t = ChangeStreamGen.txn(omitCfg, id)
+      val folded = Wal2JsonV2Gen.txnLines(omitCfg, t).flatMap(tr.feed(_))
+      assert(folded.size === 1, s"txn $id must fold to exactly one line")
+      assert(WalEnvelope.ensureLsn(folded.head, t.lsn) ===
+        ChangeStreamGen.renderLine(omitCfg, t), s"divergence at txn $id")
+    }
+  }
+
   test("value rendering: escaping, numbers, null, nested json") {
     val tr = new Wal2JsonV2Transcoder
     def fold(actions: String*): String =
