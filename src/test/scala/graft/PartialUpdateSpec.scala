@@ -336,6 +336,39 @@ class PartialUpdateSpec extends SparkSpec {
           exp.get(k).exists(e => e._3 != Option(ch.content).map(sha)) })
   }
 
+  test("distributed manifests, rebucket, and additive evolution keep partial semantics") {
+    // distributed-manifest form from the first commit
+    val t = new LakeTable(spark, tmpDir("pu-dm"), manifestThresholdFiles = 0)
+    t.create(schema, Seq("id"), nBuckets = 4, partialUpdates = true)
+    apply(t, Seq(ins(1, 1, 1.0, "KEEP-1"), ins(2, 2, 2.0, "KEEP-2")))
+    apply(t, Seq(upd(3, 1, Some(3.0), None, hasContent = false)))
+    assert(state(t) === Map(1L -> (Some(3.0), Some("KEEP-1")),
+      2L -> (Some(2.0), Some("KEEP-2"))))
+    // bucket-count evolution rewrites FULL rows; coalesce restarts at base
+    MergeEngine.rebucket(t, 8)
+    val snap = t.currentSnapshot.get
+    assert(snap.nBuckets === 8 && snap.partialUpdates,
+      "rebucket must carry the partialUpdates property")
+    assert(state(t) === Map(1L -> (Some(3.0), Some("KEEP-1")),
+      2L -> (Some(2.0), Some("KEEP-2"))))
+    apply(t, Seq(upd(4, 2, Some(9.0), None, hasContent = false)))
+    assert(state(t)(2L) === (Some(9.0), Some("KEEP-2")))
+    // additive evolution: a column first seen mid-stream, then omitted
+    apply(t, Seq(
+      s"""{"lsn":5,"xid":105,"change":[{"kind":"update","schema":"public","table":"t",""" +
+        s""""columnnames":["id","extra"],"columntypes":["bigint","text"],""" +
+        s""""columnvalues":[1,"E1"],""" +
+        s""""oldkeys":{"keynames":["id"],"keytypes":["bigint"],"keyvalues":[1]}}]}"""))
+    apply(t, Seq(upd(6, 1, Some(6.0), None, hasContent = false)))
+    val evolved = t.currentSnapshot.get
+    assert(evolved.schema.fieldNames.contains("extra"))
+    val row1 = t.read().filter(col("id") === 1L).collect().head
+    assert(row1.getAs[Double]("val") === 6.0 &&
+      row1.getAs[String]("content") === "KEEP-1" &&
+      row1.getAs[String]("extra") === "E1",
+      "a mid-stream column must survive later omissions like any other")
+  }
+
   test("replayed batch is a fenced no-op on a partial table") {
     val t = newTable("pu-replay")
     val batch = Seq(ins(1, 1, 1.0, "X"), upd(2, 1, Some(2.0), None, hasContent = false))
