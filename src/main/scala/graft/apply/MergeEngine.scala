@@ -256,7 +256,7 @@ object MergeEngine {
     val rowStruct = struct(col("lsn"), col("seq"), col("kind"),
       col("_bucket"), col("_row"), col("_types"))
     val ordStruct = struct(col("lsn"), col("seq"))
-    val dedupInput =
+    def dedupInput =
       if (saltBuckets <= 0) fresh
       else {
         val salted = fresh
@@ -266,6 +266,15 @@ object MergeEngine {
           .select((keyCols.map(col) :+ col("w.*")).toIndexedSeq: _*)
         salted
       }
+    // explicitly-requested salting is incompatible with the overlay (see
+    // the partial branch below) — say so rather than silently executing a
+    // different plan than the operator tuned for
+    if (snap.partialUpdates && saltBuckets > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"saltBuckets=$saltBuckets ignored on partialUpdates table " +
+          s"${table.root}: the overlay aggregate relies on map-side " +
+          "partial combine instead (two salt partitions of one key would " +
+          "lose per-column ordering)")
     val deduped =
       if (snap.partialUpdates) {
         // PARTIAL-UPDATE tables: column-wise keep-last

@@ -353,7 +353,18 @@ class LakeTable(val spark: SparkSession, val root: String,
     fs.mkdirs(metaDir)
     fs.mkdirs(dataDir)
     currentSnapshot match {
-      case Some(s) => s
+      case Some(s) =>
+        // The SNAPSHOT property governs apply semantics, so reopening a
+        // partial table without the flag is safe (the snapshot wins). The
+        // reverse is the silent-corruption direction: a caller EXPECTING
+        // partial semantics on a full-tuple table would have every
+        // unchanged-TOAST update null the omitted columns — fail loudly.
+        if (partialUpdates && !s.partialUpdates)
+          throw new IllegalStateException(
+            s"table at $root already exists WITHOUT partialUpdates — " +
+              "unchanged-TOAST updates would silently null omitted columns; " +
+              "the property is set at create time and cannot be added later")
+        s
       case None =>
         val s = Snapshot(0L, schema, keyColumns, nBuckets,
           Map.empty, Map.empty, Map.empty, -1L, renameMap, Map.empty,
@@ -1330,12 +1341,14 @@ class LakeTable(val spark: SparkSession, val root: String,
       }.toIndexedSeq: _*)
   }
 
-  /** Raw delta rows — typed keys + the self-describing maps, NOT pivoted
-    * through the schema (the partial-update shuffle merge aggregates the
-    * maps themselves; pivoting first would erase absent-vs-null). */
-  private def readDeltaRaw(files: Seq[String], schema: StructType,
-                           keyColumns: Seq[String]): DataFrame = {
-    val physical = StructType((
+  /** The ONE physical schema of delta parquet files: typed key columns +
+    * the self-describing _row/_types maps + ordering/kind + _barrier
+    * (written only by partial-update tables; elsewhere reads null). Both
+    * delta readers derive from here — a column added to one reader but
+    * not the other would silently read as null. */
+  private def deltaPhysicalSchema(schema: StructType,
+                                  keyColumns: Seq[String]): StructType =
+    StructType((
       keyColumns.map(k => StructField(k, schema(k).dataType)) ++ Seq(
         StructField("_row", MapType(StringType, StringType)),
         StructField("_types", MapType(StringType, StringType)),
@@ -1343,6 +1356,13 @@ class LakeTable(val spark: SparkSession, val root: String,
         StructField("_seq", IntegerType),
         StructField("_kind", StringType),
         StructField("_barrier", BooleanType))).map(_.copy(nullable = true)))
+
+  /** Raw delta rows — typed keys + the self-describing maps, NOT pivoted
+    * through the schema (the partial-update shuffle merge aggregates the
+    * maps themselves; pivoting first would erase absent-vs-null). */
+  private def readDeltaRaw(files: Seq[String], schema: StructType,
+                           keyColumns: Seq[String]): DataFrame = {
+    val physical = deltaPhysicalSchema(schema, keyColumns)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physical)
@@ -1370,16 +1390,7 @@ class LakeTable(val spark: SparkSession, val root: String,
       // with it explicitly: schema inference over parquet footers launches
       // a Spark job at PLAN time — per point lookup, that made every
       // lookup pay a scheduler round-trip before the scan even started.
-      val physical = StructType((
-        keyColumns.map(k => StructField(k, schema(k).dataType)) ++ Seq(
-          StructField("_row", MapType(StringType, StringType)),
-          StructField("_types", MapType(StringType, StringType)),
-          StructField("_lsn", LongType),
-          StructField("_seq", IntegerType),
-          StructField("_kind", StringType),
-          // written only by partial-update tables; elsewhere reads null
-          StructField("_barrier", BooleanType))).map(_.copy(nullable = true)))
-      val df = spark.read.schema(physical)
+      val df = spark.read.schema(deltaPhysicalSchema(schema, keyColumns))
         .parquet(files.map(f => s"$root/$f"): _*)
       val cols = schema.fields.map { f =>
         if (keyColumns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)

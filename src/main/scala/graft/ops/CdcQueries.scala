@@ -500,9 +500,12 @@ object CdcQueries {
        |    ARG_MAX(kind, lsn) AS last_kind
        |  FROM ev GROUP BY user_id),
        |vals AS (
+       |  -- struct-wrapped ARG_MAX: a bare ARG_MAX skips NULL arguments,
+       |  -- which would resurrect an older value past an explicitly-carried
+       |  -- SQL NULL — the engine's contract is explicit-null-WINS
        |  SELECT e.user_id,
-       |    ARG_MAX(e.value, e.lsn) FILTER (WHERE e.has_value) AS value,
-       |    ARG_MAX(e.note, e.lsn) FILTER (WHERE e.has_note) AS note
+       |    (ARG_MAX({'x': e.value}, e.lsn) FILTER (WHERE e.has_value)).x AS value,
+       |    (ARG_MAX({'x': e.note}, e.lsn) FILTER (WHERE e.has_note)).x AS note
        |  FROM ev e JOIN bar b USING (user_id)
        |  WHERE e.kind <> 'delete' AND e.lsn >= b.bar_lsn
        |  GROUP BY e.user_id)

@@ -81,6 +81,18 @@ class PartialUpdateSpec extends SparkSpec {
     assert(!off.currentSnapshot.get.partialUpdates)
   }
 
+  test("requesting partialUpdates on an existing full-tuple table fails loudly") {
+    val t = newTable("pu-mismatch", partial = false)
+    val e = intercept[IllegalStateException] {
+      t.create(schema, Seq("id"), nBuckets = 4, partialUpdates = true)
+    }
+    assert(e.getMessage.contains("partialUpdates"))
+    // the benign direction stays idempotent: the snapshot property wins
+    val p = newTable("pu-mismatch-ok")
+    val again = p.create(schema, Seq("id"), nBuckets = 4) // no flag
+    assert(again.partialUpdates, "reopen without the flag keeps the property")
+  }
+
   test("in-batch: an update omitting the TOASTed column keeps the inserted value") {
     val t = newTable("pu-inbatch")
     apply(t, Seq(
@@ -122,7 +134,11 @@ class PartialUpdateSpec extends SparkSpec {
     // one batch: delete then a PK-CHANGING update moving id 2 -> 1 whose
     // new tuple omits content (unchanged TOAST). The split's synthetic
     // insert at id=1 carries no content; the dead id=1 row's "OLD" must
-    // NOT resurrect through the coalesce.
+    // NOT resurrect through the coalesce. (Known Postgres divergence,
+    // inherent to the wire format: the source row retains id=2's content,
+    // but wal2json/pgoutput never ship it on a PK-changing update without
+    // REPLICA IDENTITY FULL — null is the only honest resolution; see
+    // IMPLEMENTATION.md.)
     apply(t, Seq(
       ins(2, 2, 5.0, "MOVED"),
       del(3, 1),
