@@ -111,7 +111,9 @@ object Main {
       "mirror-root" -> (true, "mirror lake table root (created on first run)"),
       "checkpoint" -> (true, "streaming checkpoint directory (feed offsets)"),
       "from-snapshot" -> (false, "exclusive lower snapshot bound on FIRST run (default -1 = full history)"),
-      "max-snapshots-per-trigger" -> (false, "admission control: source commits per micro-batch")),
+      "max-snapshots-per-trigger" -> (false, "admission control: source commits per micro-batch"),
+      "bootstrap" -> (false, "true = mirror an EXISTING table: clone the source at a pinned snapshot, then follow its feed from there (survives expired early history; the pin is crash-durable)"),
+      "as-of" -> (false, "with --bootstrap: pin this historical source snapshot instead of the current one")),
     "sql" -> Map(
       "table-root" -> (true, "lake table root directory"),
       "query" -> (true, "SQL over the view `t` (the table's merged current state)"),
@@ -700,11 +702,24 @@ object Main {
         val t0 = System.nanoTime()
         var batches = 0
         var applied = 0L
-        val q = graft.streaming.Mirror.follow(spark,
-          kv("source-root"), kv("mirror-root"), kv("checkpoint"),
-          fromSnapshot = kv.get("from-snapshot").map(_.toLong).getOrElse(-1L),
-          maxSnapshotsPerTrigger = kv.get("max-snapshots-per-trigger").map(_.toLong),
-          onBatch = s => { batches += 1; applied += s.appliedKeys })
+        require(!(kv.get("bootstrap").contains("true") && kv.contains("from-snapshot")),
+          "--from-snapshot conflicts with --bootstrap: the bootstrap pin decides " +
+            "the feed's lower bound (use --as-of to pin a historical snapshot)")
+        val q =
+          if (kv.get("bootstrap").contains("true"))
+            // existing-table case: clone at a pinned snapshot + follow from
+            // there (fromSnapshot would either hit the retention horizon or
+            // skip all pre-existing rows)
+            graft.streaming.Mirror.bootstrap(spark,
+              kv("source-root"), kv("mirror-root"), kv("checkpoint"),
+              asOf = kv.get("as-of").map(_.toLong),
+              maxSnapshotsPerTrigger = kv.get("max-snapshots-per-trigger").map(_.toLong),
+              onBatch = s => { batches += 1; applied += s.appliedKeys })
+          else graft.streaming.Mirror.follow(spark,
+            kv("source-root"), kv("mirror-root"), kv("checkpoint"),
+            fromSnapshot = kv.get("from-snapshot").map(_.toLong).getOrElse(-1L),
+            maxSnapshotsPerTrigger = kv.get("max-snapshots-per-trigger").map(_.toLong),
+            onBatch = s => { batches += 1; applied += s.appliedKeys })
         q.awaitTermination()
         val mirror = new LakeTable(spark, kv("mirror-root"))
         val snap = mirror.currentSnapshot.get

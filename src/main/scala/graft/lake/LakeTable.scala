@@ -331,6 +331,13 @@ class LakeTable(val spark: SparkSession, val root: String,
     finally in.close()
   }
 
+  /** Read an immutable meta file published via [[publishImmutableMeta]],
+    * or None if never published. Immutable ⇒ a successful read is final;
+    * there is no torn state to guard (the publish is an atomic move/PUT). */
+  private[graft] def readImmutableMeta(name: String): Option[String] =
+    try Some(readMetaFile(s"meta/$name"))
+    catch { case _: java.io.FileNotFoundException => None }
+
   /** Metadata-read round-trip counter — the observable that makes feed
     * catch-up cost testable (a 10^3-commit range must NOT mean 10^3
     * sequential root reads). Every metadata-file read increments it. */
@@ -926,7 +933,7 @@ class LakeTable(val spark: SparkSession, val root: String,
           d.toSeq.sortBy(_._1).foreach { case (id, files) =>
             val arr = dn.putArray(id.toString); files.foreach(arr.add)
           }
-          if (publishFeedLog(f"feedlog-$first%012d-$last%012d.json",
+          if (publishImmutableMeta(f"feedlog-$first%012d-$last%012d.json",
             mapper.writeValueAsString(n))) written += 1
         }
       }
@@ -935,11 +942,16 @@ class LakeTable(val spark: SparkSession, val root: String,
     written
   }
 
-  /** Publish a feed-log segment: durable tmp write, then move into place.
-    * Readers can never observe a torn segment (local: same-dir move; object
-    * stores: PUT-on-close is atomic; HDFS: rename contract). Losing a race
-    * is fine — the winner's content is byte-identical. */
-  private def publishFeedLog(name: String, content: String): Boolean = {
+  /** Publish an IMMUTABLE meta file (feed-log segments, the mirror
+    * bootstrap marker): durable tmp write, then move into place — FIRST
+    * WRITER WINS, the loser's tmp is discarded and `false` returned so it
+    * can re-read the winner's content. Readers can never observe a torn
+    * file (local: same-dir move; object stores: PUT-on-close is atomic;
+    * HDFS: rename contract). Maintenance never touches these names:
+    * expire deletes only snapshot/feedlog/plan patterns and removeOrphans
+    * sweeps only data/ and meta/manifests/. */
+  private[graft] def publishImmutableMeta(name: String, content: String): Boolean = {
+    if (!fs.exists(metaDir)) fs.mkdirs(metaDir) // pre-create marker writes
     val target = new HPath(metaDir, name)
     if (fs.exists(target)) return false
     val tmp = new HPath(metaDir,

@@ -340,6 +340,42 @@ object CdcQueries {
        |      FROM events) WHERE rn = 1 AND $kindSql <> 'delete'
        |ORDER BY user_id""".stripMargin
 
+  /** BOOTSTRAP replication of an EXISTING, retention-pruned table — the
+    * deployment case plain [[feedMirror]] cannot serve: the source's early
+    * snapshots are EXPIRED before the mirror exists, so a full-history
+    * feed replay would fail at the retention horizon (and following from
+    * "current" would silently skip every pre-existing row).
+    * [[graft.streaming.Mirror.bootstrap]] clones at a pinned snapshot and
+    * follows the feed from there; the post-pin commit then flows through
+    * the same checkpoint. Final state == keep-last over the WHOLE stream,
+    * so the oracle is [[feedMirrorSql]] verbatim. */
+  def mirrorBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val decoded = ChangeDecoder.decode(walLines(spark, dir))
+    val maxId = events(spark, dir).agg(max(col("event_id"))).head().getLong(0)
+    val (c1, c2) = (maxId / 3, 2 * maxId / 3)
+    val t = new graft.lake.LakeTable(spark,
+      graft.util.TempDirs.scratch("graft-cdc-bootsrc"))
+    t.create(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType))), Seq("user_id"), nBuckets = 8)
+    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") <= c1))
+    graft.apply.MergeEngine.applyBatch(t,
+      decoded.filter(col("lsn") > c1 && col("lsn") <= c2))
+    t.expireSnapshots(keepLast = 1) // history below the pin is GONE
+    val mirrorRoot = graft.util.TempDirs.scratch("graft-cdc-bootdst")
+    val ckpt = graft.util.TempDirs.scratch("graft-cdc-bootckpt")
+    graft.streaming.Mirror.bootstrap(spark, t.root, mirrorRoot, ckpt)
+      .awaitTermination()
+    // commits landing AFTER the bootstrap flow through the same checkpoint
+    graft.apply.MergeEngine.applyBatch(t, decoded.filter(col("lsn") > c2))
+    graft.streaming.Mirror.bootstrap(spark, t.root, mirrorRoot, ckpt)
+      .awaitTermination()
+    new graft.lake.LakeTable(spark, mirrorRoot).read()
+      .select(col("user_id"), col("value"))
+      .orderBy("user_id")
+  }
+
   /** Batch READ connector (`spark.read.format("graft-lake")` /
     * `CREATE TEMPORARY VIEW ... USING graft-lake`): the two-commit lake
     * table read back through PURE SQL — current merged state AND `asOf`
@@ -597,6 +633,10 @@ object CdcQueries {
     "cdc_change_feed" -> (changeFeed _, changeFeedSql),
     "cdc_change_feed_streamed" -> (changeFeedStreamed _, changeFeedSql),
     "cdc_feed_mirror" -> (feedMirror _, feedMirrorSql),
+    // bootstrap converges to the SAME final state as the plain mirror —
+    // what it adds is surviving the EXPIRED early history the fixture
+    // forces before the mirror exists
+    "cdc_mirror_bootstrap" -> (mirrorBootstrap _, feedMirrorSql),
     // rebucket converges to the SAME final state as a straight apply, so
     // its oracle is the mirror query's keep-last non-deleted state
     "cdc_rebucket" -> (rebucketState _, feedMirrorSql),

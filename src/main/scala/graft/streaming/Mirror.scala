@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.{Path => HadoopPath}
 import graft.apply.MergeEngine
 import graft.lake.{LakeTable, Snapshot}
 
@@ -187,5 +188,133 @@ object Mirror {
         onBatch(applyFeedBatch(mirror, batch))
       }
       .start()
+  }
+
+  /** The mirror-side marker recording which source snapshot the bootstrap
+    * clone pinned. Lives directly in the mirror's meta/ (immutable,
+    * first-writer-wins publish; no maintenance pass sweeps that name). */
+  private[graft] val BootstrapMarker = "mirror-bootstrap.json"
+
+  private val markerMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def markerJson(sourceRoot: String, id: Long): String = {
+    val n = markerMapper.createObjectNode()
+    n.put("sourceRoot", sourceRoot)
+    n.put("sourceSnapshotId", id)
+    markerMapper.writeValueAsString(n)
+  }
+
+  private def parseMarker(json: String): (String, Long) = {
+    val n = markerMapper.readTree(json)
+    (n.get("sourceRoot").asText(), n.get("sourceSnapshotId").asLong())
+  }
+
+  /**
+   * BOOTSTRAP replication of an EXISTING table — the deployment-common
+   * case [[follow]] alone cannot serve: a long-lived source has expired
+   * its early snapshots, so `fromSnapshot = -1` (feed since creation)
+   * fails loudly at the retention horizon, and `fromSnapshot = current`
+   * would mirror only future commits, silently missing every
+   * pre-existing row.
+   *
+   * The composition: CLONE the source at a pinned snapshot S
+   * ([[LakeTable.cloneTo]] — distributed copy; schema, key columns,
+   * bucket count, `partialUpdates`, and the per-bucket LSN WATERMARKS all
+   * travel), then [[follow]] the feed from `fromSnapshot = S`. Exactly
+   * once across the seam by the same two layers the plain mirror proves:
+   * snapshot-id offsets in the checkpoint above, and the cloned
+   * watermarks fencing any feed overlap below (a replayed row at or
+   * under its bucket's watermark applies as a no-op).
+   *
+   * S is durably recorded in the mirror's meta/ BEFORE the clone starts
+   * (first-writer-wins publish), closing the crash windows:
+   *
+   *  - crash between marker and clone commit → re-run finds the marker
+   *    with no table and redoes the clone at the SAME pinned S (the copy
+   *    overwrites its own torn retry);
+   *  - crash between clone and the first checkpointed batch → re-run
+   *    reads S from the marker, never from the source's (possibly
+   *    advanced) current snapshot — deriving S from "current" here would
+   *    silently skip every commit landed in between;
+   *  - two concurrent bootstrappers → one marker wins, the loser re-reads
+   *    the winner's S and the clone commit itself is fenced, so both race
+   *    toward the identical clone.
+   *
+   * Restart semantics: with the checkpoint present the stream resumes
+   * from its own offsets (the pinned S only seeds the FIRST run). A
+   * mirror root holding a table but NO marker was not made by bootstrap —
+   * refused loudly rather than guessing a lower bound that could skip
+   * commits. If S has been expired at the source before the clone could
+   * complete, the bootstrap fails loudly (re-run with a fresh mirror root
+   * to pin a newer snapshot).
+   *
+   * @param asOf pin a historical source snapshot instead of the current
+   *             one (point-in-time mirror that then catches up); on a
+   *             re-run it must match the already-pinned S.
+   */
+  def bootstrap(spark: SparkSession, sourceRoot: String, mirrorRoot: String,
+                checkpoint: String,
+                asOf: Option[Long] = None,
+                trigger: Trigger = Trigger.AvailableNow(),
+                maxSnapshotsPerTrigger: Option[Long] = None,
+                onBatch: MergeEngine.MergeStats => Unit = _ => ()): StreamingQuery = {
+    val source = new LakeTable(spark, sourceRoot)
+    val mirror = new LakeTable(spark, mirrorRoot)
+    val pinned = ensureBootstrapped(source, mirror, asOf)
+    follow(spark, sourceRoot, mirrorRoot, checkpoint, trigger,
+      fromSnapshot = pinned, maxSnapshotsPerTrigger = maxSnapshotsPerTrigger,
+      onBatch = onBatch)
+  }
+
+  /** Pin S (marker), materialize the clone if absent, return S. Idempotent
+    * across crashes and concurrent bootstrappers — see [[bootstrap]]. */
+  private[graft] def ensureBootstrapped(source: LakeTable, mirror: LakeTable,
+                                        asOf: Option[Long]): Long = {
+    val pinned: (String, Long) = mirror.readImmutableMeta(BootstrapMarker)
+      .map(parseMarker)
+      .getOrElse {
+        if (mirror.exists)
+          throw new IllegalStateException(
+            s"mirror root ${mirror.root} already holds a table but no bootstrap " +
+              "marker — it was not created by bootstrap; use follow() with an " +
+              "explicit fromSnapshot instead")
+        val snap = source.currentRootSnapshot.getOrElse(
+          throw new IllegalArgumentException(s"no source table at ${source.root}"))
+        val id = asOf.getOrElse(snap.snapshotId)
+        mirror.publishImmutableMeta(BootstrapMarker,
+          markerJson(source.root, id)) // losing the race is fine: re-read below
+        mirror.readImmutableMeta(BootstrapMarker).map(parseMarker).getOrElse(
+          throw new IllegalStateException(
+            "bootstrap marker vanished between publish and read-back — retry"))
+      }
+    val (pinnedRoot, pinnedId) = pinned
+    // path-normalized comparison: a clone of table A must never be fed
+    // table B's feed (the watermarks would silently mis-fence)
+    require(new HadoopPath(pinnedRoot).toString == new HadoopPath(source.root).toString,
+      s"mirror ${mirror.root} was bootstrapped from $pinnedRoot, not ${source.root}")
+    asOf.foreach(a => require(a == pinnedId,
+      s"bootstrap already pinned source snapshot $pinnedId; asOf=$a conflicts " +
+        "(delete the mirror root to re-bootstrap at a different snapshot)"))
+    if (!mirror.exists) {
+      try { source.cloneTo(mirror.root, Some(pinnedId)); () }
+      catch {
+        // a concurrent bootstrapper landed the clone first — same pinned S,
+        // identical content; never delete on conflict (lesson 23)
+        case _: graft.lake.CommitConflictException => ()
+        case e: IllegalArgumentException if mirror.exists => ()
+        case e: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"bootstrap snapshot $pinnedId was expired at (or never existed " +
+              s"in) the source before the clone completed — delete " +
+              s"${mirror.root} and re-bootstrap", e)
+      }
+      // belt-and-braces: if the clone somehow did not materialize, failing
+      // here beats follow()'s ensureMirror creating an EMPTY mirror that
+      // would then silently miss every pre-existing row
+      if (!mirror.exists) throw new IllegalStateException(
+        s"bootstrap clone of ${source.root}@$pinnedId did not materialize " +
+          s"at ${mirror.root}")
+    }
+    pinnedId
   }
 }

@@ -274,6 +274,37 @@ class PartialUpdateSpec extends SparkSpec {
     assert(viaConnector.count() === 2)
   }
 
+  test("bootstrap of a partial source survives expired TOAST-omitting history") {
+    val t = newTable("pu-boot-src")
+    apply(t, Seq(ins(1, 1, 1.0, "BIG-1"), ins(2, 2, 2.0, "BIG-2")))
+    apply(t, Seq(upd(3, 1, Some(10.0), None, hasContent = false)))
+    t.expireSnapshots(keepLast = 1)
+    // the feed below the horizon is GONE — and with it the ONLY rows that
+    // ever carried content (every later update omitted it as unchanged
+    // TOAST). No feed replay at any fromSnapshot can recover those values;
+    // only the merged CLONE can supply them — the partial-table case where
+    // bootstrap is not merely convenient but the only correct path.
+    val mirrorRoot = tmpDir("pu-boot-dst")
+    val ckpt = tmpDir("pu-boot-ckpt")
+    graft.streaming.Mirror.bootstrap(spark, t.root, mirrorRoot, ckpt)
+      .awaitTermination()
+    val mirror = new LakeTable(spark, mirrorRoot)
+    assert(mirror.currentSnapshot.get.partialUpdates,
+      "the clone must carry the partialUpdates property")
+    assert(state(mirror) === state(t))
+    assert(state(mirror) === Map(
+      1L -> (Some(10.0), Some("BIG-1")),
+      2L -> (Some(2.0), Some("BIG-2"))))
+    // a post-bootstrap TOAST-omitting update flows through the same
+    // checkpoint as a partial feed row; the overlay must resolve its
+    // absent content from the CLONE's base across the seam
+    apply(t, Seq(upd(4, 2, Some(22.0), None, hasContent = false)))
+    graft.streaming.Mirror.bootstrap(spark, t.root, mirrorRoot, ckpt)
+      .awaitTermination()
+    assert(state(mirror) === state(t))
+    assert(state(mirror)(2L) === ((Some(22.0), Some("BIG-2"))))
+  }
+
   test("mirror of a partial table converges under TOAST omission and barriers") {
     val t = newTable("pu-mirror-src")
     apply(t, Seq(ins(1, 1, 1.0, "BIG-1"), ins(2, 2, 2.0, "BIG-2"),
