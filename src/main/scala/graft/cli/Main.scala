@@ -702,11 +702,16 @@ object Main {
         val t0 = System.nanoTime()
         var batches = 0
         var applied = 0L
-        require(!(kv.get("bootstrap").contains("true") && kv.contains("from-snapshot")),
+        // .toBoolean like every other boolean flag: "True"/"yes" must fail
+        // loudly, never silently fall through to the plain-follow branch
+        val bootstrapFlag = kv.get("bootstrap").exists(_.toBoolean)
+        require(!(bootstrapFlag && kv.contains("from-snapshot")),
           "--from-snapshot conflicts with --bootstrap: the bootstrap pin decides " +
             "the feed's lower bound (use --as-of to pin a historical snapshot)")
+        require(bootstrapFlag || !kv.contains("as-of"),
+          "--as-of requires --bootstrap true (it pins the bootstrap clone's snapshot)")
         val q =
-          if (kv.get("bootstrap").contains("true"))
+          if (bootstrapFlag)
             // existing-table case: clone at a pinned snapshot + follow from
             // there (fromSnapshot would either hit the retention horizon or
             // skip all pre-existing rows)

@@ -942,14 +942,18 @@ class LakeTable(val spark: SparkSession, val root: String,
     written
   }
 
-  /** Publish an IMMUTABLE meta file (feed-log segments, the mirror
-    * bootstrap marker): durable tmp write, then move into place — FIRST
-    * WRITER WINS, the loser's tmp is discarded and `false` returned so it
-    * can re-read the winner's content. Readers can never observe a torn
-    * file (local: same-dir move; object stores: PUT-on-close is atomic;
-    * HDFS: rename contract). Maintenance never touches these names:
-    * expire deletes only snapshot/feedlog/plan patterns and removeOrphans
-    * sweeps only data/ and meta/manifests/. */
+  /** Publish an immutable meta file whose content is BYTE-IDENTICAL across
+    * all possible racers (feed-log segments: content is a pure function of
+    * the name's snapshot range): durable tmp write, then move into place;
+    * the loser's tmp is discarded and `false` returned so it can re-read.
+    * The move is NOT a fencing primitive (rename(2) silently replaces —
+    * lessons 10/12); that is tolerable here ONLY because a replaced winner
+    * is byte-identical. Content that differs per racer (the mirror
+    * bootstrap marker) must go through [[publishFencedMeta]] instead.
+    * Readers can never observe a torn file (local: same-dir move; object
+    * stores: PUT-on-close is atomic; HDFS: rename contract). Maintenance
+    * never touches these names: expire deletes only snapshot/feedlog/plan
+    * patterns and removeOrphans sweeps only data/ and meta/manifests/. */
   private[graft] def publishImmutableMeta(name: String, content: String): Boolean = {
     if (!fs.exists(metaDir)) fs.mkdirs(metaDir) // pre-create marker writes
     val target = new HPath(metaDir, name)
@@ -978,6 +982,47 @@ class LakeTable(val spark: SparkSession, val root: String,
       if (!ok) fs.delete(tmp, false)
       ok
     }
+  }
+
+  /** FENCED immutable-meta publish, for content that is NOT byte-identical
+    * across racers (the mirror bootstrap marker — each racer pins the
+    * source snapshot IT observed): the winner is decided by the same
+    * per-scheme fail-if-exists primitive as snapshot commits (link(2) /
+    * rename-contract / conditional PUT via [[publish]]) — never by
+    * tmp+move, whose rename(2) silently REPLACES the winner and would let
+    * a loser durably re-pin a different id than the committed clone's.
+    * Returns true iff THIS call's content is the published one; on false
+    * the caller re-reads the winner's. Also sweeps this name's stranded
+    * crashed tmps (no other maintenance pass matches them); a LIVE racer
+    * losing its tmp to the sweep just fails its publish and retries —
+    * the same argument as indexFeed's startup sweep. */
+  private[graft] def publishFencedMeta(name: String, content: String): Boolean = {
+    if (!fs.exists(metaDir)) fs.mkdirs(metaDir)
+    listMetaNames()
+      .filter(n => n.startsWith(s".$name.") && n.endsWith(".tmp"))
+      .foreach(n => fs.delete(new HPath(metaDir, n), false))
+    val target = new HPath(metaDir, name)
+    if (fs.exists(target)) return false
+    val tmp = new HPath(metaDir,
+      s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    try { publish(tmp, target, content); true }
+    catch {
+      case _: CommitConflictException => false // a racer won; re-read it
+      case _: java.nio.file.NoSuchFileException => false // racer's sweep took our tmp
+      case _: java.io.IOException => false // rename refused; caller retries
+    }
+  }
+
+  /** The root as its own FileSystem qualifies it — the canonical identity
+    * for cross-invocation comparisons (the raw string differs by scheme
+    * prefix and slash spelling across equivalent spellings of one path). */
+  private[graft] def qualifiedRoot: String = fs.makeQualified(rootPath).toString
+
+  /** Qualify an arbitrary path string the same way (resolved through the
+    * session Hadoop conf of THIS table's Spark session). */
+  private[graft] def qualify(path: String): String = {
+    val p = new HPath(path)
+    p.getFileSystem(sessionConf).makeQualified(p).toString
   }
 
   /**
@@ -1574,13 +1619,16 @@ class LakeTable(val spark: SparkSession, val root: String,
       expectedSnapshotId = -1L)
     } catch {
       // A failed clone must not leave up to a whole table's worth of
-      // unreferenced copies at the target. EXCEPT on a lost commit race:
-      // a racing cloner of the same source copied to the SAME relative
-      // paths — our files ARE the winner's files, deleting them would
-      // destroy a committed clone (the lesson-23 rule: never delete on
-      // conflict).
+      // unreferenced copies at the target. EXCEPT when a committed table
+      // exists there: a racing cloner of the same source copied to the
+      // SAME relative paths — our files ARE the winner's files, deleting
+      // them would destroy a committed clone (the lesson-23 rule: never
+      // delete on conflict). That protection must hold for ANY failure
+      // class, not just CommitConflictException — a loser whose COPY
+      // phase failed (task error) after the winner committed would
+      // otherwise delete the winner's referenced files.
       case e: Throwable =>
-        if (!e.isInstanceOf[CommitConflictException]) {
+        if (!e.isInstanceOf[CommitConflictException] && !target.exists) {
           files.foreach { rel =>
             try target.fs.delete(new HPath(target.rootPath, rel), false)
             catch { case _: Exception => () }

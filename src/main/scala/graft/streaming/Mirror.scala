@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
-import org.apache.hadoop.fs.{Path => HadoopPath}
 import graft.apply.MergeEngine
 import graft.lake.{LakeTable, Snapshot}
 
@@ -270,27 +269,48 @@ object Mirror {
     * across crashes and concurrent bootstrappers — see [[bootstrap]]. */
   private[graft] def ensureBootstrapped(source: LakeTable, mirror: LakeTable,
                                         asOf: Option[Long]): Long = {
-    val pinned: (String, Long) = mirror.readImmutableMeta(BootstrapMarker)
-      .map(parseMarker)
-      .getOrElse {
-        if (mirror.exists)
-          throw new IllegalStateException(
-            s"mirror root ${mirror.root} already holds a table but no bootstrap " +
-              "marker — it was not created by bootstrap; use follow() with an " +
-              "explicit fromSnapshot instead")
-        val snap = source.currentRootSnapshot.getOrElse(
-          throw new IllegalArgumentException(s"no source table at ${source.root}"))
-        val id = asOf.getOrElse(snap.snapshotId)
-        mirror.publishImmutableMeta(BootstrapMarker,
-          markerJson(source.root, id)) // losing the race is fine: re-read below
-        mirror.readImmutableMeta(BootstrapMarker).map(parseMarker).getOrElse(
-          throw new IllegalStateException(
-            "bootstrap marker vanished between publish and read-back — retry"))
+    def readMarker(): Option[(String, Long)] =
+      mirror.readImmutableMeta(BootstrapMarker).map(parseMarker)
+    var pinnedOpt = readMarker()
+    if (pinnedOpt.isEmpty && mirror.exists) {
+      // re-read AFTER observing the table: a concurrent bootstrapper may
+      // have published its marker AND committed its clone between our
+      // first read and the exists check. Marker-before-clone ordering
+      // makes this re-read sufficient: a committed bootstrap clone implies
+      // a durable marker.
+      pinnedOpt = readMarker()
+      if (pinnedOpt.isEmpty)
+        throw new IllegalStateException(
+          s"mirror root ${mirror.root} already holds a table but no bootstrap " +
+            "marker — it was not created by bootstrap; use follow() with an " +
+            "explicit fromSnapshot instead")
+    }
+    val pinned: (String, Long) = pinnedOpt.getOrElse {
+      val snap = source.currentRootSnapshot.getOrElse(
+        throw new IllegalArgumentException(s"no source table at ${source.root}"))
+      val id = asOf.getOrElse(snap.snapshotId)
+      // FENCED publish: racers pin DIFFERENT ids (each read its own
+      // "current"), so first-writer-wins must be real fencing, never
+      // tmp+move (a silent rename-replace would durably re-pin a different
+      // id than the committed clone's). Losing is fine — re-read the
+      // winner's pin; a transiently-refused publish retries.
+      var marker: Option[(String, Long)] = None
+      var attempts = 0
+      while (marker.isEmpty && attempts < 5) {
+        mirror.publishFencedMeta(BootstrapMarker,
+          markerJson(source.qualifiedRoot, id))
+        marker = readMarker()
+        attempts += 1
       }
+      marker.getOrElse(throw new IllegalStateException(
+        s"could not publish or read the bootstrap marker at ${mirror.root} " +
+          s"after $attempts attempts"))
+    }
     val (pinnedRoot, pinnedId) = pinned
-    // path-normalized comparison: a clone of table A must never be fed
-    // table B's feed (the watermarks would silently mis-fence)
-    require(new HadoopPath(pinnedRoot).toString == new HadoopPath(source.root).toString,
+    // FileSystem-qualified comparison (raw strings differ by scheme prefix
+    // and slash spelling for one path): a clone of table A must never be
+    // fed table B's feed — the watermarks would silently mis-fence
+    require(source.qualify(pinnedRoot) == source.qualifiedRoot,
       s"mirror ${mirror.root} was bootstrapped from $pinnedRoot, not ${source.root}")
     asOf.foreach(a => require(a == pinnedId,
       s"bootstrap already pinned source snapshot $pinnedId; asOf=$a conflicts " +

@@ -124,7 +124,7 @@ class MirrorBootstrapSpec extends SparkSpec {
 
     // simulate the narrowest window: marker durable, clone never started
     val mirror = new LakeTable(spark, tmpDir("bcrash2-dst"))
-    assert(mirror.publishImmutableMeta(Mirror.BootstrapMarker,
+    assert(mirror.publishFencedMeta(Mirror.BootstrapMarker,
       s"""{"sourceRoot":"${t.root}","sourceSnapshotId":$pinnedId}"""))
     assert(!mirror.exists)
 
@@ -163,6 +163,39 @@ class MirrorBootstrapSpec extends SparkSpec {
       Mirror.ensureBootstrapped(t, mirror, asOf = Some(pinned + 999))
     }
     assert(e3.getMessage.contains("conflicts"))
+  }
+
+  test("marker publish is fenced: racers with DIFFERENT pins get exactly one winner") {
+    // racers pin the source snapshot THEY observed, so contents differ —
+    // a tmp+move publish would let a loser silently REPLACE the winner's
+    // pin (rename(2) is not a fencing primitive; lessons 10/12)
+    val mirror = new LakeTable(spark, tmpDir("bfence"))
+    val racers = (1 to 4).map { i =>
+      new Thread {
+        @volatile var won = false
+        override def run(): Unit =
+          won = mirror.publishFencedMeta(Mirror.BootstrapMarker,
+            s"""{"sourceRoot":"/src","sourceSnapshotId":$i}""")
+      }
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    assert(racers.count(_.won) === 1, "exactly one publisher may win")
+    val winner = racers.indexWhere(_.won) + 1
+    val content = mirror.readImmutableMeta(Mirror.BootstrapMarker).get
+    assert(content.contains(s""""sourceSnapshotId":$winner"""),
+      "the durable pin must be the WINNER's content, never a replaced loser's")
+  }
+
+  test("equivalent spellings of the source root are accepted (qualified comparison)") {
+    val t = newSource("bqual")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 40)))
+    val mirror = new LakeTable(spark, tmpDir("bqual-dst"))
+    val pin = Mirror.ensureBootstrapped(t, mirror, asOf = None)
+    // same table addressed with an explicit scheme prefix: a raw string
+    // compare would refuse it and steer the operator toward deleting the
+    // mirror root
+    val respelled = new LakeTable(spark, "file:" + t.root)
+    assert(Mirror.ensureBootstrapped(respelled, mirror, asOf = None) === pin)
   }
 
   test("concurrent bootstrappers: one pin wins, both converge on the identical clone") {
