@@ -77,15 +77,75 @@ object MergeEngine {
     * the join path at small scale; every path is semantically identical. */
   private[graft] var watermarkJoinThreshold: Int = 1024
 
-  /** Merge additive columns into the current schema. Types arrive as the
-    * declared wal2json type strings (the engine's Catalyst-driven schema
-    * merge — the north rule's replacement for the reference's per-row JSON
-    * pass-through). */
-  def evolveSchema(current: StructType, observed: Seq[(String, String)]): StructType = {
-    val have = current.fieldNames.toSet
-    val added = observed.filterNot { case (n, _) => have.contains(n) }
-      .map { case (n, t) => StructField(n, pgTypeToSpark(t), nullable = true) }
-    if (added.isEmpty) current else StructType(current.fields ++ added)
+  /** Safe WIDENING lattice for schema evolution: an existing column whose
+    * upstream declared type changed may move only to a type whose parquet
+    * read path still decodes every file written under the old type (Spark
+    * 4 widening reads — INT32 files under a LongType read schema etc.,
+    * verified on both the vectorized and row readers). Chains:
+    * smallint < int < bigint < numeric(38,18); real < double. Returns the
+    * least upper bound, or None when the pair is incomparable (int→text,
+    * bool→int, real→numeric …) — a semantic break that must fail typed,
+    * never be absorbed silently. */
+  private[graft] def widen(a: DataType, b: DataType): Option[DataType] = {
+    if (a == b) return Some(a)
+    def lub(chain: Seq[DataType]): Option[DataType] = {
+      val (ia, ib) = (chain.indexOf(a), chain.indexOf(b))
+      if (ia >= 0 && ib >= 0) Some(chain(math.max(ia, ib))) else None
+    }
+    lub(Seq(ShortType, IntegerType, LongType, DecimalType(38, 18)))
+      .orElse(lub(Seq(FloatType, DoubleType)))
+  }
+
+  /** Evolve the table schema from the batch's observed (column, declared
+    * wal2json type) pairs — the engine's Catalyst-driven schema merge (the
+    * north rule's replacement for the reference's per-row JSON
+    * pass-through). Three cases per observation:
+    *
+    *  - NEW column → appended nullable (additive evolution, unchanged);
+    *  - existing NON-KEY column observed at a STRICTLY WIDER type on the
+    *    [[widen]] lattice (upstream `ALTER COLUMN TYPE int → bigint`) →
+    *    the column widens. Under Spark 4's ANSI-on defaults the old
+    *    behavior was a permanent wedge: the first overflowing value failed
+    *    the cast loudly on every replay and the schema could never follow.
+    *    Every already-written narrow parquet file stays readable under the
+    *    widened explicit read schema (widening reads);
+    *  - a KEY column observed strictly wider → typed
+    *    [[IncompatibleSchemaChangeException]] (deterministic input ⇒
+    *    DataError taxonomy): bucket placement hashes the stored value
+    *    under its type, so old rows would sit in wrong buckets under the
+    *    new hash — that migration needs a full rewrite (clone +
+    *    re-ingest), not a silent schema flip;
+    *  - anything else (same, narrower, or lattice-incomparable) → the
+    *    LAKE type stays authoritative, exactly as before: creation-time
+    *    custom schemas legitimately differ from the WAL's declared types
+    *    (a user-declared STRING over an int column is lossless), values
+    *    cast from their wal2json text form against the lake type, and a
+    *    genuinely unabsorbable value still fails loudly at the ANSI cast.
+    *
+    * Observations may repeat a name at several types (a batch spanning the
+    * upstream migration); the fold resolves them order-independently. */
+  def evolveSchema(current: StructType, observed: Seq[(String, String)],
+                   keyColumns: Seq[String] = Nil): StructType = {
+    val out = scala.collection.mutable.LinkedHashMap(
+      current.fields.map(f => f.name -> f).toIndexedSeq: _*)
+    observed.foreach { case (n, t) =>
+      val obs = pgTypeToSpark(t)
+      out.get(n) match {
+        case None => out(n) = StructField(n, obs, nullable = true)
+        case Some(f) => widen(f.dataType, obs) match {
+          case Some(w) if w != f.dataType => // strictly wider on the lattice
+            if (keyColumns.contains(n)) throw new IncompatibleSchemaChangeException(
+              s"key column '$n' changed declared type " +
+                s"(${f.dataType.simpleString} -> ${obs.simpleString}): bucket " +
+                "placement hashes the stored type, so widening a key needs a " +
+                "full table migration (clone to a fresh table and re-ingest) — " +
+                "refusing to evolve in place")
+            out(n) = f.copy(dataType = w)
+          case _ => () // same / narrower / incomparable: lake type authoritative
+        }
+      }
+    }
+    StructType(out.values.toIndexedSeq)
   }
 
   /**
@@ -378,7 +438,12 @@ object MergeEngine {
       val perBucketMax = statRows.map(r => r._1 -> r._7).toMap
 
       // 6. Schema evolution: additive columns observed in the batch extend
-      //    the table schema (Catalyst-driven schema merge).
+      //    the table schema; an existing column observed at a WIDER
+      //    declared type widens it (Catalyst-driven schema merge). ALL
+      //    distinct (name, type) observations are passed through — a batch
+      //    spanning the upstream type migration legitimately carries a
+      //    column at two types, and collapsing to one arbitrary winner
+      //    here would make the widening era-order-dependent.
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val observed = statRows
         .flatMap(_._8)
@@ -389,9 +454,7 @@ object MergeEngine {
           n.properties().asScala.map(e => (e.getKey, e.getValue.asText()))
         }
         .sortBy(identity).distinct
-        .groupBy(_._1).map { case (n, ps) => (n, ps.head._2) }
-        .toSeq.sortBy(_._1)
-      val schema = evolveSchema(snap.schema, observed)
+      val schema = evolveSchema(snap.schema, observed, snap.keyColumns)
 
       val deltasAfter = snap.bucketDeltas ++ writtenDeltas.map { case (b, fs) =>
         b -> (snap.bucketDeltas.getOrElse(b, Nil) ++ fs)
@@ -768,3 +831,12 @@ object MergeEngine {
     }
   }
 }
+
+/** An observed upstream type change the engine cannot absorb in place: a
+  * KEY-column widening (bucket placement hashes the stored type, so old
+  * rows would land in wrong buckets under the new hash). Deterministic
+  * input — the slot redelivers the same declared types on every retry —
+  * so the supervision taxonomy classifies it DataError (migrate, then
+  * retry), never Transient. */
+final class IncompatibleSchemaChangeException(msg: String)
+  extends IllegalStateException(msg)

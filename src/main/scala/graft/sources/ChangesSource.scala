@@ -187,20 +187,26 @@ class ChangesSource(table: LakeTable, startSchema: StructType,
     val from = start.map(o => snapId(o.asInstanceOf[OffsetV2])).getOrElse(fromSnapshot)
     val to = snapId(end.asInstanceOf[OffsetV2])
     val endSchema = table.snapshotAt(to).schema
-    // Evolution is ADDITIVE (MergeEngine.evolveSchema appends), so every
-    // older snapshot's schema is a PREFIX of every newer one. A batch whose
-    // end era is a prefix of the stream schema replays fine — older deltas
-    // project onto the stream schema with nulls for not-yet-existing
-    // columns. Only an end era NEWER than the stream schema (the table
-    // evolved mid-stream) must fail: replaying it on the stream schema
-    // would silently drop the new columns. This asymmetry is what makes
-    // the "restart" advice actually converge — after a restart the stream
-    // schema is the newest, so every pinned replay batch is a prefix of it
-    // (strict equality would wedge the checkpoint forever if the table
-    // evolved AGAIN between the failure and the restart).
+    // Evolution is ADDITIVE-or-WIDENING (MergeEngine.evolveSchema appends
+    // columns and widens non-key types on the safe parquet lattice), so
+    // every older snapshot's schema is a PREFIX of every newer one, column
+    // by column AT-OR-BELOW the newer type. A batch whose end era is such
+    // a prefix of the stream schema replays fine — older deltas project
+    // onto the stream schema with nulls for not-yet-existing columns and
+    // widening reads for narrower-era files. Only an end era NEWER than
+    // the stream schema (more columns, or a type the stream schema is
+    // narrower than — the table evolved mid-stream) must fail: replaying
+    // it on the stream schema would silently drop columns or overflow
+    // values. This asymmetry is what makes the "restart" advice actually
+    // converge — after a restart the stream schema is the newest, so
+    // every pinned replay batch (including pre-widening eras) is a prefix
+    // of it; strict type equality here would wedge the checkpoint forever
+    // on the first pinned narrow-era batch after a widening restart.
     val isPrefixOfStream = endSchema.fields.length <= startSchema.fields.length &&
       endSchema.fields.zip(startSchema.fields).forall { case (e, s) =>
-        e.name == s.name && e.dataType == s.dataType
+        e.name == s.name && (e.dataType == s.dataType ||
+          graft.apply.MergeEngine.widen(e.dataType, s.dataType)
+            .contains(s.dataType))
       }
     if (!isPrefixOfStream)
       throw new IllegalStateException(
