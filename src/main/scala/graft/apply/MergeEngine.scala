@@ -84,8 +84,10 @@ object MergeEngine {
     * verified on both the vectorized and row readers). Chains:
     * smallint < int < bigint < numeric(38,18); real < double. Returns the
     * least upper bound, or None when the pair is incomparable (int→text,
-    * bool→int, real→numeric …) — a semantic break that must fail typed,
-    * never be absorbed silently. */
+    * bool→int, real→numeric …) — pairs [[evolveSchema]] must NOT absorb by
+    * changing the stored type (float→decimal would silently re-round every
+    * already-written float's exact binary value into decimal(38,18)'s 18
+    * fraction digits on read). */
   private[graft] def widen(a: DataType, b: DataType): Option[DataType] = {
     if (a == b) return Some(a)
     def lub(chain: Seq[DataType]): Option[DataType] = {
@@ -109,23 +111,30 @@ object MergeEngine {
     *    the cast loudly on every replay and the schema could never follow.
     *    Every already-written narrow parquet file stays readable under the
     *    widened explicit read schema (widening reads);
-    *  - a KEY column observed strictly wider → typed
-    *    [[IncompatibleSchemaChangeException]] (deterministic input ⇒
-    *    DataError taxonomy): bucket placement hashes the stored value
-    *    under its type, so old rows would sit in wrong buckets under the
-    *    new hash — that migration needs a full rewrite (clone +
-    *    re-ingest), not a silent schema flip;
-    *  - anything else (same, narrower, or lattice-incomparable) → the
-    *    LAKE type stays authoritative, exactly as before: creation-time
-    *    custom schemas legitimately differ from the WAL's declared types
-    *    (a user-declared STRING over an int column is lossless), values
-    *    cast from their wal2json text form against the lake type, and a
-    *    genuinely unabsorbable value still fails loudly at the ANSI cast.
+    *  - anything else — KEY columns always, plus same / narrower /
+    *    lattice-incomparable observations — the LAKE type stays
+    *    authoritative, exactly as before this feature. Two reasons. (1)
+    *    An observation wider than the lake type is indistinguishable from
+    *    a CREATION-TIME custom schema that deliberately declared the
+    *    column narrower than the WAL does (`run --schema 'id INT' --keys
+    *    id` over a bigint-declared WAL worked before and must keep
+    *    working — acting on the observation would wedge it from batch
+    *    one). (2) A key's stored type feeds the bucket hash, so widening
+    *    it in place would strand every existing row in a wrong bucket.
+    *    A genuinely unabsorbable value still fails loudly at the typed
+    *    ANSI cast (string→int overflow = CAST_INVALID_INPUT, classified
+    *    DataError) — the upstream-key-widening recovery is a manual
+    *    migration (clone to a re-keyed table + re-ingest). Caveat the
+    *    float chain inherits from its pre-existing cast semantics: text
+    *    beyond float/double range saturates to Infinity rather than
+    *    failing (Java parseFloat), so an upstream real→numeric ALTER over
+    *    a float lake column keeps float and saturates — choose the lake
+    *    type for the values you expect, as before.
     *
     * Observations may repeat a name at several types (a batch spanning the
     * upstream migration); the fold resolves them order-independently. */
   def evolveSchema(current: StructType, observed: Seq[(String, String)],
-                   keyColumns: Seq[String] = Nil): StructType = {
+                   keyColumns: Seq[String]): StructType = {
     val out = scala.collection.mutable.LinkedHashMap(
       current.fields.map(f => f.name -> f).toIndexedSeq: _*)
     observed.foreach { case (n, t) =>
@@ -133,15 +142,10 @@ object MergeEngine {
       out.get(n) match {
         case None => out(n) = StructField(n, obs, nullable = true)
         case Some(f) => widen(f.dataType, obs) match {
-          case Some(w) if w != f.dataType => // strictly wider on the lattice
-            if (keyColumns.contains(n)) throw new IncompatibleSchemaChangeException(
-              s"key column '$n' changed declared type " +
-                s"(${f.dataType.simpleString} -> ${obs.simpleString}): bucket " +
-                "placement hashes the stored type, so widening a key needs a " +
-                "full table migration (clone to a fresh table and re-ingest) — " +
-                "refusing to evolve in place")
-            out(n) = f.copy(dataType = w)
-          case _ => () // same / narrower / incomparable: lake type authoritative
+          case Some(w) if w != f.dataType && !keyColumns.contains(n) =>
+            out(n) = f.copy(dataType = w) // strictly wider on the lattice
+          case _ => () // keys / same / narrower / incomparable: lake type
+                       // stays authoritative (see scaladoc)
         }
       }
     }
@@ -831,12 +835,3 @@ object MergeEngine {
     }
   }
 }
-
-/** An observed upstream type change the engine cannot absorb in place: a
-  * KEY-column widening (bucket placement hashes the stored type, so old
-  * rows would land in wrong buckets under the new hash). Deterministic
-  * input — the slot redelivers the same declared types on every retry —
-  * so the supervision taxonomy classifies it DataError (migrate, then
-  * retry), never Transient. */
-final class IncompatibleSchemaChangeException(msg: String)
-  extends IllegalStateException(msg)

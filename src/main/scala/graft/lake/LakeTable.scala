@@ -749,10 +749,16 @@ class LakeTable(val spark: SparkSession, val root: String,
   }
 
   /** @param projectTo read the feed under this (LATER-era) schema instead
-    *        of `toSnapshot`'s own — additive-evolution projection for
-    *        streaming replay: a column absent when a delta was written
-    *        reads as null. Must be a superset of `toSnapshot`'s schema
-    *        (same leading fields); callers enforce that loudly. */
+    *        of `toSnapshot`'s own — evolution projection for streaming
+    *        replay: a column absent when a delta was written reads as
+    *        null, and a column WIDENED since then (type evolution on the
+    *        MergeEngine.widen lattice) reads its narrow-era values under
+    *        the wider type (delta payloads are string maps cast at read;
+    *        typed base/compacted files rely on Spark 4 widening parquet
+    *        reads). Must be a superset of `toSnapshot`'s schema — same
+    *        leading column NAMES, each at a type at-or-above that era's
+    *        on the lattice; callers (ChangesSource.getBatch's prefix
+    *        rule) enforce that loudly. */
   def changes(fromSnapshot: Long, toSnapshot: Long,
               projectTo: Option[StructType] = None): DataFrame = {
     require(fromSnapshot >= -1 && fromSnapshot <= toSnapshot,

@@ -319,11 +319,6 @@ object CdcPipeline {
       c match {
         case _: graft.decode.MalformedBatchException =>
           return FailureKind.DataError
-        // a key-column type widening observed in the WAL is deterministic
-        // (redelivered identically on every retry) and needs a migration,
-        // not a retry budget
-        case _: graft.apply.IncompatibleSchemaChangeException =>
-          return FailureKind.DataError
         // malformed BINARY plugin input (pgoutput codec/transcoder) is as
         // deterministic as malformed wal2json: the slot redelivers the
         // same bytes on every retry — repair-then-retry, never Transient

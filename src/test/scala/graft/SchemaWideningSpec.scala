@@ -3,7 +3,7 @@ package graft
 import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.apply.{IncompatibleSchemaChangeException, MergeEngine}
+import graft.apply.MergeEngine
 import graft.decode.ChangeDecoder
 import graft.lake.LakeTable
 import graft.streaming.{CdcPipeline, Mirror}
@@ -16,9 +16,10 @@ import graft.streaming.{CdcPipeline, Mirror}
  * replay — a permanent wedge with no migration story. Non-key columns now
  * widen along the safe parquet-read lattice (old narrow files stay
  * readable under the widened explicit read schema — Spark 4 widening
- * reads); key columns refuse with a typed error (bucket placement hashes
- * the stored type); everything else keeps the lake type authoritative
- * (creation-time custom schemas legitimately differ from declared types).
+ * reads); keys and non-lattice observations keep the lake type
+ * authoritative (a wider-declared observation is indistinguishable from a
+ * creation-time custom narrow schema, which must keep working; an
+ * actually-unabsorbable value still fails loudly at the ANSI cast).
  */
 class SchemaWideningSpec extends SparkSpec {
   import spark.implicits._
@@ -65,7 +66,7 @@ class SchemaWideningSpec extends SparkSpec {
     assert(MergeEngine.widen(BooleanType, IntegerType) === None)
   }
 
-  test("evolveSchema: widens non-key, refuses key, keeps lake type authoritative otherwise") {
+  test("evolveSchema: widens non-key, keeps keys and non-lattice observations authoritative") {
     val cur = schema
     // non-key widening
     val w = MergeEngine.evolveSchema(cur,
@@ -76,12 +77,13 @@ class SchemaWideningSpec extends SparkSpec {
     val both = MergeEngine.evolveSchema(cur,
       Seq(("v", "bigint"), ("v", "integer")), Seq("id"))
     assert(both("v").dataType === LongType)
-    // key widening refused, typed
-    val e = intercept[IncompatibleSchemaChangeException] {
-      MergeEngine.evolveSchema(cur, Seq(("id", "numeric")), Seq("id"))
-    }
-    assert(e.getMessage.contains("key column 'id'"))
-    assert(CdcPipeline.classify(e) === CdcPipeline.FailureKind.DataError)
+    // KEYS never widen in place — the stored type feeds the bucket hash,
+    // and a wider-declared-than-lake key is indistinguishable from a
+    // creation-time custom narrow key that must keep working
+    val narrowKey = StructType(Seq(
+      StructField("id", IntegerType), StructField("v", IntegerType)))
+    assert(MergeEngine.evolveSchema(narrowKey, Seq(("id", "bigint")), Seq("id"))("id")
+      .dataType === IntegerType)
     // incomparable / narrower: lake type stays authoritative (custom
     // schemas legitimately differ from the WAL's declared types)
     val keep = MergeEngine.evolveSchema(cur,
@@ -97,6 +99,14 @@ class SchemaWideningSpec extends SparkSpec {
     val t = newTable("widen-e2e")
     apply(t, Seq(ins(1, 1, "7", "1.5"), ins(2, 2, "8", "2.5")))
     assert(t.currentSnapshot.get.schema("v").dataType === IntegerType)
+    // force the narrow era into TYPED base parquet (INT32/FLOAT physical
+    // columns) BEFORE the widening: the whole safety claim is that Spark
+    // 4's widening parquet reads decode those files under the widened
+    // schema — narrow rows left in delta string-maps would never exercise
+    // it (string casts hide a reader regression)
+    MergeEngine.compactAll(t)
+    assert(t.currentSnapshot.get.bucketDeltas.values.forall(_.isEmpty),
+      "precondition: narrow rows must live in typed base files")
 
     // the migration batch: declared types widen AND a value overflows int32
     apply(t, Seq(
@@ -126,17 +136,31 @@ class SchemaWideningSpec extends SparkSpec {
       1L -> ((3000000000L, 1e40)), 2L -> ((10L, 4.5)), 3L -> ((9L, 3.5))))
   }
 
-  test("key-column widening fails typed at apply; the table is untouched") {
-    val t = newTable("widen-key")
-    apply(t, Seq(ins(1, 1, "7", "1.5")))
+  test("a creation-time NARROW custom key over a wider-declared WAL keeps working; a real key overflow fails loudly") {
+    // `run --schema 'id INT, ...' --keys id` against a WAL declaring id
+    // bigint worked before type widening existed and must keep working:
+    // keys never evolve from observations (the stored type feeds the
+    // bucket hash), the lake type stays authoritative
+    val narrow = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("v", IntegerType),
+      StructField("f", FloatType)))
+    val t = newTable("widen-narrowkey", s = narrow)
+    apply(t, Seq(ins(1, 1, "7", "1.5"), ins(2, 2, "8", "2.5")))
+    assert(t.currentSnapshot.get.schema("id").dataType === IntegerType,
+      "the key must not evolve from the wider declared type")
+    assert(t.read().count() === 2)
+
+    // an ACTUALLY overflowing key value cannot be absorbed — it fails
+    // loudly at the typed ANSI key cast and classifies DataError (the
+    // upstream-key-widening migration is clone + re-ingest, never a
+    // silent in-place flip that would strand rows in wrong buckets)
     val before = t.currentSnapshot.get.snapshotId
     val e = intercept[Exception] {
-      apply(t, Seq(upd(2, 1, "8", "2.5", "integer", "real", tid = "numeric")))
+      apply(t, Seq(ins(3, 3000000000L, "9", "3.5")))
     }
-    def chain(x: Throwable): Seq[Throwable] =
-      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).toSeq
-    assert(chain(e).exists(_.isInstanceOf[IncompatibleSchemaChangeException]),
-      s"expected IncompatibleSchemaChangeException in: $e")
+    assert(CdcPipeline.classify(e) === CdcPipeline.FailureKind.DataError,
+      s"key overflow must classify DataError, got: $e")
     assert(t.currentSnapshot.get.snapshotId === before, "no partial commit")
   }
 
