@@ -54,6 +54,66 @@ object CdcQueries {
       )).as("change"))).as("value"))
   }
 
+  /** TYPE-WIDENING evolution under the driver's gate: the first half of
+    * the stream declares `cnt` as INTEGER (values fit int32) and is
+    * applied + FULLY COMPACTED — so the narrow era lives in typed INT32
+    * base parquet, not delta string-maps — then the second half declares
+    * `cnt` BIGINT with values past 2^31 (the upstream `ALTER COLUMN TYPE`
+    * moment). The schema widens in place, Spark 4's widening parquet
+    * reads decode the INT32 files under the LongType read schema, and
+    * DuckDB recomputes the keep-last state with BIGINT arithmetic. */
+  def schemaWidening(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ev = events(spark, dir).withColumn("kind", kindCol)
+    val split = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+    def lines(narrow: Boolean) = {
+      val part =
+        if (narrow) ev.filter(col("event_id") <= split)
+        else ev.filter(col("event_id") > split)
+      val declared = if (narrow) "integer" else "bigint"
+      val cnt =
+        if (narrow) (col("event_id") % 1000000).cast("string")
+        else (col("event_id") + 3000000000L).cast("string")
+      part.select(to_json(struct(
+        col("event_id").as("lsn"),
+        (col("event_id") + 3000000000L).as("xid"),
+        array(struct(
+          col("kind"), lit("public").as("schema"), lit("t").as("table"),
+          when(col("kind") =!= "delete",
+            array(lit("user_id"), lit("cnt"))).as("columnnames"),
+          when(col("kind") =!= "delete",
+            array(lit("bigint"), lit(declared))).as("columntypes"),
+          when(col("kind") =!= "delete",
+            array(col("user_id").cast("string"), cnt)).as("columnvalues"),
+          when(col("kind") =!= "insert", struct(
+            array(lit("user_id")).as("keynames"),
+            array(lit("bigint")).as("keytypes"),
+            array(col("user_id").cast("string")).as("keyvalues"))).as("oldkeys")
+        )).as("change"))).as("value"))
+    }
+    val t = new graft.lake.LakeTable(spark,
+      graft.util.TempDirs.scratch("graft-cdc-widen"))
+    t.create(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("cnt", IntegerType))), Seq("user_id"), nBuckets = 8)
+    graft.apply.MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(narrow = true)))
+    graft.apply.MergeEngine.compactAll(t) // narrow era into TYPED INT32 base files
+    graft.apply.MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(narrow = false)))
+    t.read().select(col("user_id"), col("cnt")).orderBy("user_id")
+  }
+
+  val schemaWideningSql: String =
+    s"""WITH ranked AS (
+       |  SELECT user_id,
+       |    CAST(CASE WHEN event_id <= (SELECT CAST(max(event_id) // 2 AS BIGINT) FROM events)
+       |      THEN event_id % 1000000
+       |      ELSE event_id + 3000000000 END AS BIGINT) AS cnt,
+       |    $kindSql AS kind,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+       |  FROM events)
+       |SELECT user_id, cnt FROM ranked WHERE rn = 1 AND kind <> 'delete'
+       |ORDER BY user_id""".stripMargin
+
   /** O4+O7: serialize -> decode roundtrip through the real ChangeDecoder. */
   def decodeRoundtrip(spark: SparkSession, dir: String): DataFrame =
     ChangeDecoder.decode(walLines(spark, dir))
@@ -641,6 +701,7 @@ object CdcQueries {
     // its oracle is the mirror query's keep-last non-deleted state
     "cdc_rebucket" -> (rebucketState _, feedMirrorSql),
     "cdc_partial_update" -> (partialUpdateState _, partialUpdateSql),
+    "cdc_schema_widening" -> (schemaWidening _, schemaWideningSql),
     "cdc_lineage_stats" -> (lineageStats _, lineageStatsSql),
     "cdc_bucket_watermarks" -> (bucketWatermarks _, bucketWatermarksSql),
     "cdc_txn_elision" -> (txnElision _, txnElisionSql),
