@@ -17,6 +17,13 @@ object CdcQueries {
   private def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
 
+  /** The decode/transcode fixtures pay heavy per-row work (JSON render +
+    * parse, binary transcode) — the one profile the input-size-adaptive
+    * spread (Tables.read) was measured to help; plain aggregation queries
+    * over `events` stay on the bare scan (spread measured slower there). */
+  private def eventsSpread(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "events", spread = true)
+
   private val kindCol = when(col("event_type") === "signup", "insert")
     .when(col("event_type") === "error", "delete")
     .otherwise("update")
@@ -30,7 +37,7 @@ object CdcQueries {
   /** Render each event as a wal2json line (reference O7, serialize) —
     * the JSON then goes through the real decoder (O4). */
   private def walLines(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
+    val ev = eventsSpread(spark, dir)
       .withColumn("kind", kindCol)
       .withColumn("tbl", tblCol)
     ev.select(to_json(struct(
@@ -143,7 +150,7 @@ object CdcQueries {
     import spark.implicits._
     import graft.decode.Pgoutput
     import graft.decode.Pgoutput._
-    val lines = events(spark, dir)
+    val lines = eventsSpread(spark, dir)
       .withColumn("kind", kindCol)
       .withColumn("tbl", tblCol)
       .select(col("event_id"), col("kind"), col("tbl"), col("user_id"),
@@ -209,7 +216,7 @@ object CdcQueries {
     * oracle is IDENTICAL for all four decode queries. */
   def decodeWal2JsonV2(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lines = events(spark, dir)
+    val lines = eventsSpread(spark, dir)
       .withColumn("kind", kindCol)
       .withColumn("tbl", tblCol)
       .select(col("event_id"), col("kind"), col("tbl"), col("user_id"),
@@ -546,7 +553,7 @@ object CdcQueries {
       StructField("value", DoubleType),
       StructField("note", StringType))), Seq("user_id"), nBuckets = 8,
       partialUpdates = true)
-    val ev = events(spark, dir)
+    val ev = eventsSpread(spark, dir)
       .withColumn("kind", kindCol)
       .withColumn("note", concat(lit("n"), col("event_id")))
       .withColumn("has_value", col("kind") === "insert" || col("event_id") % 2 === 0)

@@ -25,7 +25,7 @@ import TextOps.{md5Long, md5LongSql}
 object DedupOps {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    Tables.read(spark, dir, "documents", spread = true) // md5/shingle-heavy
 
   /** Reclaim a localCheckpoint'd frame's storage immediately. The blocks
     * are the ONLY copy (checkpointing truncated the lineage), so this is
@@ -65,6 +65,22 @@ object DedupOps {
     * docs are dropped BEFORE the self-join (f docs => f^2 candidate rows). */
   val ShingleCap = 50
 
+  /** Shingles HASHED to 64-bit longs inside the gram array (xxhash64,
+    * whole-stage-codegen'd), distinct taken over the hashes: the Jaccard
+    * pipeline only ever EQUATES grams — it never emits one — so an
+    * 8-byte key replaces a ~30-byte string through the window exchange,
+    * the window sort, and the self-join probe (guide §2.3 "narrower
+    * types"). Distinct-by-hash == distinct-by-string up to a 64-bit
+    * collision (~n^2/2^65; the DuckDB oracle compares the string-keyed
+    * result at every scale factor, so a collision would fail loudly).
+    * The minhash family is NOT routed through this: its sketch is
+    * defined over md5(g) and must stay oracle-exact. */
+  private def hashedShingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(Shingles.grams(col("text"), N), g => xxhash64(g)))).as("gh"))
+
   private def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
     // document frequency as a whole-partition window over g rather than a
     // separate aggregate + anti-join: the window's hashpartitioning(g) is
@@ -79,8 +95,8 @@ object DedupOps {
     // the corpus, because the agg variant re-derives the shingling twice
     // and pays two extra exchanges. Kept as the default; the agg variant
     // is the escape hatch for corpora with 10^8-doc boilerplate.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-    shingled(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    hashedShingles(spark, dir)
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= ShingleCap)
       .drop("df")
@@ -91,11 +107,11 @@ object DedupOps {
     * aggregation absorbs the hot posting list per map task), at the price
     * of re-deriving the shingle list and two more exchanges. */
   private[graft] def cappedShinglesAgg(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-    val hot = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val sh = hashedShingles(spark, dir)
+    val hot = sh.groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleCap)
-      .select(col("g"))
-    sh.join(hot, Seq("g"), "left_anti")
+      .select(col("gh"))
+    sh.join(hot, Seq("gh"), "left_anti")
   }
 
   private val cappedShinglesSql: String =
@@ -119,7 +135,7 @@ object DedupOps {
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
-    val pairs = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+    val pairs = a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -153,24 +169,34 @@ object DedupOps {
   private def aCoef(j: Int): Long = 37L + 2L * j
   private def bCoef(j: Int): Long = 101L * j + 13L
 
+  /** All K per-doc minhashes in ONE map-side-combined aggregation over the
+    * shingle rows — (doc_id, _m0.._m7) — shared by [[minhashSignature]] and
+    * [[minhashLsh]]. The previous shape exploded every shingle row K ways
+    * (K x row blowup through the first exchange) and then needed a SECOND
+    * exchange to band; K parallel min-aggregates evaluate the same seeded
+    * hashes as plain projections per input row, shuffle only n_docs rows,
+    * and leave banding a per-row projection. hj = pmod(a_j * h0 + b_j, P)
+    * exactly as before (h0 < P ~ 1e6, a_j <= 51: no overflow). */
+  private def minhashCols(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), pmod(md5Long(col("g")), lit(P)).as("h0"))
+    val aggs = Seq.range(0, K).map(j =>
+      min(pmod(lit(aCoef(j)) * col("h0") + lit(bCoef(j)), lit(P))).as(s"_m$j"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /**
    * MinHash signatures: for each doc and each of K seeded linear hashes over
    * the shingle md5-hash, the minimum value — an unbiased Jaccard sketch.
+   * (Computed as K parallel aggregates, unpivoted to the (doc_id, j,
+   * minhash) contract rows AFTER the aggregation — n_docs x K tiny rows.)
    */
-  def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-      .withColumn("h0", pmod(md5Long(col("g")), lit(P)))
-    val withJ = sh.select(col("doc_id"), col("h0"),
-      explode(sequence(lit(0), lit(K - 1))).as("j"))
-    val aMap = map(Seq.range(0, K).flatMap(j => Seq(lit(j), lit(aCoef(j)))): _*)
-    val bMap = map(Seq.range(0, K).flatMap(j => Seq(lit(j), lit(bCoef(j)))): _*)
-    withJ
-      .withColumn("hj", pmod(element_at(aMap, col("j")) * col("h0")
-        + element_at(bMap, col("j")), lit(P)))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("hj")).as("minhash"))
+  def minhashSignature(spark: SparkSession, dir: String): DataFrame =
+    minhashCols(spark, dir)
+      .select(col("doc_id"),
+        posexplode(array(Seq.range(0, K).map(j => col(s"_m$j")): _*))
+          .as(Seq("j", "minhash")))
       .orderBy("doc_id", "j")
-  }
 
   val minhashSignatureSql: String = {
     val aCase = Seq.range(0, K).map(j => s"WHEN $j THEN ${aCoef(j)}").mkString(" ")
@@ -188,13 +214,17 @@ object DedupOps {
    * signature is the blocking key — the join never goes all-pairs.
    */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignature(spark, dir)
-    val banded = sig
-      .withColumn("band", expr("j div 2"))
-      .withColumn("piece", when(pmod(col("j"), lit(2)) === 0,
-        col("minhash") * P).otherwise(col("minhash")))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(sum(col("piece")).as("sig"))
+    // band signature m_{2b} * P + m_{2b+1} as a per-row projection over the
+    // K aggregated minhash columns (identical to the old sum-of-pieces per
+    // (doc, band): even piece = minhash * P, odd piece = minhash) — no
+    // second aggregation, no K x row explode before the exchange
+    val bandStructs = Seq.range(0, K / 2).map { b =>
+      struct(lit(b).as("band"),
+        (col(s"_m${2 * b}") * P + col(s"_m${2 * b + 1}")).as("sig"))
+    }
+    val banded = minhashCols(spark, dir)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
         && col("a.doc_id") < col("b.doc_id"))
@@ -226,11 +256,14 @@ object DedupOps {
    */
   def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
     val cands = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
-    val sh = shingled(spark, dir)
+    // exact-verification intersections only EQUATE grams — the hashed
+    // shingles (8-byte join key) replace the string grams here just as in
+    // the Jaccard pipeline; sizes count the same distinct sets
+    val sh = hashedShingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("g"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("g"))
-    val pairGrams = cands.join(a, "doc_a").join(b, Seq("doc_b", "g"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("gh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("gh"))
+    val pairGrams = cands.join(a, "doc_a").join(b, Seq("doc_b", "gh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairGrams
@@ -279,8 +312,15 @@ object DedupOps {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint() // computed once; reused every round
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("canon", col("doc_id"))
+    // Init = identity FOLDED WITH the first propagation round: every vertex
+    // starts at min(self, min(neighbors)) — one aggregation over the edge
+    // list, the same cost as the old distinct() identity init, but one full
+    // propagation round (join + agg + checkpoint action) cheaper to the
+    // identical fixpoint (dup cliques now converge at init; the loop's
+    // first pass just verifies). Vertex set unchanged: distinct doc_a.
+    var labels = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("_mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("_mn")).as("canon"))
       .localCheckpoint()
     // One cheap pre-loop count over the already-materialized frontier: a
     // zero-row frontier must skip the loop entirely, because AQE's
@@ -365,22 +405,29 @@ object DedupOps {
    */
   private val SIMBITS = 16
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = docs(spark, dir)
+    // SIMBITS parallel signed-sum aggregates per doc instead of exploding
+    // every token row SIMBITS ways and aggregating twice: the per-bit
+    // contribution is a projection of the token hash, so ONE map-side-
+    // combined aggregation computes all 16 sums (16x fewer rows through
+    // the pipeline, one exchange instead of two). simhash and n_bits are
+    // then per-row arithmetic over the sums: the old second aggregation
+    // summed shiftleft(1,b) over exactly the SIMBITS (doc,b) rows every
+    // doc with >= 1 token has, so n_bits == SIMBITS identically.
+    val tok = Tables.read(spark, dir, "documents") // plain read: simhash's
+      // per-row work (short-token md5) measured too light to repay the
+      // spread exchange the shingle-heavy queries want
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("t"))
-      .withColumn("h", md5Long(col("t")))
-    tok.select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(SIMBITS - 1))).as("b"))
-      .withColumn("contrib",
-        when(expr("shiftright(h, cast(b as int))").bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(cast(1 as bigint), cast(b as int))"))
-        .otherwise(0L)).as("simhash"),
-        count(lit(1)).as("n_bits"))
+      .select(col("doc_id"), md5Long(col("t")).as("h"))
+    val sums = Seq.range(0, SIMBITS).map(b =>
+      sum(when(expr(s"shiftright(h, $b)").bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"_s$b"))
+    tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        Seq.range(0, SIMBITS).map(b =>
+          when(col(s"_s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"),
+        lit(SIMBITS.toLong).as("n_bits"))
       .orderBy("doc_id")
   }
 

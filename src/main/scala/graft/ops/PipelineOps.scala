@@ -24,12 +24,14 @@ object PipelineOps {
   val QualityMinBp = 2400
 
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    val quality = TextOps.qualityScore(spark, dir)
-      .select(col("doc_id"), col("n_tok"), col("quality_bp"))
-    val lang = TextOps.langId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    // quality + lang-id are pure per-row projections over the same rows:
+    // TextOps.qualityLang computes both in ONE scan (the old
+    // quality.join(lang) paid a second documents scan, the tokenization
+    // twice, and a join exchange for values derivable per row)
+    val gates = TextOps.qualityLang(spark, dir)
     val canon = DedupOps.clusterCanonical(spark, dir)
       .select(col("doc_id"), col("is_canonical"))
-    quality.join(lang, "doc_id").join(canon, "doc_id")
+    gates.join(canon, "doc_id")
       .filter(col("pred_lang") === "en" &&
         col("quality_bp") >= QualityMinBp && col("is_canonical") === 1)
       .select(col("doc_id"), col("n_tok"), col("quality_bp"))

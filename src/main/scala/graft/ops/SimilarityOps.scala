@@ -148,16 +148,20 @@ object SimilarityOps {
    * Bucket-equal vectors are ANN candidates — candidate generation becomes
    * an equi-join on `bucket`, the scale path for 10^10 rows.
    */
-  private def lshBuckets(q: DataFrame): DataFrame =
-    q.select(col("vec_id"), col("idx"), col("q"),
-        explode(sequence(lit(0), lit(7))).as("j"))
-      .withColumn("r", pmod(col("idx") * 31 + col("j") * 17, lit(7)) - 3)
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("q") * col("r")).as("dotj"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("dotj") > 0,
-        expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L))
-        .as("bucket"))
+  private def lshBuckets(q: DataFrame): DataFrame = {
+    // 8 parallel hyperplane-dot aggregates per vector instead of exploding
+    // every component row 8 ways and aggregating twice (8x fewer rows
+    // through the pipeline, ONE exchange instead of two); the bucket bits
+    // are then per-row arithmetic over the 8 sums — identical values
+    val dots = Seq.range(0, 8).map(j =>
+      sum(col("q") * (pmod(col("idx") * 31 + lit(j * 17), lit(7)) - 3))
+        .as(s"_d$j"))
+    q.groupBy(col("vec_id")).agg(dots.head, dots.tail: _*)
+      .select(col("vec_id"),
+        Seq.range(0, 8).map(j =>
+          when(col(s"_d$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
+  }
 
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
     lshBuckets(quantized(spark, dir)).orderBy("vec_id")
@@ -183,7 +187,16 @@ object SimilarityOps {
     val n = norms(q)
     val a = q.select(col("label"), col("idx"), col("vec_id").as("va"), col("q").as("qa"))
     val b = q.select(col("label"), col("idx"), col("vec_id").as("vb"), col("q").as("qb"))
-    val dots = a.join(b, Seq("label", "idx"))
+    // pin the probe side's clustering on the BLOCKING KEY alone: the dots
+    // join fans every (label,idx) block out to n^2 products, so its cost is
+    // per-ROW fan-out, not bytes — without the pin the whole product +
+    // partial-agg ran as ONE task (byte-based AQE coalescing / broadcast
+    // probe inheriting the single scan split). label-only clustering keeps
+    // every (va,vb) pair's partial sum WITHIN one task (pinning on
+    // (label,idx) was measured to multiply the partial-agg output by the
+    // partition count — each pair's sum split across every idx partition).
+    val dots = Tables.pinned(a, col("label"))
+      .join(b, Seq("label", "idx"))
       .filter(col("va") < col("vb"))
       .groupBy(col("label"), col("va"), col("vb"))
       .agg(sum(col("qa") * col("qb")).as("dot"))
@@ -224,7 +237,11 @@ object SimilarityOps {
     val qb = q.join(lshBuckets(q), "vec_id")
     val a = qb.select(col("bucket"), col("idx"), col("vec_id").as("va"), col("q").as("qa"))
     val b = qb.select(col("bucket"), col("idx"), col("vec_id").as("vb"), col("q").as("qb"))
-    val dots = a.join(b, Seq("bucket", "idx"))
+    // same probe-side pin as the label-blocked variant (blocking key only —
+    // see embeddingNearDup): product fan-out is per-row cost, byte-based
+    // coalescing would serialize it
+    val dots = Tables.pinned(a, col("bucket"))
+      .join(b, Seq("bucket", "idx"))
       .filter(col("va") < col("vb"))
       .groupBy(col("bucket"), col("va"), col("vb"))
       .agg(sum(col("qa") * col("qb")).as("dot"))

@@ -122,11 +122,17 @@ object TextOps {
    * 5-word shingles — a stable content fingerprint robust to local edits.
    */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    docs(spark, dir)
+    // spread: the per-row work (shingle + md5 per gram) is the md5-heavy
+    // profile the input-size-adaptive redistribution was measured to help
+    Tables.read(spark, dir, "documents", spread = true)
       .select(col("doc_id"), explode(Shingles.grams(col("text"), 5)).as("g"))
+      // hash ONCE per gram in a projection; min and max aggregate the same
+      // column (feeding md5Long(g) to both aggregates evaluated the md5
+      // twice per row — the dominant per-row cost of this query)
+      .select(col("doc_id"), md5Long(col("g")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(min(md5Long(col("g"))).as("fp_min"),
-        max(md5Long(col("g"))).as("fp_max"),
+      .agg(min(col("h")).as("fp_min"),
+        max(col("h")).as("fp_max"),
         count(lit(1)).as("n_shingles"))
       .orderBy("doc_id")
   }
@@ -138,6 +144,35 @@ object TextOps {
        |  SELECT doc_id, unnest(${Shingles.gramsSql("text", 5)}) AS g
        |  FROM documents)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** ONE-SCAN fusion of the quality and lang-id gates for the pipeline
+    * composition: both are pure per-row projections over `text`, so
+    * computing them in a single select replaces the old
+    * quality.join(lang, "doc_id") — two scans of `documents`, the
+    * tokenize/split work done twice, plus a join exchange — with zero
+    * joins. The expressions are the SAME ones [[qualityScore]] and
+    * [[langId]] use, so the values are identical by construction (and the
+    * composition's DuckDB oracle still computes the two gates as separate
+    * relational subqueries). */
+  private[ops] def qualityLang(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scores = langMarkers.map { case (lg, ms) =>
+      size(filter(toks, t => t.isin(ms: _*))).cast("long").as(s"score_$lg")
+    }
+    val sortedLangs = langMarkers.map(_._1).sorted
+    val pred = sortedLangs.init.foldRight(lit(sortedLangs.last)) { (lg, els) =>
+      when(col(s"score_$lg") === col("best"), lit(lg)).otherwise(els)
+    }
+    docs(spark, dir)
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("n_stop", size(filter(toks, t => t.isin(stopwords: _*))).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .select((Seq(col("doc_id"), col("n_tok"),
+        expr("((n_distinct * 10000) div n_tok + (n_stop * 10000) div n_tok) div 2")
+          .as("quality_bp")) ++ scores): _*)
+      .withColumn("best", greatest(langMarkers.map { case (lg, _) => col(s"score_$lg") }: _*))
+      .select(col("doc_id"), col("n_tok"), col("quality_bp"), pred.as("pred_lang"))
+  }
 
   /**
    * Vocabulary building: global token frequencies, top-50 with a
