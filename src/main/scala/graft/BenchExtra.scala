@@ -59,8 +59,12 @@ object BenchExtra {
     spark.sparkContext.addSparkListener(counters)
 
     val queries = SparkEntry.queries
-    val names = Bench.headline.filter(queries.contains)
-      .filter(n => only.forall(_.contains(n)))
+    // default: the headline set; an explicit list may name ANY declared
+    // query (plan capture for untimed-but-restructured queries)
+    val names = only match {
+      case Some(set) => set.toSeq.sorted.filter(queries.contains)
+      case None => Bench.headline.filter(queries.contains)
+    }
     Files.createDirectories(Paths.get("plans/r06"))
 
     def noop(name: String): Unit = {
