@@ -38,6 +38,18 @@ import graft.lake.LakeTable
  * fails loudly at resolution (the pinned name no longer exists) — the same
  * fail-loud-then-recreate policy the streaming feed source uses.
  *
+ * Two further freshness caveats on a CONTINUOUSLY-INGESTING table (same
+ * recreate-the-view remedy): a TYPE WIDENING landing between view creation
+ * and scan makes the scan produce the widened values under the pinned
+ * narrower relation schema (a runtime row-conversion error, loud — never a
+ * silent truncation); and two scan nodes over one relation in one query
+ * (e.g. a self-join) each resolve the table's state at their own scan
+ * time, so a commit landing between them can yield a torn read across the
+ * two sides. Point-in-time consistency is available today by pinning
+ * `asOf` explicitly (`OPTIONS (asOf '<id>')` — both scans then share one
+ * snapshot); making the default path self-pin at first scan is future
+ * work, noted in OPTIMIZATION_r06.md's residual list.
+ *
  * The V1 relation
  * seam re-applies every filter above the scan (`unhandledFilters` default),
  * so a partially translatable predicate is forwarded best-effort and never
@@ -144,7 +156,14 @@ class LakeHistoryRelation(override val sqlContext: SQLContext,
     val cur = table.currentSnapshotId.getOrElse(throw new IllegalArgumentException(
       s"graft-lake read: no table at ${table.root}"))
     val rows = (cur to math.max(0L, cur - limit + 1) by -1L)
-      .flatMap(id => scala.util.Try(table.snapshotAt(id)).toOption)
+      .flatMap { id =>
+        // EXPIRED ids legitimately vanish from history (FileNotFound);
+        // anything else — corrupt snapshot JSON, transient IO — must
+        // propagate loudly, not read as "expired" (fail-loud policy; a
+        // blanket Try(...).toOption silently hid real corruption here)
+        try Some(table.snapshotAt(id))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
       .map(s => org.apache.spark.sql.Row(
         s.snapshotId, s.lsnHighWatermark, s.nBuckets, s.keyColumns,
         s.renameMap, s.lineage, s.commitDeltas.values.map(_.size).sum))

@@ -126,6 +126,23 @@ class LakeBatchReadSpec extends SparkSpec {
     assert(badMeta.getMessage.contains("unknown meta"))
   }
 
+  test("meta=snapshots: expired ids skipped, corrupt snapshot JSON fails LOUDLY") {
+    val t = newTable("bread-hist-err")
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 80)))
+    MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(80, 160)))
+    def hist() = spark.read.format("graft-lake")
+      .option("path", t.root).option("meta", "snapshots").load()
+      .select("snapshot_id").collect().map(_.getLong(0)).toSeq
+    // expired history legitimately vanishes (FileNotFound -> skipped)
+    t.expireSnapshots(keepLast = 1)
+    assert(hist() === Seq(2L))
+    // corrupt metadata must PROPAGATE, never read as "expired" (the old
+    // blanket Try(...).toOption silently dropped it from the output)
+    val p = java.nio.file.Paths.get(t.root, "meta", f"snapshot-${2L}%012d.json")
+    java.nio.file.Files.write(p, "{not json".getBytes("UTF-8"))
+    intercept[Exception] { hist() } // intercept fails the test if it succeeds
+  }
+
   test("inline-snapshot tables report honest sizeInBytes -> dim joins auto-broadcast") {
     val t = newTable("bread-stats")
     MergeEngine.applyBatch(t, ChangeDecoder.decode(lines(0, 60)))
