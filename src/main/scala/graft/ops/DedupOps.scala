@@ -256,11 +256,28 @@ object DedupOps {
    * Output: verified pairs with their exact similarity.
    */
   def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    // Candidate pairs are SPARSE relative to the corpus (that is the whole
+    // point of LSH blocking), so materialize them once — localCheckpoint,
+    // the same move clusterCanonical makes for its edge list; without it
+    // the two consumers below would each re-derive the full LSH pipeline —
+    // and SEMI-JOIN-PRUNE every corpus-wide side of the verification
+    // (guide §3.2 "reduce the big side before shuffling it"): the
+    // gram-intersection sides and the size aggregate then process only
+    // CANDIDATE documents' shingles instead of the whole corpus. Before
+    // this, the verify join carried the full shingle set twice (the local
+    // plan even broadcast all of it, ~1.5M rows at sf0.1, off a stale
+    // pre-explode size estimate). Semantics unchanged: every downstream
+    // join is inner on doc_a/doc_b ∈ cands ⊆ candDocs, and a retained
+    // doc's shingle rows (hence its size n) are untouched by the semi join.
     val cands = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     // exact-verification intersections only EQUATE grams — the hashed
     // shingles (8-byte join key) replace the string grams here just as in
     // the Jaccard pipeline; sizes count the same distinct sets
     val sh = hashedShingles(spark, dir)
+      .join(candDocs, Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("gh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("gh"))
