@@ -255,7 +255,19 @@ object DedupOps {
    * degrade gracefully to a shuffle join instead of OOMing the driver.
    * Output: verified pairs with their exact similarity.
    */
-  def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
+  def minhashVerified(spark: SparkSession, dir: String): DataFrame =
+    minhashVerifiedCheckpointed(spark, dir)._1
+
+  /** [[minhashVerified]] plus a handle on the eagerly checkpointed
+    * candidate set, so a caller that MATERIALIZES a derivative of the
+    * result (clusterCanonical checkpoints its edge list) can release the
+    * candidate blocks immediately instead of leaving them to the
+    * ContextCleaner — DedupCapSpec pins that only the final frontier
+    * survives a clusterCanonical call. Callers of the plain
+    * [[minhashVerified]] return a lazy frame whose plan still reads the
+    * candidate blocks, so there the ContextCleaner lifecycle is correct. */
+  private def minhashVerifiedCheckpointed(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // Candidate pairs are SPARSE relative to the corpus (that is the whole
     // point of LSH blocking), so materialize them once — localCheckpoint,
     // the same move clusterCanonical makes for its edge list; without it
@@ -284,13 +296,14 @@ object DedupOps {
     val pairGrams = cands.join(a, "doc_a").join(b, Seq("doc_b", "gh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    pairGrams
+    val verified = pairGrams
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard_bp", expr("(inter * 10000) div (na + nb - inter)"))
       .filter(col("jaccard_bp") >= 2000)
       .select(col("doc_a"), col("doc_b"), col("jaccard_bp"))
       .orderBy("doc_a", "doc_b")
+    (verified, cands)
   }
 
   val minhashVerifiedSql: String =
@@ -326,10 +339,15 @@ object DedupOps {
    * small-star contraction (O(log n) rounds); not needed for dup graphs.
    */
   def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashVerified(spark, dir).select(col("doc_a"), col("doc_b"))
+    val (verified, cands) = minhashVerifiedCheckpointed(spark, dir)
+    val pairs = verified.select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint() // computed once; reused every round
+    // `edges` is materialized above; nothing downstream reads the verify
+    // pipeline (hence the LSH candidate checkpoint) again — release it now
+    // rather than holding candidate-pair blocks for the whole propagation
+    releaseLocalCheckpoint(cands)
     // Init = identity FOLDED WITH the first propagation round: every vertex
     // starts at min(self, min(neighbors)) — one aggregation over the edge
     // list, the same cost as the old distinct() identity init, but one full
